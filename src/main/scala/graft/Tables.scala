@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Loaders for the driver-generated TPC-H-ish testdata tables
+  * (TESTDATA.md). One parquet file per table under `$dir/`.
+  *
+  * All readers go through [[Tables.load]] so every query in the engine
+  * benefits from the same scan behavior: explicit parquet source,
+  * column pruning + predicate pushdown handled by Catalyst (never
+  * disable), and no schema inference beyond parquet footer metadata.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** `events.ts` is written as parquet INT64 TIMESTAMP(NANOS); Spark has
+    * no nanosecond timestamp type, so read it as a raw long
+    * (`nanosAsLong`) and expose BOTH a µs-truncated `ts` timestamp (for
+    * date_trunc-style bucketing — identical to DuckDB at ≥µs
+    * granularity) and the exact `ts_ns` long (for ordering, so
+    * tie-breaks match a ns-precision engine bit-for-bit).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", timestamp_micros(floor(col("ts_ns") / 1000L).cast(LongType)))
+      case _ =>
+        raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    }
+  }
+
+  /** Decimal-exact sum of a double expression, returned as double.
+    * Both Spark and DuckDB round the per-row double to the same
+    * DECIMAL(28,6), sum exactly, and cast back — bit-identical results
+    * regardless of partitioning/summation order, which a plain
+    * double-sum cannot guarantee under parallelism.
+    * SQL mirror: CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE).
+    */
+  def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast(DecimalType(28, 6))).cast(DoubleType)
+
+  /** Decimal-exact average as double: exact decimal sum divided by
+    * count, both as doubles (single deterministic division).
+    * SQL mirror: CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(x).
+    */
+  def davg(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    dsum(c) / count(c)
+}

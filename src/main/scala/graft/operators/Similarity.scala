@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VectorFunctions.{cosine_similarity, dot_product}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (64-dim float vectors).
+  *
+  *  - [[s01_ann_bruteforce]]: exact top-k per query via a broadcast of
+  *    the (small) query set against the full corpus — the correctness
+  *    baseline. At 100 TB the corpus side streams; only the query set
+  *    must fit in memory.
+  *  - [[s02_ann_lsh]]: random-hyperplane LSH — signature → bucket join
+  *    → rank within bucket. Cost ∝ bucket collisions, the scale path.
+  */
+object Similarity {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val K = 5
+
+  /** Deterministic query subset: every 97th vector. */
+  private def queriesOf(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
+  /** Exact brute-force cosine top-k. The query side is broadcast, so
+    * the corpus is scanned once with no shuffle; ranking shuffles only
+    * |queries| × |corpus| scored rows pre-filtered per partition.
+    * Cosine is the codegen'd native expression — the scan stays in
+    * WholeStageCodegen.
+    */
+  def s01_ann_bruteforce: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val q = queriesOf(e)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(cosine_similarity(col("q_emb"), col("embedding")), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= K)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rk"))
+      .orderBy(col("q_id"), col("rk"), col("vec_id"))
+  }
+
+  /** Random-hyperplane LSH ANN. 16 deterministic hyperplanes (fixed
+    * seed) → 16-bit signature → candidates share the full bucket →
+    * exact cosine rank within bucket. Multi-probe: queries also probe
+    * the 16 hamming-1 neighbor buckets to recover near-boundary
+    * vectors — recall knob without touching n².
+    * No oracle (hash/plane-dependent); rows-only check.
+    */
+  def s02_ann_lsh: Q = (s, d) => {
+    val planes = 16; val dim = 64
+    val rnd = new scala.util.Random(42L)
+    // literal plane matrix — tiny, constant-folded into the plan
+    val planeCols: Seq[Column] = (0 until planes).map { _ =>
+      array((0 until dim).map(_ => lit(rnd.nextGaussian())): _*)
+    }
+    val e = Tables.embeddings(s, d)
+    def signature(emb: Column): Column =
+      (0 until planes).map { p =>
+        when(dot_product(emb, planeCols(p)) >= 0.0, shiftleft(lit(1), p))
+          .otherwise(lit(0))
+      }.reduce((a, b) => a.bitwiseOR(b))
+
+    val corpus = e.select(col("vec_id"), col("embedding"),
+      signature(col("embedding")).as("bucket"))
+    val q = queriesOf(e).withColumn("q_sig", signature(col("q_emb")))
+    // multi-probe: exact bucket + all hamming-1 buckets
+    val probes = q.select(col("q_id"), col("q_emb"),
+      explode(array(col("q_sig") +:
+        (0 until planes).map(p => col("q_sig").bitwiseXOR(shiftleft(lit(1), p))): _*))
+        .as("bucket"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    corpus.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(cosine_similarity(col("q_emb"), col("embedding")), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= K)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rk"))
+      .orderBy(col("q_id"), col("rk"), col("vec_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "s01_ann_bruteforce" -> s01_ann_bruteforce,
+    "s02_ann_lsh" -> s02_ann_lsh,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s01_ann_bruteforce" ->
+      s"""SELECT q_id, vec_id, cos, rk FROM (
+         |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+         |    round(list_cosine_similarity(
+         |      CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4)
+         |      AS cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(list_cosine_similarity(
+         |        CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4)
+         |        DESC, e.vec_id) AS rk
+         |  FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+         |  WHERE q.vec_id % 97 = 0) t
+         |WHERE rk <= $K ORDER BY q_id, rk, vec_id""".stripMargin,
+  )
+}

@@ -1,0 +1,158 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators over the `documents` table: language-ID
+  * (stopword-hit heuristic), quality scoring, token counting
+  * (whitespace + BPE-ish regex), and canonical fingerprinting.
+  *
+  * All are single-pass, per-row codegen'd expressions (regexp/string
+  * builtins) followed by at most one low-cardinality aggregate — they
+  * scan 100 TB at IO speed with no shuffle beyond the final agg.
+  * Every formula is mirrored exactly in the DuckDB oracle (integer
+  * counts + single double division, so hashes match bit-for-bit).
+  */
+object TextAnalysis {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** (lang, stopword-alternation) — tiny inline lexicons; the heuristic
+    * is argmax of whole-word stopword hits with a fixed priority order
+    * for ties (en > de > fr > es > zh-placeholder).
+    */
+  private val lexicons: Seq[(String, String)] = Seq(
+    "en" -> "(the|and|of|to|in|is|that|with)",
+    "de" -> "(der|die|das|und|ist|nicht|mit|ein)",
+    "fr" -> "(le|la|les|et|est|dans|pour|une)",
+    "es" -> "(el|los|las|y|es|en|por|una)",
+  )
+
+  private def hits(c: Column, alternation: String): Column =
+    size(regexp_extract_all(c, lit("\\b" + alternation + "\\b"), lit(0)))
+
+  /** Language identification: stopword-hit scores per language, argmax
+    * with deterministic tie-break; 'und' (undetermined) when no lexicon
+    * hits at all. Compared against the labeled `lang` column.
+    */
+  def t01_lang_id: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val scored = lexicons.foldLeft(docs.withColumn("t", lower(col("text")))) {
+      case (df, (lg, alt)) => df.withColumn(s"s_$lg", hits(col("t"), alt))
+    }
+    val langs = lexicons.map(_._1)
+    val best = langs.map(lg => col(s"s_$lg")).reduce((a, b) => greatest(a, b))
+    // first lang (in lexicon order) achieving the max score wins ties
+    val predOrdered = langs.foldRight(lit("und"): Column) { case (lg, acc) =>
+      when(col(s"s_$lg") === best && best > 0, lit(lg)).otherwise(acc)
+    }
+    scored
+      .withColumn("pred_lang", predOrdered)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  /** Quality scoring: length/token/punctuation/stopword ratios plus a
+    * composite score. Integer counts; ratios are single double
+    * divisions; score rounded to 4.
+    */
+  def t02_quality: Q = (s, d) => {
+    val nTok = size(split(col("text"), "\\s+"))
+    val nChars = length(col("text"))
+    val nPunct = size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0)))
+    val nStop = size(regexp_extract_all(lower(col("text")),
+      lit("\\b(the|a|and|of|to|in)\\b"), lit(0)))
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        nChars.as("n_chars_m"),
+        nTok.as("n_tokens"),
+        round(nPunct.cast(DoubleType) / nChars, 6).as("punct_ratio"),
+        round(nStop.cast(DoubleType) / nTok, 6).as("stopword_ratio"),
+        round(
+          least(nTok.cast(DoubleType) / 50.0, lit(1.0)) *
+            (lit(1.0) - nPunct.cast(DoubleType) / nChars), 4).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token counting: whitespace tokens, BPE-ish regex tokens
+    * (letter runs | digit runs | single non-space symbol), distinct
+    * whitespace tokens, chars. */
+  def t03_tokens: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), "\\s+")).as("ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("bpe_tokens"),
+        size(array_distinct(split(lower(col("text")), "\\s+"))).as("distinct_tokens"),
+        length(col("text")).as("n_chars_m"))
+      .orderBy(col("doc_id"))
+
+  /** Canonical document fingerprint: md5 of the lowercased text with
+    * everything but [a-z0-9] stripped — whitespace/punctuation/case
+    *-insensitive dedup key, grouped to find canonical duplicates.
+    */
+  def t04_fingerprint: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(md5(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
+        .as("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .orderBy(col("fingerprint"))
+
+  val queries: Map[String, Q] = Map(
+    "t01_lang_id" -> t01_lang_id,
+    "t02_quality" -> t02_quality,
+    "t03_tokens" -> t03_tokens,
+    "t04_fingerprint" -> t04_fingerprint,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t01_lang_id" -> {
+      val scores = lexicons.map { case (lg, alt) =>
+        s"len(regexp_extract_all(lower(text), '\\b$alt\\b')) AS s_$lg"
+      }.mkString(",\n    ")
+      val best = "greatest(" + lexicons.map("s_" + _._1).mkString(", ") + ")"
+      val pred = lexicons.map { case (lg, _) =>
+        s"WHEN s_$lg = $best AND $best > 0 THEN '$lg'"
+      }.mkString("CASE ", " ", " ELSE 'und' END")
+      s"""WITH scored AS (
+         |  SELECT lang,
+         |    $scores
+         |  FROM documents)
+         |SELECT lang, $pred AS pred_lang, COUNT(*) AS n_docs
+         |FROM scored GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin
+    },
+    "t02_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INT) AS n_chars_m,
+        |  CAST(len(regexp_split_to_array(text, '\s+')) AS INT) AS n_tokens,
+        |  round(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+        |    / length(text), 6) AS punct_ratio,
+        |  round(CAST(len(regexp_extract_all(lower(text),
+        |      '\b(the|a|and|of|to|in)\b')) AS DOUBLE)
+        |    / len(regexp_split_to_array(text, '\s+')), 6) AS stopword_ratio,
+        |  round(least(CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE)
+        |      / 50.0, 1.0) *
+        |    (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+        |      / length(text)), 4) AS quality_score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t03_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(text, '\s+')) AS INT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+        |    AS INT) AS bpe_tokens,
+        |  CAST(len(list_distinct(regexp_split_to_array(lower(text), '\s+')))
+        |    AS INT) AS distinct_tokens,
+        |  CAST(length(text) AS INT) AS n_chars_m
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t04_fingerprint" ->
+      """SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+        |    AS fingerprint,
+        |  COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+        |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+  )
+}

@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Local pre-check of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Loads <verifyOutDir>/oracle_sql.json, registers each testdata parquet
+as a DuckDB view, runs every oracle SQL, and compares against the
+Spark-dumped parquet in <verifyOutDir>/<name>/ — columns sorted by
+name, rows sorted, values compared exactly (floats to 1e-12 rel).
+
+Dev tool only — the Scala library has no dependency on this.
+"""
+import json
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list:
+    errs = []
+    a, b = norm(spark_df), norm(duck_df)
+    if list(a.columns) != list(b.columns):
+        return [f"columns differ: spark={list(a.columns)} duck={list(b.columns)}"]
+    if len(a) != len(b):
+        return [f"row count differs: spark={len(a)} duck={len(b)}"]
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        for i, (x, y) in enumerate(zip(av, bv)):
+            if x is None and y is None:
+                continue
+            if isinstance(x, float) or isinstance(y, float):
+                xf = float("nan") if x is None else float(x)
+                yf = float("nan") if y is None else float(y)
+                if math.isnan(xf) and math.isnan(yf):
+                    continue
+                if xf != yf and abs(xf - yf) > 1e-12 * max(1.0, abs(xf), abs(yf)):
+                    errs.append(f"col {c} row {i}: spark={x!r} duck={y!r}")
+                    break
+                if xf != yf:
+                    errs.append(f"col {c} row {i}: NEAR-MISS spark={x!r} duck={y!r}")
+                    break
+            elif x != y and str(x) != str(y):
+                errs.append(f"col {c} row {i}: spark={x!r} duck={y!r}")
+                break
+    return errs
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            duck = con.execute(sql).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_bad += 1
+            continue
+        try:
+            spark = pd.read_parquet(f"{out_dir}/{name}")
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: no spark output: {e}")
+            n_bad += 1
+            continue
+        errs = compare(name, spark, duck)
+        if errs:
+            print(f"FAIL {name}: " + "; ".join(errs[:3]))
+            n_bad += 1
+        else:
+            print(f"ok   {name} ({len(spark)} rows)")
+            n_ok += 1
+    print(f"\n{n_ok} ok, {n_bad} fail "
+          f"(+{len(set(json.load(open(f'{out_dir}/oracle_sql.json')))) } with oracle)")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,0 +1,136 @@
+package graft
+
+import graft.sources.DiscogsXml
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Parity tests on the reference's truncated real dump fixtures
+  * (FIXTURES.md §3 golden expectations — declared semantics, with the
+  * reference's Q2/Q3/Q5/Q6/Q9 bugs fixed). */
+class DiscogsXmlSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.spark
+  def res(name: String): String = getClass.getResource(s"/$name").getPath
+
+  test("detectEntity dispatches on root element, plain and gz") {
+    assert(DiscogsXml.detectEntity(res("releases.xml")) == "releases")
+    assert(DiscogsXml.detectEntity(res("artists.xml.gz")) == "artists")
+    assert(DiscogsXml.detectEntity(res("labels.xml")) == "labels")
+    assert(DiscogsXml.detectEntity(res("masters.xml.gz")) == "masters")
+  }
+
+  test("releases: 3 rows with declared-schema fields") {
+    val t = DiscogsXml.readReleases(spark, res("releases.xml.gz"))
+    val rel = t.release.collect().map(r => r.getInt(0) -> r).toMap
+    assert(rel.keySet == Set(8, 9, 10))
+    val r8 = rel(8)
+    assert(r8.getString(2) == "Spreading Outward EP")
+    assert(r8.getString(3) == "US")
+    assert(r8.getString(4) == "2000")
+    assert(r8.getSeq[String](6) == Seq("Electronic"))
+    assert(r8.getSeq[String](7) == Seq("Deep House"))
+    assert(r8.getInt(8) == 48282)
+    assert(r8.getString(1) == "Accepted")
+    assert(r8.getString(9) == "Needs Vote")
+  }
+
+  test("release_label: all 4 fan-out rows (reference Q5 would drop 2)") {
+    val t = DiscogsXml.readReleases(spark, res("releases.xml.gz"))
+    val rl = t.releaseLabel.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getInt(3)))
+    assert(rl.length == 4)
+    assert(rl.contains((8, "Deep4Life", "D4L12004", 9)))
+    assert(rl.count(_._1 == 10) == 2) // two labels incl catno variants
+  }
+
+  test("release_video: 26 rows, titles populated (reference Q6 writes '')") {
+    val t = DiscogsXml.readReleases(spark, res("releases.xml.gz"))
+    val rv = t.releaseVideo.collect()
+    assert(rv.length == 26)
+    val r8 = rv.filter(_.getInt(0) == 8).map(v => (v.getInt(1), v.getString(3)))
+    assert(r8.map(_._1).sorted.toSeq == Seq(395, 440, 450))
+    assert(r8.forall(_._2.nonEmpty))
+  }
+
+  test("artists: 4 rows; aliases/name_variations correct (vs Q2/Q3)") {
+    val a = DiscogsXml.readArtists(spark, res("artists.xml.gz"))
+    val m = a.collect().map(r => r.getInt(0) -> r).toMap
+    assert(m.keySet == Set(1, 2, 3, 4))
+    val a1 = m(1)
+    assert(a1.getString(1) == "The Persuader")
+    assert(a1.getString(2) == "Jesper Dahlbäck")
+    assert(a1.getSeq[String](5) == Seq("Persuader", "The Presuader"))
+    assert(a1.getSeq[String](6).length == 1)
+    assert(a1.getSeq[String](7).length == 7) // aliases — reference loses these
+    val a2 = m(2)
+    assert(a2.getSeq[String](8) == Seq("Alexi Delano", "Cari Lekebusch"))
+  }
+
+  test("labels: 4 rows; entity unescape + multiline text") {
+    val l = DiscogsXml.readLabels(spark, res("labels.xml.gz"))
+    val m = l.collect().map(r => r.getInt(0) -> r).toMap
+    assert(m.keySet == Set(1, 2, 3, 4))
+    assert(m(1).getString(1) == "Planet E")
+    assert(m(1).getSeq[String](6).length == 13)
+    assert(m(1).getString(7) == "Correct")
+    assert(m(1).getString(2).contains("Planet E Communications"))
+  }
+
+  test("masters: 3 rows with year/genres/styles (reference Q9 zeroes them)") {
+    val t = DiscogsXml.readMasters(spark, res("masters.xml.gz"))
+    val m = t.master.collect().map(r => r.getInt(0) -> r).toMap
+    assert(m.keySet == Set(113, 114, 115))
+    val m113 = m(113)
+    assert(m113.getString(1) == "Moments In Time")
+    assert(m113.getInt(2) == 116925)
+    assert(m113.getInt(3) == 2002)
+    assert(m113.getSeq[String](5) == Seq("Electronic"))
+    assert(m113.getSeq[String](6) == Seq("Techno", "Tech House"))
+  }
+
+  test("master_artist: one row per <artist> incl. (3225, 113)") {
+    val t = DiscogsXml.readMasters(spark, res("masters.xml.gz"))
+    val ma = t.masterArtist.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3), r.getString(4)))
+    assert(ma.length == 3)
+    assert(ma.contains((3225, 113, "Vince Watson", "", "")))
+  }
+
+  test("gz and plain inputs produce identical DataFrames") {
+    val gz = DiscogsXml.readArtists(spark, res("artists.xml.gz")).collect().toSet
+    val plain = DiscogsXml.readArtists(spark, res("artists.xml")).collect().toSet
+    assert(gz == plain)
+  }
+
+  test("dedup idempotence: loading the same file twice yields same ids") {
+    val once = DiscogsXml.readLabels(spark, res("labels.xml"))
+    val twiceDf = DiscogsXml.loadAll(spark,
+      Seq(res("labels.xml"), res("labels.xml.gz")))("label")
+    // union of two identical monthly dumps, then first-wins per id
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id")).orderBy(monotonically_increasing_id())
+    val deduped = twiceDf.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    assert(deduped.count() == once.count())
+  }
+
+  test("loadAll dispatches all four entities") {
+    val all = DiscogsXml.loadAll(spark, Seq(
+      res("releases.xml.gz"), res("artists.xml.gz"),
+      res("labels.xml.gz"), res("masters.xml.gz")))
+    assert(all.keySet == Set("release", "release_label", "release_video",
+      "artist", "label", "master", "master_artist"))
+    assert(all("release").count() == 3)
+    assert(all("artist").count() == 4)
+  }
+
+  test("output schemas match the declared FIXTURES §2 schemas") {
+    val t = DiscogsXml.readReleases(spark, res("releases.xml.gz"))
+    assert(t.release.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      graft.schemas.Discogs.releaseSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val a = DiscogsXml.readArtists(spark, res("artists.xml.gz"))
+    assert(a.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      graft.schemas.Discogs.artistSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+  }
+}

@@ -33,80 +33,62 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
       .orderBy(col("content_hash"))
 
+  /** 3-word shingles of a token array (document order; native
+    * expression — the HOF transform/slice chain interprets its lambda
+    * per element and is 20×+ slower). */
+  private def shingles(toks: Column): Column =
+    graft.functions.TextHashFunctions.word_shingles(toks, 3)
+
   /** MinHash + LSH banding near-dup pipeline:
-    *   3-word shingles → 64 minhashes (xxhash64 seeded per permutation)
-    *   → 16 bands × 4 rows → bucket join → candidate pairs → exact
-    *   Jaccard verify ≥ 0.5.
-    * One shuffle for the signature agg, one for the bucket self-join,
-    * one for the verify counts. Candidate volume is governed by the
-    * band collision probability (r=4, b=16 → s-curve threshold ≈0.5),
-    * not by n² — this is the scale path for document dedup.
-    * No oracle: xxhash64 permutations are engine-specific.
+    *   3-word shingles → 64-slot minhash signature (one-pass native
+    *   expression, map-only) → 16 bands × 4 rows → bucket self-join →
+    *   candidate pairs → exact-Jaccard verify ≥ 0.5 (native expression,
+    *   once per candidate).
+    * The only shuffles are the band bucket join and the candidate
+    * verify joins; candidate volume is governed by the band collision
+    * probability (r=4, b=16 → s-curve threshold ≈0.5), not n² — this is
+    * the scale path for document dedup.
+    * No oracle: the minhash permutations are engine-specific.
     */
   def d02_minhash_lsh: Q = (s, d) => {
-    val numHashes = 64; val bands = 16; val rows = 4
+    import graft.functions.TextHashFunctions.{minhash_bands, array_jaccard}
+    // repartition BEFORE the per-row signature stage: a small-file
+    // table arrives as one partition, which would serialize the whole
+    // (CPU-heavy) shingle+minhash map work onto a single core — at
+    // cluster scale this is the "parallelize the signature scan" knob
     val docs = Tables.documents(s, d)
-    // distinct 3-word shingles per doc
-    val sh = docs
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(
-        transform(sequence(lit(0), greatest(size(col("toks")) - 3, lit(0))),
-          i => concat_ws(" ", slice(col("toks"), i + 1, lit(3))))).as("shingle"))
-      .filter(length(col("shingle")) > 0)
-      .distinct()
-    // 64 min-hash signature values in one aggregation pass
-    val mins = (0 until numHashes).map(i =>
-      min(xxhash64(col("shingle"), lit(i))).as(s"mh$i"))
-    val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-    // band hashes: each band digests `rows` consecutive signature slots
-    val bandCols = (0 until bands).map { b =>
-      val slots = (0 until rows).map(r => col(s"mh${b * rows + r}"))
-      xxhash64(lit(b) +: slots: _*)
-    }
-    val banded = sig
-      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
-    val a = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"))
-    val b = banded.select(col("band"), col("bh"), col("doc_id").as("id_b"))
-    val candidates = a.join(b, Seq("band", "bh"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
+    val banded = docs
+      .select(col("doc_id"),
+        explode(array_distinct(minhash_bands(col("sh"), 16, 4))).as("bh"))
+    val a = banded.select(col("bh"), col("doc_id").as("id_a"))
+    val b = banded.select(col("bh"), col("doc_id").as("id_b"))
+    val candidates = a.join(b, Seq("bh"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    // exact-Jaccard verification over candidates only
-    val ta = sh.select(col("doc_id").as("id_a"), col("shingle"))
-    val tb = sh.select(col("doc_id").as("id_b"), col("shingle"))
-    val inter = candidates.join(ta, Seq("id_a")).join(tb, Seq("id_b", "shingle"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
-      .withColumn("jaccard", round(col("n_inter").cast(DoubleType) /
-        (col("n_a") + col("n_b") - col("n_inter")), 4))
+    candidates
+      .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", round(array_jaccard(col("sh_a"), col("sh_b")), 4))
       .filter(col("jaccard") >= 0.5)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** SimHash near-dup: 64-bit fingerprint per doc (sign of per-bit
-    * token-hash votes), then candidate pairs that share one of the 4
-    * 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ ≥1 identical chunk),
-    * verified by bit_count(xor) ≤ 3. All codegen'd bit arithmetic.
-    * No oracle: fingerprint depends on xxhash64.
+  /** SimHash near-dup: 64-bit fingerprint per doc via the one-pass
+    * native expression (map-only — no token shuffle), then candidate
+    * pairs that share one of the 4 16-bit chunks (pigeonhole:
+    * hamming ≤ 3 ⇒ ≥1 identical chunk), verified by bit_count(xor) ≤ 3
+    * and deduped AFTER the cheap hamming filter so the distinct only
+    * sees surviving pairs.
+    * No oracle: fingerprint depends on the hash function.
     */
   def d03_simhash: Q = (s, d) => {
+    import graft.functions.TextHashFunctions.simhash64
     val docs = Tables.documents(s, d)
-    val tok = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .filter(length(col("tok")) > 0)
-      .withColumn("h", xxhash64(col("tok")))
-    // per-bit vote: +1 if bit set, -1 otherwise, summed over tokens
-    val votes = (0 until 64).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"v$i"))
-    val voted = tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-    val fp = (0 until 64).map(i =>
-      when(col(s"v$i") >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-      .reduce(_.bitwiseOR(_))
-    val sigs = voted.select(col("doc_id"), fp.as("simhash"))
+    val sigs = docs.select(col("doc_id"),
+      simhash64(tokens(col("text"))).as("simhash"))
     val chunks = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(j =>
         shiftrightunsigned(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL))): _*))
@@ -119,8 +101,8 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= 3)
+      .distinct()
       .orderBy(col("id_a"), col("id_b"))
   }
 

@@ -60,10 +60,16 @@ object Relational {
   def q03_fanout_join: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
     val o = Tables.orders(s, d)
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .groupBy(col("o_orderkey"))
+    // pre-aggregate the fact side on the join key BEFORE the join: the
+    // shuffle then moves one row per order, not one per lineitem, and
+    // the join probes 150k not 600k rows (same result — the join key
+    // is the grouping key). The 100 TB version of "never join then
+    // aggregate what you could aggregate then join".
+    val perOrder = li.groupBy(col("l_orderkey"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
         count(lit(1)).as("n_items"))
+    perOrder.join(o, perOrder("l_orderkey") === o("o_orderkey"))
+      .select(col("o_orderkey"), col("revenue"), col("n_items"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
   }
@@ -186,6 +192,9 @@ object Relational {
     val b = p.select(col("p_brand"), col("p_partkey").as("id_b"), col("p_name").as("name_b"))
     a.join(b, Seq("p_brand"))
       .filter(col("id_a") < col("id_b"))
+      // |len(a)-len(b)| ≤ dist, so this cheap filter is semantics-
+      // preserving and spares most pairs the O(len²) edit distance
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= 2)
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= 2)
       .groupBy(col("p_brand"))

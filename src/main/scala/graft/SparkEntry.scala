@@ -25,7 +25,8 @@ object SparkEntry {
     operators.Relational.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
-      operators.TextAnalysis.queries
+      operators.TextAnalysis.queries ++
+      operators.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for ops whose hashing/sketching
@@ -35,5 +36,6 @@ object SparkEntry {
     operators.Relational.oracles ++
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++
-      operators.TextAnalysis.oracles
+      operators.TextAnalysis.oracles ++
+      operators.Multimodal.oracles
 }

@@ -1,0 +1,150 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for a training-data pipeline: media as
+  * opaque BINARY columns with typed metadata, decode / feature-extract
+  * / resize / frame-sample as per-partition batch transforms.
+  *
+  * The actual codec calls are STUBS (no image/audio libraries in this
+  * environment): [[MediaCodec.decodeStub]] produces a deterministic
+  * fake decode so the Spark-side contract — schema, partitioning,
+  * batch shape, feature vector layout — is real and tested, and a
+  * production codec drops in behind the same signature.
+  *
+  * Scale notes: media rows are wide (MBs at production size), so every
+  * transform here is `mapPartitions`-shaped (one codec init per
+  * partition, streamed rows, no per-row driver round-trips), feature
+  * outputs are narrow, and metadata-only plans never touch the binary
+  * column thanks to parquet column pruning.
+  */
+object Multimodal {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("media", BinaryType),
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType)))
+
+  /** Deterministic fake media corpus derived from the documents table
+    * (stand-in for `spark.read.format("binaryFile")` over an object
+    * store): bytes = repeated md5 of the text, dimensions from doc_id.
+    */
+  def synthesizeMedia(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    docs.select(
+      col("doc_id"),
+      MediaCodec.fakeBytesCol(col("text"), col("doc_id")).as("media"),
+      element_at(array(lit("jpeg"), lit("png"), lit("webm")),
+        (col("doc_id") % 3 + 1).cast(IntegerType)).as("format"),
+      (col("doc_id") % 640 + 64).cast(IntegerType).as("width"),
+      (col("doc_id") % 480 + 48).cast(IntegerType).as("height"),
+      (col("doc_id") % 16 + 1).cast(IntegerType).as("n_frames"))
+  }
+
+  final case class MediaRow(doc_id: Long, media: Array[Byte], format: String,
+      width: Int, height: Int, n_frames: Int)
+  final case class MediaFeatures(doc_id: Long, format: String,
+      decoded_width: Int, decoded_height: Int, features: Array[Float])
+
+  /** Decode + feature-extract: one codec per partition, rows streamed
+    * through it (the mapPartitions batch shape a real decoder needs).
+    */
+  def decodeFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      val codec = MediaCodec.open() // once per partition, not per row
+      rows.map { r =>
+        val d = codec.decodeStub(r.media, r.width, r.height)
+        MediaFeatures(r.doc_id, r.format, d.width, d.height, d.features)
+      }
+    }.toDF()
+  }
+
+  /** Frame sampling: split the binary into n_frames slices and explode
+    * one row per sampled frame (every `stride`-th frame). */
+  def frameSample(media: DataFrame, stride: Int = 4): DataFrame = {
+    val frameIdx = sequence(lit(0), col("n_frames") - 1)
+    media
+      .select(col("doc_id"), col("media"), col("n_frames"),
+        explode(filter(frameIdx, i => i % stride === 0)).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        MediaCodec.frameSliceCol(col("media"), col("frame_idx"),
+          col("n_frames")).as("frame_bytes"))
+  }
+
+  /** End-to-end multimodal query: synthesize → decode → per-format
+    * feature statistics. Deterministic but hash-based → rows-only
+    * driver check (no SQL oracle). */
+  def m01_media_features: Q = (s, d) =>
+    decodeFeatures(synthesizeMedia(s, d))
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_media"),
+        round(avg(element_at(col("features"), 1)), 4).as("avg_f0"),
+        max(col("decoded_width")).as("max_width"))
+      .orderBy(col("format"))
+
+  /** Frame-sampling query: frames per doc after stride sampling. */
+  def m02_frame_sample: Q = (s, d) =>
+    frameSample(synthesizeMedia(s, d))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(octet_length(col("frame_bytes")).cast(LongType)).as("bytes_sampled"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, Q] = Map(
+    "m01_media_features" -> m01_media_features,
+    "m02_frame_sample" -> m02_frame_sample,
+  )
+
+  val oracles: Map[String, String] = Map.empty
+}
+
+/** The codec seam. Everything in here is a deterministic STUB standing
+  * in for a real image/audio library (none ships in this container);
+  * the function signatures and batch usage are the production shape.
+  */
+object MediaCodec {
+  import org.apache.spark.sql.Column
+
+  final case class Decoded(width: Int, height: Int, features: Array[Float])
+
+  final class Codec private[MediaCodec] () {
+    /** STUB — a real implementation would decode the container/frame
+      * here (e.g. via a JNI codec). The fake derives an 8-dim byte
+      * histogram so downstream feature plumbing is exercised with
+      * stable values. */
+    def decodeStub(bytes: Array[Byte], width: Int, height: Int): Decoded = {
+      val hist = new Array[Float](8)
+      var i = 0
+      while (i < bytes.length) { hist((bytes(i) & 0xFF) >> 5) += 1f; i += 1 }
+      val n = math.max(bytes.length, 1).toFloat
+      var j = 0
+      while (j < 8) { hist(j) /= n; j += 1 }
+      Decoded(width, height, hist)
+    }
+  }
+
+  def open(): Codec = new Codec()
+
+  /** Fake media bytes: md5(text) || md5(doc_id) repeated 4×. */
+  def fakeBytesCol(text: Column, docId: Column): Column = {
+    val one = concat(unhex(md5(text)), unhex(md5(docId.cast(StringType))))
+    concat(one, one, one, one)
+  }
+
+  /** Byte-range slice standing in for a container-aware frame seek. */
+  def frameSliceCol(media: Column, frameIdx: Column, nFrames: Column): Column = {
+    val len = octet_length(media)
+    val frameLen = greatest(floor(len / nFrames).cast(IntegerType), lit(1))
+    substring(media, (frameIdx * frameLen + 1).cast(IntegerType), frameLen)
+  }
+}

@@ -292,6 +292,40 @@ object Relational {
       .orderBy(col("o_custkey"))
   }
 
+  /** Gap-based sessionization as pure relational algebra (the batch
+    * twin of streaming.EventStreams.sessionize): a session break is a
+    * >30 min gap; session ids are a running sum of breaks. Two window
+    * passes over one user-partitioned shuffle.
+    */
+  def q21_sessionize: Q = (s, d) => {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    val gapNs = 30L * 60L * 1000000000L
+    Tables.events(s, d)
+      .withColumn("new_session",
+        when(col("ts_ns") - lag(col("ts_ns"), 1).over(byUser) > gapNs, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** lag/lead navigation: per-user deltas and next event type. */
+  def q22_lag_lead: Q = (s, d) => {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        (col("value").cast(DecimalType(28, 6)) -
+          lag(col("value"), 1).over(byUser).cast(DecimalType(28, 6)))
+          .cast(DoubleType).as("value_delta"),
+        lead(col("event_type"), 1).over(byUser).as("next_type"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_agg" -> q01_agg,
     "q02_point_lookup" -> q02_point_lookup,
@@ -314,6 +348,8 @@ object Relational {
     "q18_time_window" -> q18_time_window,
     "q19_array_ops" -> q19_array_ops,
     "q20_scalar_subquery" -> q20_scalar_subquery,
+    "q21_sessionize" -> q21_sessionize,
+    "q22_lag_lead" -> q22_lag_lead,
   )
 
   /** DuckDB oracle SQL. Column names/aliases match the Spark plans
@@ -435,6 +471,32 @@ object Relational {
         |  CAST(list_contains(regexp_split_to_array(text, '\s+'), 'the') AS INT)
         |    AS has_the
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q21_sessionize" ->
+      s"""WITH marked AS (
+         |  SELECT user_id, event_id, ts, value,
+         |    CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts), 1) OVER w
+         |        > 1800000000000 THEN 1 ELSE 0 END AS new_session
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |), sessions AS (
+         |  SELECT user_id, event_id, value,
+         |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM marked)
+         |SELECT user_id, session_id, COUNT(*) AS n_events,
+         |  MIN(event_id) AS first_event, MAX(event_id) AS last_event,
+         |  ${DSUM("value")} AS sum_value
+         |FROM sessions GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin,
+    "q22_lag_lead" ->
+      """SELECT user_id, event_id,
+        |  CAST(CAST(value AS DECIMAL(28,6)) -
+        |    CAST(LAG(value, 1) OVER w AS DECIMAL(28,6)) AS DOUBLE)
+        |    AS value_delta,
+        |  LEAD(event_type, 1) OVER w AS next_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
     "q20_scalar_subquery" ->
       """SELECT o_custkey, MIN(o_orderkey) AS best_orderkey,
         |  MAX(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)) AS max_price

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table shape
+  * (SURVEY §2.2 streaming row): watermarked tumbling-window
+  * aggregation and stateful sessionization via
+  * flatMapGroupsWithState.
+  *
+  * The batch equivalents (Relational.q18_time_window,
+  * Relational.q21_sessionize) are oracle-checked; the streaming
+  * variants run the same logical aggregates incrementally and are
+  * exercised by StreamingSpec with a file source + memory sink.
+  *
+  * Scale: windowed aggs keep one state row per (window, event_type) —
+  * bounded by watermark eviction; sessionization state is one small
+  * buffer per active user, evicted on processing-time timeout.
+  */
+object EventStreams {
+
+  /** The events schema as read from the testdata parquet (ts arrives
+    * as INT64 nanos; see graft.Tables.events). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream over a directory of event parquet files. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventSchema).parquet(dir)
+      .withColumn("ts_ns", col("ts"))
+      .withColumn("ts", timestamp_micros(floor(col("ts_ns") / 1000L).cast(LongType)))
+  }
+
+  /** Watermarked tumbling-window aggregate — the streaming form of
+    * q18_time_window: events per (hour, type) with exact decimal sums. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(28, 6))).cast(DoubleType).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  final case class Event(event_id: Long, ts_ns: Long, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(start_ns: Long, last_ns: Long, n: Long)
+  final case class Session(user_id: Long, start_ns: Long, end_ns: Long,
+      n_events: Long)
+
+  /** Stateful sessionization: events within `gap` of each other belong
+    * to one session per user; a session closes when the processing-time
+    * timeout fires with no new events. Demonstrates
+    * flatMapGroupsWithState custom state (SURVEY §2.2 UDF/state row).
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapNs = gapMinutes * 60L * 1000000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], Session](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[List[SessionState]]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.getOrElse(Nil)
+              .map(s => Session(userId, s.start_ns, s.last_ns, s.n))
+            state.remove()
+            out.iterator
+          } else {
+            // merge the batch into open sessions (events may arrive
+            // unordered within a micro-batch: sort first)
+            val sorted = rows.toSeq.sortBy(e => (e.ts_ns, e.event_id))
+            var open = state.getOption.getOrElse(Nil)
+            var closed = List.empty[Session]
+            sorted.foreach { e =>
+              open match {
+                case cur :: rest if e.ts_ns - cur.last_ns <= gapNs =>
+                  open = cur.copy(last_ns = e.ts_ns, n = cur.n + 1) :: rest
+                case cur :: rest =>
+                  closed ::= Session(userId, cur.start_ns, cur.last_ns, cur.n)
+                  open = SessionState(e.ts_ns, e.ts_ns, 1) :: rest
+                case Nil =>
+                  open = SessionState(e.ts_ns, e.ts_ns, 1) :: Nil
+              }
+            }
+            state.update(open)
+            state.setTimeoutDuration(s"$gapMinutes minutes")
+            closed.reverseIterator
+          }
+      }
+  }
+}

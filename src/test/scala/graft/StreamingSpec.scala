@@ -1,0 +1,75 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths}
+
+/** Structured Streaming parity: the incremental windowed aggregate and
+  * stateful sessionization must agree with their batch (oracle-checked)
+  * twins q18/q21 when the whole dataset is replayed through the stream.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def stageDir(): String = {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      Paths.get(s"$dir/events.parquet"))
+    dir
+  }
+
+  test("streaming windowed counts == batch q18 aggregate") {
+    val dir = stageDir()
+    val q = EventStreams.windowedCounts(EventStreams.readEventStream(spark, dir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("win_out")
+        .select(col("hour"), col("event_type"), col("n_events"), col("sum_value"))
+        .collect().map(r => (r.getAs[Any](0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val batch = operators.Relational.q18_time_window(spark, sfDir)
+        .collect().map(r => (r.getAs[Any](0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("streaming sessionization emits exactly the closed batch sessions") {
+    import spark.implicits._
+    val dir = stageDir()
+    val events = EventStreams.readEventStream(spark, dir)
+      .select(col("event_id"), col("ts_ns"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[EventStreams.Event]
+    // AvailableNow: process the backlog then stop — with
+    // ProcessingTimeTimeout an unbounded trigger reruns empty batches
+    // forever to evaluate future timeouts and never quiesces
+    val q = EventStreams.sessionize(events)
+      .writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("sess_out").start()
+    try {
+      q.awaitTermination(120000)
+      val streamed = spark.table("sess_out")
+        .select(col("user_id"), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      // batch sessions, minus the final (still-open) session per user
+      val batch = operators.Relational.q21_sessionize(spark, sfDir)
+      val lastPerUser = batch.groupBy(col("user_id"))
+        .agg(max(col("session_id")).as("max_sid"))
+      val closed = batch.join(lastPerUser, Seq("user_id"))
+        .filter(col("session_id") < col("max_sid"))
+        .select(col("user_id"), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(streamed == closed)
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * functions for SQL use. Wire up with either
+  *   `spark.sql.extensions=graft.GraftExtensions` or
+  *   `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  *
+  * Injected functions: cosine_similarity, dot_product, simhash64,
+  * word_shingles, minhash_signature, minhash_bands, array_jaccard.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, usage, b) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        GraftExtensions.info(name, usage), b))
+    }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  private def intArg(es: Seq[Expression], i: Int, default: Int): Int =
+    if (es.length > i) es(i).eval().asInstanceOf[Int] else default
+
+  val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("cosine_similarity",
+      "cosine_similarity(a, b) - cosine similarity of two float/double arrays",
+      es => functions.CosineSimilarity(es.head, es(1))),
+    ("dot_product", "dot_product(a, b) - dot product of two arrays",
+      es => functions.DotProduct(es.head, es(1))),
+    ("simhash64", "simhash64(tokens) - 64-bit simhash fingerprint",
+      es => functions.SimHash64(es.head)),
+    ("word_shingles", "word_shingles(tokens[, n]) - n-token shingles",
+      es => functions.WordShingles(es.head, intArg(es, 1, 3))),
+    ("minhash_signature", "minhash_signature(shingles[, k]) - k minhash slots",
+      es => functions.MinHashSignature(es.head, intArg(es, 1, 64))),
+    ("minhash_bands", "minhash_bands(shingles[, bands, rows]) - LSH bucket keys",
+      es => functions.MinHashBands(es.head, intArg(es, 1, 16), intArg(es, 2, 4))),
+    ("array_jaccard", "array_jaccard(a, b) - exact set Jaccard similarity",
+      es => functions.ArrayJaccard(es.head, es(1))),
+  )
+
+  /** Register the same functions on an already-built session (e.g. one
+    * created without `withExtensions`). */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    builders.foreach { case (name, _, b) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, b, "built-in")
+    }
+}

@@ -1,0 +1,133 @@
+package graft
+
+import graft.functions.TextHashFunctions._
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Unit + property tests for the native expressions (both the
+  * interpreted eval path, used inside broadcast builds, and the
+  * codegen path, used in WholeStageCodegen stages, are exercised —
+  * DataFrame execution takes codegen, literal folding takes eval). */
+class FunctionsSpec extends AnyFunSuite {
+
+  private def check(prop: Prop, n: Int = 20): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cosine_similarity known values + SQL registration") {
+    val df = Seq(
+      (Array(1f, 0f), Array(1f, 0f), 1.0),
+      (Array(1f, 0f), Array(0f, 1f), 0.0),
+      (Array(1f, 2f), Array(2f, 4f), 1.0),
+      (Array(1f, 0f), Array(-1f, 0f), -1.0),
+      (Array(0f, 0f), Array(1f, 1f), 0.0), // zero vector convention
+    ).toDF("a", "b", "expected")
+    val got = df.select(cosine_similarity($"a", $"b").as("c"), $"expected").collect()
+    got.foreach { r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9) }
+
+    val s2 = spark.newSession()
+    graft.functions.VectorFunctions.register(s2)
+    import s2.implicits._
+    Seq((Array(3f, 4f), Array(3f, 4f))).toDF("a", "b").createOrReplaceTempView("v")
+    assert(s2.sql("SELECT cosine_similarity(a, b) FROM v").first().getDouble(0) === 1.0)
+  }
+
+  test("dot_product mixed float/double arrays") {
+    val df = Seq((Array(1f, 2f, 3f), Array(4.0, 5.0, 6.0)))
+      .toDF("a", "b")
+    assert(df.select(dot_product($"a", $"b")).first().getDouble(0) === 32.0)
+  }
+
+  test("simhash64: identical token sets → identical fingerprints; null-safe") {
+    val df = Seq(
+      Tuple1(Seq("a", "b", "c")),
+      Tuple1(Seq("a", "b", "c")),
+      Tuple1(Seq("x", "y", "z"))).toDF("toks")
+    val fps = df.select(simhash64($"toks")).collect().map(_.getLong(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+    val withNull = Seq(Tuple1(null: Seq[String])).toDF("toks")
+      .select(simhash64($"toks")).first()
+    assert(withNull.isNullAt(0))
+  }
+
+  test("word_shingles edge cases") {
+    def sh(toks: Seq[String]): Seq[String] =
+      Seq(Tuple1(toks)).toDF("t").select(word_shingles($"t", 3))
+        .first().getAs[scala.collection.Seq[String]](0).toSeq
+    assert(sh(Seq("a", "b", "c", "d")) == Seq("a b c", "b c d"))
+    assert(sh(Seq("a", "b")) == Seq("a b")) // shorter than n → one shingle
+    assert(sh(Seq.empty) == Seq.empty)
+  }
+
+  test("minhash signature/bands shapes and determinism") {
+    val df = Seq(Tuple1(Seq("s1", "s2", "s3"))).toDF("sh")
+    val sig = df.select(minhash_signature($"sh", 64)).first()
+      .getAs[scala.collection.Seq[Long]](0)
+    assert(sig.length == 64)
+    val bands = df.select(minhash_bands($"sh", 16, 4)).first()
+      .getAs[scala.collection.Seq[Long]](0)
+    assert(bands.length == 16)
+    val bands2 = df.select(minhash_bands($"sh", 16, 4)).first()
+      .getAs[scala.collection.Seq[Long]](0)
+    assert(bands == bands2)
+  }
+
+  test("array_jaccard properties: bounds, symmetry, self=1") {
+    val tok = Gen.oneOf("a", "b", "c", "d", "e", "f")
+    val arrGen = Gen.nonEmptyListOf(tok)
+    check(Prop.forAll(arrGen, arrGen) { (a: List[String], b: List[String]) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val j = df.select(array_jaccard($"a", $"b"), array_jaccard($"b", $"a"),
+        array_jaccard($"a", $"a")).first()
+      val jab = j.getDouble(0); val jba = j.getDouble(1); val jaa = j.getDouble(2)
+      jab >= 0.0 && jab <= 1.0 && jab == jba && jaa == 1.0
+    })
+  }
+
+  test("minhash approximates jaccard (property, coarse bound)") {
+    // two sets with known overlap: minhash agreement rate ≈ jaccard
+    val a = (1 to 100).map(i => s"t$i")
+    val b = (51 to 150).map(i => s"t$i") // jaccard = 50/150 = 1/3
+    val df = Seq((a, b)).toDF("a", "b")
+    val r = df.select(minhash_signature($"a", 256).as("sa"),
+      minhash_signature($"b", 256).as("sb")).first()
+    val sa = r.getAs[scala.collection.Seq[Long]](0)
+    val sb = r.getAs[scala.collection.Seq[Long]](1)
+    val agree = sa.zip(sb).count { case (x, y) => x == y } / 256.0
+    assert(math.abs(agree - 1.0 / 3.0) < 0.12) // ±4σ
+  }
+
+  test("simhash hamming distance tracks token overlap") {
+    def fp(toks: Seq[String]): Long =
+      Seq(Tuple1(toks)).toDF("t").select(simhash64($"t")).first().getLong(0)
+    val base = (1 to 50).map(i => s"w$i")
+    val near = base.updated(0, "CHANGED")
+    val far = (100 to 150).map(i => s"v$i")
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(fp(base), fp(near)) < ham(fp(base), fp(far)))
+  }
+
+  test("GraftExtensions function builders work via SQL") {
+    val s2 = spark.newSession()
+    GraftExtensions.registerAll(s2)
+    val r = s2.sql(
+      """SELECT simhash64(array('a','b')) AS h,
+        |  array_jaccard(array('a','b'), array('b','c')) AS j,
+        |  cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+        |  minhash_bands(word_shingles(array('a','b','c','d'))) AS mb
+        |""".stripMargin).first()
+    assert(!r.isNullAt(0))
+    assert(math.abs(r.getDouble(1) - 1.0 / 3.0) < 1e-9)
+    assert(r.getDouble(2) === 1.0)
+    assert(r.getAs[scala.collection.Seq[Long]](3).length == 16)
+  }
+}

@@ -42,7 +42,14 @@ object Bench {
     val total = results.map(_._2).sum
     val failed = results.filter(_._3 < 0).map(_._1)
     if (failed.nonEmpty) System.err.println(s"[bench] FAILED: ${failed.mkString(",")}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // XML-ingest throughput, comparable to BASELINE.md's ~16,600
+    // records/s (single gz stream, like the reference's single thread)
+    val (inRows, inSec, inRate) =
+      try IngestBench.run(spark)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ingest failed: ${e.getMessage}"); (0L, 0.0, 0.0)
+      }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_records":$inRows,"ingest_sec":$inSec%.3f,"ingest_records_per_sec":$inRate%.0f}""")
     spark.stop()
   }
 }

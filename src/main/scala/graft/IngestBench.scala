@@ -1,0 +1,72 @@
+package graft
+
+import java.io.{BufferedOutputStream, FileOutputStream, OutputStreamWriter}
+import java.util.zip.GZIPOutputStream
+
+/** XML-ingest throughput measurement, comparable to the reference's
+  * only published number (~16,600 releases/s single-threaded,
+  * BASELINE.md): generate a synthetic releases dump shaped like the
+  * fixture corpus, parse it through the production
+  * [[graft.sources.DiscogsXml.readReleases]] path, report records/s.
+  *
+  * The dump is written once to /tmp and reused across runs. gzip is
+  * non-splittable, so like the reference this measures ONE parse
+  * stream; cluster throughput scales with files × entities.
+  */
+object IngestBench {
+
+  val defaultRecords = 100000
+
+  def dumpPath(n: Int): String = s"/tmp/graft_ingest_bench_$n.xml.gz"
+
+  /** Deterministic synthetic releases dump (fixture-shaped: attributes,
+    * nested arrays, fan-out children, XML entities). */
+  def ensureDump(n: Int = defaultRecords): String = {
+    val path = dumpPath(n)
+    if (new java.io.File(path).exists()) return path
+    val out = new OutputStreamWriter(new GZIPOutputStream(
+      new BufferedOutputStream(new FileOutputStream(path), 1 << 16)), "UTF-8")
+    try {
+      val genres = Array("Electronic", "Rock", "Jazz", "Hip Hop", "Folk, World, &amp; Country")
+      val styles = Array("Deep House", "Techno", "Ambient", "Experimental", "Tech House")
+      val countries = Array("US", "UK", "DE", "FR", "SE", "JP", "NL")
+      out.write("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<releases>\n")
+      var i = 0
+      while (i < n) {
+        val id = i + 1
+        out.write(s"""   <release id="$id" status="Accepted">\n""")
+        out.write(s"      <title>Synthetic Release &amp; Co. #$id</title>\n")
+        out.write(s"""      <labels><label name="Label ${id % 997}" catno="CAT$id" id="${id % 997}"/></labels>\n""")
+        out.write(s"      <country>${countries(id % countries.length)}</country>\n")
+        out.write(s"      <released>${1960 + id % 60}-${1 + id % 12}</released>\n")
+        if (id % 3 == 0)
+          out.write(s"      <notes>Recorded &#xD; at studio $id.</notes>\n")
+        out.write(s"      <genres><genre>${genres(id % genres.length)}</genre></genres>\n")
+        out.write("      <styles>")
+        out.write(s"<style>${styles(id % styles.length)}</style>")
+        if (id % 2 == 0) out.write(s"<style>${styles((id + 1) % styles.length)}</style>")
+        out.write("</styles>\n")
+        out.write(s"""      <master_id is_main_release="true">${id % 50000}</master_id>\n""")
+        out.write("      <data_quality>Correct</data_quality>\n")
+        if (id % 4 == 0)
+          out.write(s"""      <videos><video src="https://example.invalid/v$id" duration="${60 + id % 600}" embed="true"><title>Video $id</title><description/></video></videos>\n""")
+        out.write("   </release>\n")
+        i += 1
+      }
+      out.write("</releases>\n")
+    } finally out.close()
+    path
+  }
+
+  /** Parse the dump through the production path; returns
+    * (records, seconds, records/s). */
+  def run(spark: org.apache.spark.sql.SparkSession,
+      n: Int = defaultRecords): (Long, Double, Double) = {
+    val path = ensureDump(n)
+    val t0 = System.nanoTime()
+    val tables = sources.DiscogsXml.readReleases(spark, path)
+    val rows = tables.release.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    (rows, sec, rows / sec)
+  }
+}

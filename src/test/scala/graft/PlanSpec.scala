@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality audit: the physical plans that make these queries
+  * survive a 100 TB scale-up are asserted here so a refactor that
+  * silently loses pushdown / broadcast / top-k pruning fails CI.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q02 point lookup pushes the predicate into the parquet scan") {
+    val p = plan("q02_point_lookup")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)]"))
+  }
+
+  test("q02/q04/q08 scans are column-pruned") {
+    assert(plan("q02_point_lookup").contains(
+      "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string,o_totalprice:double>"))
+    // the fact scan must read exactly the 3 needed lineitem columns
+    assert(plan("q04_dim_join").contains(
+      "ReadSchema: struct<l_suppkey:bigint,l_extendedprice:double,l_discount:double>"))
+    assert(plan("q08_sort_limit").contains(
+      "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_orderdate:timestamp"))
+  }
+
+  test("q04 snowflake joins broadcast every dim (fact side never shuffles)") {
+    val p = plan("q04_dim_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3)
+    assert(!p.contains("SortMergeJoin"))
+    // the only exchanges are the broadcasts + the final tiny aggregate
+    assert(!p.contains("Exchange hashpartitioning(l_"))
+  }
+
+  test("q01 aggregate is partial (map-side) + final, not single-phase") {
+    val p = plan("q01_agg")
+    assert(p.contains("partial_sum"))
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q08 sort+limit plans as TakeOrderedAndProject, never a global sort") {
+    val p = plan("q08_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange rangepartitioning"))
+  }
+
+  test("q03 aggregates the fact side BEFORE the join") {
+    val p = plan("q03_fanout_join")
+    val aggIdx = p.indexOf("partial_sum")
+    val joinIdx = math.max(p.indexOf("SortMergeJoin"), p.indexOf("BroadcastHashJoin"))
+    assert(aggIdx >= 0 && joinIdx >= 0)
+    // partial agg appears deeper in the tree (later in the string) than
+    // the join that consumes it
+    assert(aggIdx > joinIdx)
+  }
+
+  test("no query falls back to a cartesian product") {
+    for (name <- SparkEntry.queries.keys) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name uses CartesianProduct")
+    }
+  }
+
+  test("custom expressions generate code (no CodegenFallback in hot paths)") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback}
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression}
+    import org.apache.spark.sql.types._
+    val arrS = BoundReference(0, ArrayType(StringType), nullable = true)
+    val arrF = BoundReference(0, ArrayType(FloatType), nullable = true)
+    val exprs: Seq[Expression] = Seq(
+      functions.SimHash64(arrS),
+      functions.WordShingles(arrS, 3),
+      functions.MinHashSignature(arrS, 64),
+      functions.MinHashBands(arrS, 16, 4),
+      functions.ArrayJaccard(arrS, arrS),
+      functions.CosineSimilarity(arrF, arrF),
+      functions.DotProduct(arrF, arrF))
+    exprs.foreach { e =>
+      assert(!e.isInstanceOf[CodegenFallback], s"${e.prettyName} is CodegenFallback")
+      val code = e.genCode(new CodegenContext) // throws if codegen is broken
+      assert(code.code.toString.nonEmpty)
+    }
+  }
+
+  test("s01 ANN broadcasts the query side so the corpus is scanned once") {
+    val p = plan("s01_ann_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+}

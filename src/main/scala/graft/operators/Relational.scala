@@ -326,6 +326,30 @@ object Relational {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Exact percentiles per group (Spark `percentile` interpolates
+    * identically to DuckDB `quantile_cont`) plus an approx sketch
+    * variant of the same statistic for the 100 TB path (rows-only
+    * checked — sketches are engine-specific; see q23b).
+    */
+  def q23_percentile: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(round(percentile(col("o_totalprice"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("o_totalprice"), lit(0.9)), 4).as("p90"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Approximate percentiles via the t-digest-style sketch — constant
+    * memory per group, mergeable across partitions (the exact form
+    * materializes per-group value arrays, which at 100 TB is the wrong
+    * default). */
+  def q23b_approx_percentile: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("p50_approx"),
+        percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("p90_approx"))
+      .orderBy(col("o_orderpriority"))
+
   val queries: Map[String, Q] = Map(
     "q01_agg" -> q01_agg,
     "q02_point_lookup" -> q02_point_lookup,
@@ -350,6 +374,8 @@ object Relational {
     "q20_scalar_subquery" -> q20_scalar_subquery,
     "q21_sessionize" -> q21_sessionize,
     "q22_lag_lead" -> q22_lag_lead,
+    "q23_percentile" -> q23_percentile,
+    "q23b_approx_percentile" -> q23b_approx_percentile,
   )
 
   /** DuckDB oracle SQL. Column names/aliases match the Spark plans
@@ -471,6 +497,12 @@ object Relational {
         |  CAST(list_contains(regexp_split_to_array(text, '\s+'), 'the') AS INT)
         |    AS has_the
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q23_percentile" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q21_sessionize" ->
       s"""WITH marked AS (
          |  SELECT user_id, event_id, ts, value,

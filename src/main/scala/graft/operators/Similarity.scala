@@ -85,9 +85,48 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"), col("vec_id"))
   }
 
+  /** IVF-style ANN: partition the corpus into cells around fixed
+    * centroids (here: the 16 lowest-id vectors as a deterministic
+    * stand-in for a k-means "training" step), assign each vector to
+    * its nearest centroid map-side (centroids broadcast), and have each
+    * query probe only its `nprobe` nearest cells.
+    *
+    * Scale shape: the cell assignment is a map-only pass; the corpus
+    * can be written partitioned by cell so a query touches nprobe/
+    * ncells of the data — the standard billion-vector layout.
+    * No oracle (cell layout is engine-specific); rows-only check.
+    */
+  def s03_ann_ivf: Q = (s, d) => {
+    val nCells = 16; val nProbe = 4
+    val e = Tables.embeddings(s, d)
+    val centroids = e.orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+    def nearestCells(emb: Column, n: Int): DataFrame => DataFrame = df => {
+      val w = Window.partitionBy(col("__vid")).orderBy(col("__cos").desc, col("cell"))
+      df.join(broadcast(centroids), lit(true))
+        .withColumn("__cos", cosine_similarity(emb, col("c_emb")))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= n)
+        .drop("c_emb", "__cos", "__rk")
+    }
+    val corpus = nearestCells(col("embedding"), 1)(
+      e.withColumn("__vid", col("vec_id"))).drop("__vid")
+    val q = nearestCells(col("q_emb"), nProbe)(
+      queriesOf(e).withColumn("__vid", col("q_id"))).drop("__vid")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    corpus.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(cosine_similarity(col("q_emb"), col("embedding")), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= K)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rk"))
+      .orderBy(col("q_id"), col("rk"), col("vec_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "s01_ann_bruteforce" -> s01_ann_bruteforce,
     "s02_ann_lsh" -> s02_ann_lsh,
+    "s03_ann_ivf" -> s03_ann_ivf,
   )
 
   val oracles: Map[String, String] = Map(

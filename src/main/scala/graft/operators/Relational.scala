@@ -350,6 +350,31 @@ object Relational {
         percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("p90_approx"))
       .orderBy(col("o_orderpriority"))
 
+  /** As-of join: for each order, the customer's latest event at or
+    * before the order date (linear union+window composition — see
+    * [[AsOfJoin]]). Timestamps compared as epoch nanos on both engines
+    * so µs-truncation can't flip edge matches. Oracle: DuckDB's native
+    * ASOF LEFT JOIN.
+    */
+  def q24_asof_join: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val e = Tables.events(s, d)
+    val joined = AsOfJoin.asofJoin(
+      o, e,
+      leftKey = col("o_custkey"), rightKey = col("user_id"),
+      // NTZ → TIMESTAMP is wall-clock-identity under the UTC session
+      // zone, matching DuckDB's epoch_ns on the naive timestamp
+      leftTs = unix_micros(col("o_orderdate").cast(TimestampType)) * 1000L,
+      rightTs = col("ts_ns"),
+      payload = Seq(col("event_id"), col("event_type")),
+      tieBreak = col("event_id"))
+    joined.select(col("o_orderkey"),
+      col("asof.event_id").as("last_event_id"),
+      col("asof.event_type").as("last_event_type"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_agg" -> q01_agg,
     "q02_point_lookup" -> q02_point_lookup,
@@ -376,6 +401,7 @@ object Relational {
     "q22_lag_lead" -> q22_lag_lead,
     "q23_percentile" -> q23_percentile,
     "q23b_approx_percentile" -> q23b_approx_percentile,
+    "q24_asof_join" -> q24_asof_join,
   )
 
   /** DuckDB oracle SQL. Column names/aliases match the Spark plans
@@ -497,6 +523,18 @@ object Relational {
         |  CAST(list_contains(regexp_split_to_array(text, '\s+'), 'the') AS INT)
         |    AS has_the
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q24_asof_join" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, epoch_ns(o_orderdate) AS ots
+        |  FROM orders
+        |), e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS ets
+        |  FROM events)
+        |SELECT o.o_orderkey, e.event_id AS last_event_id,
+        |  e.event_type AS last_event_type
+        |FROM o ASOF LEFT JOIN e
+        |  ON o.o_custkey = e.user_id AND o.ots >= e.ets
+        |ORDER BY o_orderkey""".stripMargin,
     "q23_percentile" ->
       """SELECT o_orderpriority,
         |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,

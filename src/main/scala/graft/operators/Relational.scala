@@ -195,8 +195,11 @@ object Relational {
       // |len(a)-len(b)| ≤ dist, so this cheap filter is semantics-
       // preserving and spares most pairs the O(len²) edit distance
       .filter(abs(length(col("name_a")) - length(col("name_b"))) <= 2)
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= 2)
+      // bounded levenshtein early-exits once distance exceeds the
+      // threshold — exact for distances within it, so the ≤ 2 filter
+      // is unchanged semantically but O(len·k) instead of O(len²)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 3))
+      .filter(col("dist").between(0, 2))
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n_near_dup_pairs"))
       .orderBy(col("p_brand"))
@@ -375,6 +378,19 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** JSON functions over the events.props payload: schema-on-read via
+    * from_json (declared schema → codegen'd parse, no UDF), grouped
+    * aggregate over the extracted field. */
+  def q25_json: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("p", from_json(col("props"), StructType(Seq(
+        StructField("k", IntegerType)))))
+      .groupBy(col("event_type"))
+      .agg(sum(col("p.k").cast(LongType)).as("sum_k"),
+        count(col("p.k")).as("n_with_k"),
+        max(col("p.k")).as("max_k"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, Q] = Map(
     "q01_agg" -> q01_agg,
     "q02_point_lookup" -> q02_point_lookup,
@@ -402,6 +418,7 @@ object Relational {
     "q23_percentile" -> q23_percentile,
     "q23b_approx_percentile" -> q23b_approx_percentile,
     "q24_asof_join" -> q24_asof_join,
+    "q25_json" -> q25_json,
   )
 
   /** DuckDB oracle SQL. Column names/aliases match the Spark plans
@@ -523,6 +540,12 @@ object Relational {
         |  CAST(list_contains(regexp_split_to_array(text, '\s+'), 'the') AS INT)
         |    AS has_the
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q25_json" ->
+      """SELECT event_type,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  COUNT(json_extract_string(props, '$.k')) AS n_with_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q24_asof_join" ->
       """WITH o AS (
         |  SELECT o_orderkey, o_custkey, epoch_ns(o_orderdate) AS ots

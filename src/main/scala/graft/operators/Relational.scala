@@ -155,6 +155,15 @@ object Relational {
     open.except(fin).orderBy(col("o_custkey"))
   }
 
+  /** §2.3-8b: INTERSECT — customers having both open and finished
+    * orders (completes the union/except/intersect set-op trio). */
+  def q09b_intersect: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val fin = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    open.intersect(fin).orderBy(col("o_custkey"))
+  }
+
   /** §2.3-9: first-wins dedup reproducing reference O12 semantics
     * (HashMap.entry.or_insert, `release.rs:185-187`) globally: for each
     * (user_id, event_type) keep the earliest event. Window + rank is a
@@ -238,6 +247,19 @@ object Relational {
       .rollup(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_customers"))
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  /** Full CUBE over (region, segment): all 4 grouping-set combinations
+    * in one shuffle. */
+  def q15b_cube: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .cube(col("r_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_acctbal"))
+      .orderBy(col("r_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
   }
 
   /** §2.3-3 variant: semi join — customers that have ≥1 order.
@@ -402,6 +424,8 @@ object Relational {
     "q07_topk_window" -> q07_topk_window,
     "q08_sort_limit" -> q08_sort_limit,
     "q09_setop" -> q09_setop,
+    "q09b_intersect" -> q09b_intersect,
+    "q15b_cube" -> q15b_cube,
     "q10_dedup_first_wins" -> q10_dedup_first_wins,
     "q11_text_search" -> q11_text_search,
     "q12_levenshtein" -> q12_levenshtein,
@@ -483,6 +507,20 @@ object Relational {
         | EXCEPT
         | SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F') t
         |ORDER BY o_custkey""".stripMargin,
+    "q09b_intersect" ->
+      """SELECT o_custkey FROM
+        |(SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        | INTERSECT
+        | SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t
+        |ORDER BY o_custkey""".stripMargin,
+    "q15b_cube" ->
+      s"""SELECT r_name, c_mktsegment, COUNT(*) AS n_customers,
+         |  ${DSUM("c_acctbal")} AS sum_acctbal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY CUBE(r_name, c_mktsegment)
+         |ORDER BY r_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin,
     "q10_dedup_first_wins" ->
       """SELECT user_id, event_type, event_id,
         |  CAST(CAST(value AS DECIMAL(18,6)) AS DOUBLE) AS value

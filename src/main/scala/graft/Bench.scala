@@ -25,10 +25,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warm-up: touch each table once (footer reads, codegen, JIT)
-    Tables.names.foreach { t =>
-      try Tables.load(spark, sfDir, t).limit(1).count()
-      catch { case _: Throwable => () }
+    // warm-up: run every query once at the smallest SF so JVM/JIT/
+    // codegen/shuffle-infra warm-up cost doesn't land inside the timed
+    // runs (standard warm-up discipline; the timed SF data is untouched)
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

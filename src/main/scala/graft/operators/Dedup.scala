@@ -106,20 +106,22 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Token-set Jaccard similarity, blocked on `source` (the standard
-    * blocking-key trick — never an unblocked n² at scale). Exact
+  /** Token-set Jaccard similarity, blocked on (source, lang) — the
+    * standard blocking-key trick, never an unblocked n² at scale; a
+    * finer key trades recall for a quadratic-factor cost cut. Exact
     * integer intersection/union counts via an inverted-index join, so
     * the DuckDB oracle matches bit-for-bit (single double division).
     */
   def d04_ngram_jaccard: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val tok = docs
-      .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode(tokens(col("text"))).as("tok"))
       .filter(length(col("tok")) > 0)
       .distinct()
-    val ta = tok.select(col("source"), col("doc_id").as("id_a"), col("tok"))
-    val tb = tok.select(col("source"), col("doc_id").as("id_b"), col("tok"))
-    val inter = ta.join(tb, Seq("source", "tok"))
+    val ta = tok.select(col("source"), col("lang"), col("doc_id").as("id_a"), col("tok"))
+    val tb = tok.select(col("source"), col("lang"), col("doc_id").as("id_b"), col("tok"))
+    val inter = ta.join(tb, Seq("source", "lang", "tok"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
     val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
@@ -169,14 +171,15 @@ object Dedup {
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
     "d04_ngram_jaccard" ->
       """WITH tok AS (
-        |  SELECT DISTINCT doc_id, source,
+        |  SELECT DISTINCT doc_id, source, lang,
         |    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
         |  FROM documents
         |), tok2 AS (SELECT * FROM tok WHERE length(tok) > 0),
         |inter AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
         |  FROM tok2 a JOIN tok2 b
-        |    ON a.source = b.source AND a.tok = b.tok AND a.doc_id < b.doc_id
+        |    ON a.source = b.source AND a.lang = b.lang AND a.tok = b.tok
+        |    AND a.doc_id < b.doc_id
         |  GROUP BY a.doc_id, b.doc_id
         |), sizes AS (
         |  SELECT doc_id, COUNT(*) AS n_tok FROM tok2 GROUP BY doc_id)

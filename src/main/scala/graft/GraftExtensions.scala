@@ -44,6 +44,10 @@ object GraftExtensions {
       es => functions.MinHashBands(es.head, intArg(es, 1, 16), intArg(es, 2, 4))),
     ("array_jaccard", "array_jaccard(a, b) - exact set Jaccard similarity",
       es => functions.ArrayJaccard(es.head, es(1))),
+    ("winnow_fingerprints",
+      "winnow_fingerprints(text[, k, w]) - MOSS winnowing fingerprints",
+      es => functions.WinnowFingerprints(es.head,
+        intArg(es, 1, 8), intArg(es, 2, 4))),
   )
 
   /** Register the same functions on an already-built session (e.g. one

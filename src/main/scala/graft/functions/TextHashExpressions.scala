@@ -139,6 +139,56 @@ object TextHashOps {
     new GenericArrayData(out)
   }
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03, the MOSS algorithm): rolling polynomial hash over char
+    * k-grams, keep the minimum hash of every window of `w` consecutive
+    * k-grams (rightmost min on ties), return the DISTINCT sorted
+    * fingerprint set. Guarantees any shared substring of length
+    * ≥ w + k - 1 yields at least one shared fingerprint.
+    */
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val B = 1000000007L
+    var pow = 1L // B^(k-1)
+    var i = 1
+    while (i < k) { pow *= B; i += 1 }
+    val nGrams = n - k + 1
+    val hashes = new Array[Long](nGrams)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + (bytes(i) & 0xFF); i += 1 }
+    hashes(0) = h
+    i = 1
+    while (i < nGrams) {
+      h = (h - (bytes(i - 1) & 0xFF) * pow) * B + (bytes(i + k - 1) & 0xFF)
+      hashes(i) = h
+      i += 1
+    }
+    val picked = new java.util.TreeSet[java.lang.Long]()
+    if (nGrams <= w) {
+      var min = hashes(0)
+      i = 1
+      while (i < nGrams) { if (hashes(i) <= min) min = hashes(i); i += 1 }
+      picked.add(min)
+    } else {
+      var start = 0
+      while (start + w <= nGrams) {
+        var min = hashes(start)
+        var j = start + 1
+        while (j < start + w) { if (hashes(j) <= min) min = hashes(j); j += 1 }
+        picked.add(min)
+        start += 1
+      }
+    }
+    val out = new Array[Long](picked.size)
+    val it = picked.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Exact Jaccard of the two DISTINCT sets (inputs need not be
     * deduplicated). */
   def arrayJaccard(a: ArrayData, b: ArrayData): Double = {
@@ -239,6 +289,26 @@ case class MinHashBands(child: Expression, bands: Int, rowsPerBand: Int)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** winnow_fingerprints(text STRING, k, w) → ARRAY<BIGINT>: distinct
+  * sorted winnowing fingerprints (rolling-hash k-grams, per-window
+  * minima — the MOSS document-fingerprint scheme). */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 1 && w >= 1)
+  override def prettyName: String = "winnow_fingerprints"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprints requires STRING, got ${other.catalogString}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    TextHashOps.winnow(v.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashOps.winnow($c, $k, $w)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** array_jaccard(a ARRAY<STRING>, b ARRAY<STRING>) → DOUBLE: exact
   * Jaccard similarity of the two DISTINCT sets. Used to verify LSH
   * candidate pairs — runs once per candidate, not per token pair.
@@ -276,6 +346,8 @@ object TextHashFunctions {
     column(MinHashBands(expression(shingles), bands, rowsPerBand))
   def array_jaccard(a: Column, b: Column): Column =
     column(ArrayJaccard(expression(a), expression(b)))
+  def winnow_fingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    column(WinnowFingerprints(expression(text), k, w))
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -417,6 +417,31 @@ object Relational {
         max(col("p.k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  /** Bounded range join (see [[RangeJoin]]): events by the same
+    * customer in the 24 h before each order, as an equi-join on
+    * (key, time-bucket) + exact filter instead of an inequality join.
+    * Left-outer via re-join of the aggregated inner result.
+    */
+  def q27_range_join: Q = (s, d) => {
+    val dayNs = 86400L * 1000000000L
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (unix_micros(col("o_orderdate").cast(TimestampType)) * 1000L).as("ots"))
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"), col("ts_ns"))
+    val matched = RangeJoin.boundedRangeJoin(
+      o, e,
+      leftKey = col("o_custkey"), rightKey = col("user_id"),
+      leftTs = col("ots"), rightTs = col("ts_ns"), width = dayNs)
+      .groupBy(col("o_orderkey").as("mk"))
+      .agg(count(lit(1)).as("n_ev"), dsum(col("value")).as("sum_ev"))
+    o.join(matched, o("o_orderkey") === matched("mk"), "left_outer")
+      .select(col("o_orderkey"),
+        coalesce(col("n_ev"), lit(0L)).as("n_events_24h"),
+        coalesce(col("sum_ev"), lit(0.0)).as("sum_value_24h"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_agg" -> q01_agg,
     "q02_point_lookup" -> q02_point_lookup,
@@ -447,6 +472,7 @@ object Relational {
     "q23b_approx_percentile" -> q23b_approx_percentile,
     "q24_asof_join" -> q24_asof_join,
     "q25_json" -> q25_json,
+    "q27_range_join" -> q27_range_join,
   )
 
   /** DuckDB oracle SQL. Column names/aliases match the Spark plans
@@ -583,6 +609,23 @@ object Relational {
         |  CAST(list_contains(regexp_split_to_array(text, '\s+'), 'the') AS INT)
         |    AS has_the
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q27_range_join" ->
+      s"""WITH o AS (
+         |  SELECT o_orderkey, o_custkey, epoch_ns(o_orderdate) AS ots
+         |  FROM orders
+         |), m AS (
+         |  SELECT o.o_orderkey AS mk, COUNT(*) AS n_ev,
+         |    ${DSUM("e.value")} AS sum_ev
+         |  FROM o JOIN events e
+         |    ON o.o_custkey = e.user_id
+         |    AND epoch_ns(e.ts) >= o.ots - 86400000000000
+         |    AND epoch_ns(e.ts) < o.ots
+         |  GROUP BY o.o_orderkey)
+         |SELECT o.o_orderkey,
+         |  COALESCE(m.n_ev, 0) AS n_events_24h,
+         |  COALESCE(m.sum_ev, 0.0) AS sum_value_24h
+         |FROM o LEFT JOIN m ON o.o_orderkey = m.mk
+         |ORDER BY o_orderkey""".stripMargin,
     "q25_json" ->
       """SELECT event_type,
         |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,

@@ -103,11 +103,38 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
       .orderBy(col("fingerprint"))
 
+  /** Rolling-hash document fingerprinting (winnowing / MOSS): per-doc
+    * fingerprint sets from the native expression, then an inverted
+    * index over fingerprints with high-document-frequency fingerprints
+    * dropped (the "common substring" stoplist — without it, boilerplate
+    * floods the index), and pairs ranked by shared-fingerprint count.
+    * No oracle (hash-scheme specific); rows-only check.
+    */
+  def t05_winnow_neardup: Q = (s, d) => {
+    import graft.functions.TextHashFunctions.winnow_fingerprints
+    val docs = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(winnow_fingerprints(col("text"), 8, 4)).as("fp"))
+    val maxDf = 20
+    val rare = docs.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"), collect_list(col("doc_id")).as("ids"))
+      .filter(col("df").between(2, maxDf))
+    val pairs = rare
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= 5)
+    pairs.orderBy(col("id_a"), col("id_b"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_lang_id" -> t01_lang_id,
     "t02_quality" -> t02_quality,
     "t03_tokens" -> t03_tokens,
     "t04_fingerprint" -> t04_fingerprint,
+    "t05_winnow_neardup" -> t05_winnow_neardup,
   )
 
   val oracles: Map[String, String] = Map(

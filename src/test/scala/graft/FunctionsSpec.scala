@@ -116,6 +116,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ham(fp(base), fp(near)) < ham(fp(base), fp(far)))
   }
 
+  test("winnow_fingerprints: shared-substring guarantee and edge cases") {
+    import graft.functions.TextHashFunctions.winnow_fingerprints
+    def fps(t: String): Set[Long] =
+      Seq(Tuple1(t)).toDF("t").select(winnow_fingerprints($"t", 8, 4))
+        .first().getAs[scala.collection.Seq[Long]](0).toSet
+    val shared = "a long shared passage of text that both documents contain"
+    val a = fps(s"prefix one $shared suffix alpha")
+    val b = fps(s"different beginning $shared and another ending")
+    // winnowing guarantees a common fingerprint for any shared
+    // substring of length >= w + k - 1 = 11
+    assert(a.intersect(b).nonEmpty)
+    assert(fps("short") == Set.empty[Long] || fps("short").size <= 1)
+    assert(fps("") == Set.empty[Long])
+    assert(fps("abcdefghij") == fps("abcdefghij")) // deterministic
+    assert(fps("abcdefghij") != fps("abcdefghiX"))
+  }
+
   test("GraftExtensions function builders work via SQL") {
     val s2 = spark.newSession()
     GraftExtensions.registerAll(s2)

@@ -34,6 +34,8 @@ object GraftExtensions {
       es => functions.CosineSimilarity(es.head, es(1))),
     ("dot_product", "dot_product(a, b) - dot product of two arrays",
       es => functions.DotProduct(es.head, es(1))),
+    ("l2_normalize", "l2_normalize(v) - v / ||v||",
+      es => functions.L2Normalize(es.head)),
     ("simhash64", "simhash64(tokens) - 64-bit simhash fingerprint",
       es => functions.SimHash64(es.head)),
     ("word_shingles", "word_shingles(tokens[, n]) - n-token shingles",

@@ -86,27 +86,33 @@ object Sinks {
       if (rows.nonEmpty) {
         val conn = DriverManager.getConnection(cfg.url, cfg.user, cfg.password)
         try {
-          conn.setAutoCommit(false)
-          val placeholders = colNames.map(_ => "?").mkString(", ")
-          val sql = s"""INSERT INTO $table (${colNames.mkString(", ")})
-                       |VALUES ($placeholders)""".stripMargin
-          val ps = conn.prepareStatement(sql)
-          var n = 0
-          rows.foreach { row =>
-            var i = 0
-            while (i < colNames.length) {
-              row.get(i) match {
-                case seq: scala.collection.Seq[_] =>
-                  ps.setArray(i + 1, conn.createArrayOf("text",
-                    seq.map(_.asInstanceOf[AnyRef]).toArray))
-                case v => ps.setObject(i + 1, v)
+          if (PgCopy.available()) {
+            // reference O14 fast path: stream the partition through
+            // COPY ... FROM STDIN (CSV) — no per-row round trips
+            PgCopy.copyIn(conn, table, colNames, rows): Unit
+          } else {
+            conn.setAutoCommit(false)
+            val placeholders = colNames.map(_ => "?").mkString(", ")
+            val sql = s"""INSERT INTO $table (${colNames.mkString(", ")})
+                         |VALUES ($placeholders)""".stripMargin
+            val ps = conn.prepareStatement(sql)
+            var n = 0
+            rows.foreach { row =>
+              var i = 0
+              while (i < colNames.length) {
+                row.get(i) match {
+                  case seq: scala.collection.Seq[_] =>
+                    ps.setArray(i + 1, conn.createArrayOf("text",
+                      seq.map(_.asInstanceOf[AnyRef]).toArray))
+                  case v => ps.setObject(i + 1, v)
+                }
+                i += 1
               }
-              i += 1
+              ps.addBatch(); n += 1
+              if (n % cfg.batchSize == 0) { ps.executeBatch(); conn.commit() }
             }
-            ps.addBatch(); n += 1
-            if (n % cfg.batchSize == 0) { ps.executeBatch(); conn.commit() }
+            ps.executeBatch(); conn.commit()
           }
-          ps.executeBatch(); conn.commit()
         } finally conn.close()
       }
     }

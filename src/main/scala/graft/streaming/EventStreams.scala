@@ -47,6 +47,16 @@ object EventStreams {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming dedup — the incremental form of d01/q10: drop repeat
+    * (user_id, event_type) arrivals, with the dedup state bounded by
+    * the watermark (keys older than the horizon are evicted — the only
+    * way streaming dedup survives unbounded input).
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+
   final case class Event(event_id: Long, ts_ns: Long, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(start_ns: Long, last_ns: Long, n: Long)

@@ -116,6 +116,21 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ham(fp(base), fp(near)) < ham(fp(base), fp(far)))
   }
 
+  test("l2_normalize: unit norm, zero-vector passthrough, cosine==dot after") {
+    import graft.functions.VectorFunctions.l2_normalize
+    val df = Seq((Array(3f, 4f), Array(0f, 0f))).toDF("v", "z")
+    val r = df.select(l2_normalize($"v"), l2_normalize($"z")).first()
+    val v = r.getAs[scala.collection.Seq[Double]](0)
+    assert(math.abs(v(0) - 0.6) < 1e-12 && math.abs(v(1) - 0.8) < 1e-12)
+    assert(r.getAs[scala.collection.Seq[Double]](1).toSeq == Seq(0.0, 0.0))
+    val both = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
+      .select(
+        cosine_similarity($"a", $"b").as("cos"),
+        dot_product(l2_normalize($"a"), l2_normalize($"b")).as("dotn"))
+      .first()
+    assert(math.abs(both.getDouble(0) - both.getDouble(1)) < 1e-12)
+  }
+
   test("winnow_fingerprints: shared-substring guarantee and edge cases") {
     import graft.functions.TextHashFunctions.winnow_fingerprints
     def fps(t: String): Set[Long] =

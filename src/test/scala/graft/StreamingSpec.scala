@@ -40,6 +40,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps one row per (user_id, event_type)") {
+    val dir = stageDir()
+    val q = EventStreams.dedupStream(EventStreams.readEventStream(spark, dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_out")
+        .select(col("user_id"), col("event_type")).collect()
+      assert(streamed.length == streamed.distinct.length)
+      // same key set as the batch first-wins dedup (q10)
+      val batchKeys = operators.Relational.q10_dedup_first_wins(spark, sfDir)
+        .select(col("user_id"), col("event_type")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(streamed.map(r => (r.getLong(0), r.getString(1))).toSet == batchKeys)
+    } finally q.stop()
+  }
+
   test("streaming sessionization emits exactly the closed batch sessions") {
     import spark.implicits._
     val dir = stageDir()

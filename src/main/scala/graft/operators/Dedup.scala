@@ -156,8 +156,33 @@ object Dedup {
       .orderBy(col("vec_id"))
   }
 
+  /** Corpus-level (group-vs-group) similarity via the custom
+    * [[graft.functions.MinHashUnionAgg]] typed aggregator: one map-side
+    * pass computes a union MinHash signature per source, then the tiny
+    * source×source matrix estimates Jaccard from slot agreement — no
+    * document pairs ever materialize. The 100 TB shape for "which data
+    * sources overlap?". Rows-only (sketch-based).
+    */
+  def d06_source_similarity: Q = (s, d) => {
+    import graft.functions.TextHashFunctions.minhash_signature
+    import graft.functions.MinHashUnionAgg.{minhash_union, estimated_jaccard}
+    val sigs = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("source"),
+        minhash_signature(shingles(tokens(col("text"))), 64).as("sig"))
+      .groupBy(col("source"))
+      .agg(minhash_union(col("sig"), 64).as("usig"))
+    val a = sigs.select(col("source").as("src_a"), col("usig").as("sig_a"))
+    val b = sigs.select(col("source").as("src_b"), col("usig").as("sig_b"))
+    a.join(b, col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        round(estimated_jaccard(col("sig_a"), col("sig_b")), 4).as("est_jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   val queries: Map[String, Q] = Map(
     "d01_dedup_exact" -> d01_dedup_exact,
+    "d06_source_similarity" -> d06_source_similarity,
     "d02_minhash_lsh" -> d02_minhash_lsh,
     "d03_simhash" -> d03_simhash,
     "d04_ngram_jaccard" -> d04_ngram_jaccard,

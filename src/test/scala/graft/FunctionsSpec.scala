@@ -148,6 +148,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(fps("abcdefghij") != fps("abcdefghiX"))
   }
 
+  test("MinHashUnionAgg: union signature == signature of the union") {
+    import graft.functions.TextHashFunctions.minhash_signature
+    import graft.functions.MinHashUnionAgg.minhash_union
+    val parts = Seq(
+      (1, Seq("a", "b", "c")),
+      (1, Seq("c", "d")),
+      (1, Seq("e"))).toDF("g", "toks")
+    val viaAgg = parts
+      .select($"g", minhash_signature($"toks", 64).as("sig"))
+      .groupBy($"g").agg(minhash_union($"sig", 64).as("usig"))
+      .first().getAs[scala.collection.Seq[Long]]("usig").toSeq
+    val direct = Seq(Tuple1(Seq("a", "b", "c", "d", "e"))).toDF("toks")
+      .select(minhash_signature($"toks", 64))
+      .first().getAs[scala.collection.Seq[Long]](0).toSeq
+    assert(viaAgg == direct)
+  }
+
   test("GraftExtensions function builders work via SQL") {
     val s2 = spark.newSession()
     GraftExtensions.registerAll(s2)

@@ -26,7 +26,15 @@ object GraftExtensions {
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
 
   private def intArg(es: Seq[Expression], i: Int, default: Int): Int =
-    if (es.length > i) es(i).eval().asInstanceOf[Int] else default
+    if (es.length <= i) default
+    else es(i).eval() match {
+      case n: Int => n
+      case n: Long => n.toInt
+      case n: Short => n.toInt
+      case n: Byte => n.toInt
+      case other => throw new IllegalArgumentException(
+        s"argument ${i + 1} must be an integer literal, got $other")
+    }
 
   val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("cosine_similarity",

@@ -42,8 +42,11 @@ object Tables {
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType =>
+        // integral division — `/` on longs casts to double, whose ulp
+        // at ~1.7e18 ns is 256 ns, enough to flip µs boundaries
         raw.withColumn("ts_ns", col("ts"))
-          .withColumn("ts", timestamp_micros(floor(col("ts_ns") / 1000L).cast(LongType)))
+          .withColumn("ts",
+            timestamp_micros(call_function("div", col("ts_ns"), lit(1000L))))
       case _ =>
         raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
     }

@@ -59,6 +59,7 @@ object Dedup {
     val docs = Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
+      .persist() // referenced 3× (banding + both verify joins)
     val banded = docs
       .select(col("doc_id"),
         explode(array_distinct(minhash_bands(col("sh"), 16, 4))).as("bh"))
@@ -172,6 +173,7 @@ object Dedup {
         minhash_signature(shingles(tokens(col("text"))), 64).as("sig"))
       .groupBy(col("source"))
       .agg(minhash_union(col("sig"), 64).as("usig"))
+      .persist() // both sides of the source×source matrix
     val a = sigs.select(col("source").as("src_a"), col("usig").as("sig_a"))
     val b = sigs.select(col("source").as("src_b"), col("usig").as("sig_b"))
     a.join(b, col("src_a") < col("src_b"))

@@ -115,18 +115,25 @@ object TextAnalysis {
     val docs = Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(winnow_fingerprints(col("text"), 8, 4)).as("fp"))
+      .persist()
     val maxDf = 20
+    // df-count FIRST (count-only aggregate — no posting-list buffers),
+    // THEN keep postings of surviving fingerprints: a boilerplate
+    // fingerprint shared by millions of docs never materializes a
+    // collect_list buffer on one executor
     val rare = docs.groupBy(col("fp"))
-      .agg(count(lit(1)).as("df"), collect_list(col("doc_id")).as("ids"))
+      .agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, maxDf))
-    val pairs = rare
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .select(col("fp"))
+    val postings = docs.join(rare, Seq("fp"))
+    val a = postings.select(col("fp"), col("doc_id").as("id_a"))
+    val b = postings.select(col("fp"), col("doc_id").as("id_b"))
+    a.join(b, Seq("fp"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= 5)
-    pairs.orderBy(col("id_a"), col("id_b"))
+      .orderBy(col("id_a"), col("id_b"))
   }
 
   val queries: Map[String, Q] = Map(

@@ -92,10 +92,15 @@ object DiscogsXml {
     } finally fin.close()
   }
 
-  /** O4: releases dump → release + release_label + release_video. */
+  /** O4: releases dump → release + release_label + release_video.
+    * The raw parse is first-wins-deduped BEFORE the fan-out extraction
+    * so children of dropped duplicate parents are dropped with them —
+    * child tables always reference exactly the surviving parent rows.
+    */
   def readReleases(spark: SparkSession, path: String): ReleaseTables = {
-    val raw = readXml(spark, path, "release", Discogs.releaseXmlSchema)
-    val release = firstWinsById(
+    val raw = firstWinsById(
+      readXml(spark, path, "release", Discogs.releaseXmlSchema), "_id")
+    val release = (
       raw.select(
         col("_id").as("id"),
         str0(col("_status")).as("status"),
@@ -156,10 +161,12 @@ object DiscogsXml {
   }
 
   /** O7: masters dump → master + master_artist (year/genres/styles/
-    * notes populated — quirk Q9 fixed). */
+    * notes populated — quirk Q9 fixed). Raw parse deduped before the
+    * master_artist fan-out, as in [[readReleases]]. */
   def readMasters(spark: SparkSession, path: String): MasterTables = {
-    val raw = readXml(spark, path, "master", Discogs.masterXmlSchema)
-    val master = firstWinsById(raw.select(
+    val raw = firstWinsById(
+      readXml(spark, path, "master", Discogs.masterXmlSchema), "_id")
+    val master = (raw.select(
       col("_id").as("id"),
       str0(col("title")).as("title"),
       int0(col("main_release")).as("release_id"),

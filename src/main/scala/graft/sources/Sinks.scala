@@ -131,9 +131,14 @@ object Sinks {
   def createIndexes(cfg: JdbcConfig, tables: Iterable[String]): Unit =
     withConnection(cfg) { conn =>
       tables.foreach { t =>
-        indexKeys.getOrElse(t, Nil).zipWithIndex.foreach { case (k, i) =>
+        val keys = indexKeys.getOrElse(t, Nil)
+        if (keys.nonEmpty) {
+          // one composite index over the declared key (a multi-column
+          // key like master_artist's (master_id, artist_id) wants one
+          // covering btree, not independent single-column indexes)
           conn.createStatement().execute(
-            s"CREATE INDEX IF NOT EXISTS ${t}_${k}_idx ON $t ($k)")
+            s"""CREATE INDEX IF NOT EXISTS ${t}_${keys.mkString("_")}_idx
+               |ON $t (${keys.mkString(", ")})""".stripMargin)
         }
       }
     }

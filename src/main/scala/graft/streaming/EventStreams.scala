@@ -33,7 +33,9 @@ object EventStreams {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream.schema(eventSchema).parquet(dir)
       .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", timestamp_micros(floor(col("ts_ns") / 1000L).cast(LongType)))
+      // integral div: double division loses µs precision at ns epochs
+      .withColumn("ts",
+        timestamp_micros(call_function("div", col("ts_ns"), lit(1000L))))
   }
 
   /** Watermarked tumbling-window aggregate — the streaming form of
@@ -48,14 +50,15 @@ object EventStreams {
         col("n_events"), col("sum_value"))
 
   /** Streaming dedup — the incremental form of d01/q10: drop repeat
-    * (user_id, event_type) arrivals, with the dedup state bounded by
-    * the watermark (keys older than the horizon are evicted — the only
-    * way streaming dedup survives unbounded input).
+    * (user_id, event_type) arrivals. dropDuplicatesWithinWatermark is
+    * the variant whose state IS evicted at the watermark horizon —
+    * plain dropDuplicates without the event-time column in its keys
+    * keeps state forever and OOMs on unbounded input.
     */
   def dedupStream(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("user_id", "event_type")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
 
   final case class Event(event_id: Long, ts_ns: Long, user_id: Long,
       event_type: String, value: Double)

@@ -115,6 +115,31 @@ class DiscogsXmlSpec extends AnyFunSuite {
     assert(deduped.count() == once.count())
   }
 
+  test("children of dropped duplicate parents are dropped (first-wins)") {
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<releases>
+        |  <release id="1" status="Accepted">
+        |    <title>First</title>
+        |    <labels><label name="KeepMe" catno="A1" id="10"/></labels>
+        |  </release>
+        |  <release id="1" status="Accepted">
+        |    <title>Duplicate</title>
+        |    <labels><label name="DropMe" catno="B1" id="20"/></labels>
+        |    <videos><video src="http://x" duration="5" embed="true"><title>v</title></video></videos>
+        |  </release>
+        |</releases>
+        |""".stripMargin
+    val f = java.nio.file.Files.createTempFile("dup-releases", ".xml")
+    java.nio.file.Files.writeString(f, xml)
+    val t = DiscogsXml.readReleases(spark, f.toString)
+    assert(t.release.count() == 1)
+    assert(t.release.first().getString(2) == "First")
+    val labels = t.releaseLabel.collect().map(_.getString(1))
+    assert(labels.toSeq == Seq("KeepMe")) // duplicate parent's child dropped
+    assert(t.releaseVideo.count() == 0) // video belonged to the dropped copy
+  }
+
   test("loadAll dispatches all four entities") {
     val all = DiscogsXml.loadAll(spark, Seq(
       res("releases.xml.gz"), res("artists.xml.gz"),

@@ -442,6 +442,41 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Pivot: order counts + exact sums per year × status, statuses as
+    * columns. The value list is explicit so the output schema is fixed
+    * without a discovery pass (at scale, never let pivot infer its
+    * columns from a distinct scan). */
+  def q28_pivot: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("o_year"))
+
+  /** Fixed-width histogram of order totals (12 × 50k buckets).
+    * floor(x / width) on identical doubles is bit-identical across
+    * engines — no data-dependent bounds pass. */
+  def q29_histogram: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(floor(col("o_totalprice") / 50000.0).cast(IntegerType).as("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("bucket"))
+
+  /** Deterministic train/valid/test split by key mod — the
+    * reproducible, engine-portable split a training pipeline needs
+    * (no RNG state, stable under re-runs and repartitioning). */
+  def q30_train_test_split: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("split",
+        when(col("doc_id") % 10 < 8, "train")
+          .when(col("doc_id") % 10 === 8, "valid")
+          .otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), dsum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("split"), col("lang"))
+
   val queries: Map[String, Q] = Map(
     "q01_agg" -> q01_agg,
     "q02_point_lookup" -> q02_point_lookup,
@@ -473,6 +508,9 @@ object Relational {
     "q24_asof_join" -> q24_asof_join,
     "q25_json" -> q25_json,
     "q27_range_join" -> q27_range_join,
+    "q28_pivot" -> q28_pivot,
+    "q29_histogram" -> q29_histogram,
+    "q30_train_test_split" -> q30_train_test_split,
   )
 
   /** DuckDB oracle SQL. Column names/aliases match the Spark plans
@@ -609,6 +647,21 @@ object Relational {
         |  CAST(list_contains(regexp_split_to_array(text, '\s+'), 'the') AS INT)
         |    AS has_the
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q28_pivot" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+        |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+        |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+        |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+        |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin,
+    "q29_histogram" ->
+      s"""SELECT CAST(floor(o_totalprice / 50000.0) AS INT) AS bucket,
+         |  COUNT(*) AS n_orders, ${DSUM("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q30_train_test_split" ->
+      s"""SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
+         |    WHEN doc_id % 10 = 8 THEN 'valid' ELSE 'test' END AS split,
+         |  lang, COUNT(*) AS n_docs, ${DSUM("n_chars")} AS sum_chars
+         |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
     "q27_range_join" ->
       s"""WITH o AS (
          |  SELECT o_orderkey, o_custkey, epoch_ns(o_orderdate) AS ots

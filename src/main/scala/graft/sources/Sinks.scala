@@ -56,6 +56,18 @@ object Sinks {
     clustered.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$table")
   }
 
+  /** Hive-style partitioned parquet layout: one directory per value of
+    * the partition column(s). Queries filtering on those columns prune
+    * whole directories at planning time (`PartitionFilters` in the
+    * scan) — the coarse-grained skip that makes time-scoped queries on
+    * a 100 TB event table read only their slice.
+    */
+  def writePartitioned(df: DataFrame, outDir: String, table: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(s"$outDir/$table")
+
   /** Bucketed catalog table: pre-shuffles once at write time so every
     * later equi-join/aggregation on `keys` is exchange-free (both
     * sides scan matching buckets). The write-time analogue of the

@@ -1,0 +1,34 @@
+package graft
+
+import graft.sources.Sinks
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partition pruning: a date-partitioned layout must turn an equality
+  * filter on the partition column into directory-level pruning
+  * (PartitionFilters), reading only the matching slice.
+  */
+class PartitionPruningSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  test("date-partitioned events scan prunes to one partition") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("event_date", to_date(col("ts")))
+    Sinks.writePartitioned(events, dir, "events", Seq("event_date"))
+
+    val someDay = events.select(min(to_date(col("ts")))).first().getDate(0)
+    val q = spark.read.parquet(s"$dir/events")
+      .filter(col("event_date") === lit(someDay))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+    assert(plan.contains("event_date"), plan)
+    // pruned scan reads exactly that day's rows
+    val expected = events.filter(to_date(col("ts")) === lit(someDay)).count()
+    assert(q.count() == expected && expected > 0)
+    // and the partition filter appears in the scan, not as a post-filter
+    assert(plan.contains(s"PartitionFilters: [isnotnull(event_date"),
+      s"partition filter not pushed:\n$plan")
+  }
+}

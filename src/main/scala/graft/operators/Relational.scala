@@ -477,6 +477,23 @@ object Relational {
       .agg(count(lit(1)).as("n_docs"), dsum(col("n_chars")).as("sum_chars"))
       .orderBy(col("split"), col("lang"))
 
+  /** Array aggregation: distinct sorted event types per user
+    * (collect_set + array_sort = deterministic array column; never
+    * collect unsorted lists when an oracle or downstream dedup needs
+    * stable values). */
+  def q31_array_agg: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_set(col("event_type"))).as("types_arr"),
+        count(lit(1)).as("n_events"))
+      // emit the array as a joined string: hash-comparable by any
+      // oracle harness regardless of its list handling
+      .select(col("user_id"),
+        array_join(col("types_arr"), ",").as("event_types"),
+        col("n_events"),
+        size(col("types_arr")).as("n_types"))
+      .orderBy(col("user_id"))
+
   val queries: Map[String, Q] = Map(
     "q01_agg" -> q01_agg,
     "q02_point_lookup" -> q02_point_lookup,
@@ -511,6 +528,7 @@ object Relational {
     "q28_pivot" -> q28_pivot,
     "q29_histogram" -> q29_histogram,
     "q30_train_test_split" -> q30_train_test_split,
+    "q31_array_agg" -> q31_array_agg,
   )
 
   /** DuckDB oracle SQL. Column names/aliases match the Spark plans
@@ -647,6 +665,13 @@ object Relational {
         |  CAST(list_contains(regexp_split_to_array(text, '\s+'), 'the') AS INT)
         |    AS has_the
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q31_array_agg" ->
+      """SELECT user_id,
+        |  array_to_string(list_sort(list(DISTINCT event_type)), ',')
+        |    AS event_types,
+        |  COUNT(*) AS n_events,
+        |  CAST(len(list_sort(list(DISTINCT event_type))) AS INT) AS n_types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q28_pivot" ->
       """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
         |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",

@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.schemas.Discogs
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StringType}
@@ -184,6 +184,30 @@ object DiscogsXml {
         str0(col("a.anv")).as("anv"),
         str0(col("a.role")).as("role"))
     MasterTables(master, masterArtist)
+  }
+
+  /** Typed Dataset accessors — compile-time field checks for callers
+    * that work row-wise (Encoders derive from the case classes in
+    * [[graft.schemas.Discogs]]; the DataFrame plans are unchanged).
+    */
+  def readArtistsTyped(spark: SparkSession, path: String): Dataset[Discogs.Artist] = {
+    import spark.implicits._
+    readArtists(spark, path).as[Discogs.Artist]
+  }
+
+  def readLabelsTyped(spark: SparkSession, path: String): Dataset[Discogs.Label] = {
+    import spark.implicits._
+    readLabels(spark, path).as[Discogs.Label]
+  }
+
+  def readReleasesTyped(spark: SparkSession, path: String): Dataset[Discogs.Release] = {
+    import spark.implicits._
+    readReleases(spark, path).release.as[Discogs.Release]
+  }
+
+  def readMastersTyped(spark: SparkSession, path: String): Dataset[Discogs.Master] = {
+    import spark.implicits._
+    readMasters(spark, path).master.as[Discogs.Master]
   }
 
   /** O2+O20: dispatch-and-load a set of dump files (the reference's

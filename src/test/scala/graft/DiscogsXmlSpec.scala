@@ -150,6 +150,17 @@ class DiscogsXmlSpec extends AnyFunSuite {
     assert(all("artist").count() == 4)
   }
 
+  test("typed Dataset accessors round-trip through case-class encoders") {
+    val artists = DiscogsXml.readArtistsTyped(spark, res("artists.xml.gz"))
+      .collect().map(a => a.id -> a).toMap
+    assert(artists(1).name == "The Persuader")
+    assert(artists(1).aliases.length == 7)
+    assert(artists(2).members == Seq("Alexi Delano", "Cari Lekebusch"))
+    val masters = DiscogsXml.readMastersTyped(spark, res("masters.xml.gz"))
+      .filter(_.year > 2000).collect()
+    assert(masters.map(_.id).sorted.toSeq == Seq(113, 115))
+  }
+
   test("output schemas match the declared FIXTURES §2 schemas") {
     val t = DiscogsXml.readReleases(spark, res("releases.xml.gz"))
     assert(t.release.schema.fields.map(f => (f.name, f.dataType)).toSeq ==

@@ -22,6 +22,12 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    # list/ndarray cells are unhashable for sort_values — tuple-ize
+    for c in df.columns:
+        if df[c].map(lambda v: isinstance(v, (list, tuple)) or
+                     hasattr(v, "__array__") and not isinstance(v, str)).any():
+            df[c] = df[c].map(
+                lambda v: tuple(v) if v is not None and not isinstance(v, (str, float, int)) else v)
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 

@@ -127,6 +127,28 @@ object DiscogsQueries {
       .select(col("id_a"), col("name_a"), col("id_b"), col("name_b"), col("dist"))
   }
 
+  /** Genre co-occurrence: pairs of genres tagged on the same release,
+    * with counts — double explode of the array column, pair order
+    * normalized (a < b) so each unordered pair counts once. */
+  def genreCooccurrence(release: DataFrame): DataFrame =
+    release
+      .select(col("id"), explode(col("genres")).as("g_a"), col("genres"))
+      .select(col("id"), col("g_a"), explode(col("genres")).as("g_b"))
+      .filter(col("g_a") < col("g_b"))
+      .groupBy(col("g_a"), col("g_b"))
+      .agg(count(lit(1)).as("n_releases"))
+      .orderBy(col("n_releases").desc, col("g_a"), col("g_b"))
+
+  /** Per-label catalog stats over the fan-out table: releases carried,
+    * distinct catalog numbers, approximate distinct releases (HLL). */
+  def labelCatalogStats(releaseLabel: DataFrame): DataFrame =
+    releaseLabel
+      .groupBy(col("label_id"), col("label"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("release_id")).as("n_releases"),
+        countDistinct(col("catno")).as("n_catnos"))
+      .orderBy(col("n_releases").desc, col("label_id"))
+
   /** Additive derived column for the Discogs partial-date text
     * (SURVEY §1.3: '2000', '1999-03', '1999-03-05' are all valid);
     * raw `released` is preserved (parity), `released_date` is the

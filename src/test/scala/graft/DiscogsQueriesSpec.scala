@@ -100,6 +100,30 @@ class DiscogsQueriesSpec extends AnyFunSuite {
     assert(pairs.length == 1 && pairs.head.getAs[Int]("dist") == 1)
   }
 
+  test("genre co-occurrence counts unordered pairs once") {
+    import spark.implicits._
+    val rel = Seq(
+      (1, Seq("Electronic", "House")),
+      (2, Seq("Electronic", "House", "Ambient")),
+      (3, Seq("Rock"))).toDF("id", "genres")
+    val pairs = genreCooccurrence(rel).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(pairs == Set(
+      ("Electronic", "House", 2L),
+      ("Ambient", "Electronic", 1L),
+      ("Ambient", "House", 1L)))
+  }
+
+  test("label catalog stats over the fan-out table") {
+    val stats = labelCatalogStats(t("release_label")).collect()
+    // fixture rows: (8,D4L12004,9), (9,NM008,10), (10,NM003,10), (10,nm 003,10)
+    assert(stats.map(_.getLong(2)).sum == 4) // total rows
+    val l10 = stats.find(_.getInt(0) == 10).get
+    assert(l10.getLong(2) == 3)  // 3 fan-out rows
+    assert(l10.getLong(3) == 2)  // on 2 distinct releases (9, 10)
+    assert(l10.getLong(4) == 3)  // 3 distinct catnos
+  }
+
   test("partial-date parsing: year-only, year-month, full, junk") {
     import spark.implicits._
     val df = Seq("2000", "1999-03", "1999-03-05", "0000", "garbage", "")

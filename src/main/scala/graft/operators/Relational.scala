@@ -494,6 +494,34 @@ object Relational {
         size(col("types_arr")).as("n_types"))
       .orderBy(col("user_id"))
 
+  /** Moment statistics + outlier counts per event type, computed from
+    * decimal-exact Σx and Σx² so mean/variance are deterministic under
+    * any partitioning (the builtin stddev aggregates in doubles whose
+    * value depends on partition order — unusable against an exact
+    * oracle). Outliers = |x - mean| > 2σ, counted in a second pass
+    * against the broadcast per-type moments.
+    */
+  def q33_outliers: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val moments = e.groupBy(col("event_type").as("mt"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("value")).as("sx"),
+        dsum(col("value") * col("value")).as("sxx"))
+      .withColumn("mean", col("sx") / col("n"))
+      .withColumn("variance",
+        (col("sxx") - col("sx") * col("sx") / col("n")) / col("n"))
+    e.join(broadcast(moments), col("event_type") === col("mt"))
+      .withColumn("is_outlier",
+        (abs(col("value") - col("mean")) >
+          lit(2.0) * sqrt(col("variance"))).cast(IntegerType))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("is_outlier")).as("n_outliers"),
+        round(max(col("mean")), 6).as("mean"),
+        round(max(col("variance")), 6).as("variance"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_agg" -> q01_agg,
     "q02_point_lookup" -> q02_point_lookup,
@@ -529,6 +557,7 @@ object Relational {
     "q29_histogram" -> q29_histogram,
     "q30_train_test_split" -> q30_train_test_split,
     "q31_array_agg" -> q31_array_agg,
+    "q33_outliers" -> q33_outliers,
   )
 
   /** DuckDB oracle SQL. Column names/aliases match the Spark plans
@@ -672,6 +701,22 @@ object Relational {
         |  COUNT(*) AS n_events,
         |  CAST(len(list_sort(list(DISTINCT event_type))) AS INT) AS n_types
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q33_outliers" ->
+      s"""WITH m AS (
+         |  SELECT event_type AS mt, COUNT(*) AS n,
+         |    ${DSUM("value")} AS sx, ${DSUM("value * value")} AS sxx
+         |  FROM events GROUP BY event_type
+         |), mm AS (
+         |  SELECT mt, n, sx / n AS mean,
+         |    (sxx - sx * sx / n) / n AS variance
+         |  FROM m)
+         |SELECT e.event_type, COUNT(*) AS n_events,
+         |  SUM(CASE WHEN abs(e.value - mm.mean) > 2.0 * sqrt(mm.variance)
+         |      THEN 1 ELSE 0 END) AS n_outliers,
+         |  round(MAX(mm.mean), 6) AS mean,
+         |  round(MAX(mm.variance), 6) AS variance
+         |FROM events e JOIN mm ON e.event_type = mm.mt
+         |GROUP BY e.event_type ORDER BY event_type""".stripMargin,
     "q28_pivot" ->
       """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
         |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",

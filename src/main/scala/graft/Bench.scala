@@ -52,7 +52,12 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] ingest failed: ${e.getMessage}"); (0L, 0.0, 0.0)
       }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_records":$inRows,"ingest_sec":$inSec%.3f,"ingest_records_per_sec":$inRate%.0f}""")
+    // file-level parallel ingest (gz = 1 task/file; this is the
+    // cluster scaling axis)
+    val (_, _, parRate) =
+      try IngestBench.runParallel(spark)
+      catch { case _: Throwable => (0L, 0.0, 0.0) }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","ingest_records":$inRows,"ingest_sec":$inSec%.3f,"ingest_records_per_sec":$inRate%.0f,"ingest_records_per_sec_4files":$parRate%.0f}""")
     spark.stop()
   }
 }

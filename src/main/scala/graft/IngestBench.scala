@@ -69,4 +69,36 @@ object IngestBench {
     val sec = (System.nanoTime() - t0) / 1e9
     (rows, sec, rows / sec)
   }
+
+  /** Multi-file parallel parse: gzip is non-splittable, so cluster
+    * ingest throughput scales with file count (one task each). Parses
+    * `files` copies concurrently through one read; the rate ÷ the
+    * single-stream rate is the file-parallelism speedup. */
+  def runParallel(spark: org.apache.spark.sql.SparkSession,
+      files: Int = 4, nPerFile: Int = defaultRecords / 2): (Long, Double, Double) = {
+    val paths = (0 until files).map { i =>
+      val p = s"/tmp/graft_ingest_bench_f${i}_$nPerFile.xml.gz"
+      if (!new java.io.File(p).exists()) {
+        java.nio.file.Files.copy(java.nio.file.Paths.get(ensureDump(nPerFile)),
+          java.nio.file.Paths.get(p),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      p
+    }
+    // small files get bin-packed into one partition by default —
+    // force one task per file so this measures file-level parallelism
+    // (on a real dump each gz is GBs and gets its own task anyway)
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", 1L << 20)
+    try {
+      val t0 = System.nanoTime()
+      val raw = spark.read.format("xml")
+        .option("rowTag", "release")
+        .schema(graft.schemas.Discogs.releaseXmlSchema)
+        .load(paths: _*)
+      val rows = raw.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      (rows, sec, rows / sec)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
 }

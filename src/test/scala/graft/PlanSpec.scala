@@ -87,6 +87,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q24 as-of join is one shuffle, zero join operators") {
+    val p = plan("q24_asof_join")
+    // the union+window composition: no SMJ/BHJ/NLJ anywhere, and the
+    // only hash exchange is the window's partition-by-key shuffle
+    assert(!p.contains("SortMergeJoin") && !p.contains("NestedLoop"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1)
+  }
+
+  test("q27 range join stays an equi-join (no nested-loop fallback)") {
+    val p = plan("q27_range_join")
+    assert(!p.contains("NestedLoop"), s"range join degenerated:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"))
+  }
+
   test("s01 ANN broadcasts the query side so the corpus is scanned once") {
     val p = plan("s01_ann_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))

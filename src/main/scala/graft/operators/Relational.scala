@@ -522,6 +522,38 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** RANGE-framed window: per user, the exact sum of values in the
+    * trailing 1000-second window of each event (value-range frame on
+    * the ns epoch, not a row count), plus first/last event ids of the
+    * full partition frame. */
+  def q34_window_frames: Q = (s, d) => {
+    val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"))
+      .rangeBetween(-1000000000000L, 0L)
+    val full = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        sum(col("value").cast(DecimalType(28, 6))).over(byTs)
+          .cast(DoubleType).as("sum_1000s"),
+        first(col("event_id")).over(full).as("first_event"),
+        last(col("event_id")).over(full).as("last_event"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Ranking-function family over a fully deterministic ordering
+    * (value, event_id — no ties, so every engine agrees): ntile
+    * quartiles, percent_rank, cume_dist, dense_rank. */
+  def q35_ranking: Q = (s, d) => {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_type"), col("event_id"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        dense_rank().over(w).as("drank"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_agg" -> q01_agg,
     "q02_point_lookup" -> q02_point_lookup,
@@ -558,6 +590,8 @@ object Relational {
     "q30_train_test_split" -> q30_train_test_split,
     "q31_array_agg" -> q31_array_agg,
     "q33_outliers" -> q33_outliers,
+    "q34_window_frames" -> q34_window_frames,
+    "q35_ranking" -> q35_ranking,
   )
 
   /** DuckDB oracle SQL. Column names/aliases match the Spark plans
@@ -701,6 +735,32 @@ object Relational {
         |  COUNT(*) AS n_events,
         |  CAST(len(list_sort(list(DISTINCT event_type))) AS INT) AS n_types
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q34_window_frames" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, epoch_ns(ts) AS ens FROM events)
+        |SELECT user_id, event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
+        |    PARTITION BY user_id ORDER BY ens
+        |    RANGE BETWEEN 1000000000000 PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS sum_1000s,
+        |  FIRST_VALUE(event_id) OVER (PARTITION BY user_id
+        |    ORDER BY ens, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS first_event,
+        |  LAST_VALUE(event_id) OVER (PARTITION BY user_id
+        |    ORDER BY ens, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS last_event
+        |FROM e ORDER BY user_id, event_id""".stripMargin,
+    "q35_ranking" ->
+      """SELECT event_type, event_id,
+        |  NTILE(4) OVER w AS quartile,
+        |  round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+        |  round(CUME_DIST() OVER w, 6) AS cume,
+        |  DENSE_RANK() OVER w AS drank
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_type, event_id""".stripMargin,
     "q33_outliers" ->
       s"""WITH m AS (
          |  SELECT event_type AS mt, COUNT(*) AS n,

@@ -60,6 +60,50 @@ class ComposedJoinsSpec extends AnyFunSuite {
     assert(out == Seq("hi-inside", "lo-inclusive"))
   }
 
+  test("asofJoin equals the naive O(n*m) reference on random data") {
+    val rnd = new scala.util.Random(4242)
+    for (_ <- 1 to 3) {
+      val leftRows = (1 to 60).map(i =>
+        (rnd.nextInt(4).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      val rightRows = (1 to 80).map(i =>
+        (rnd.nextInt(4).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      val left = leftRows.toDF("k", "ts", "lid")
+      val right = rightRows.toDF("k", "ts", "rid")
+      val got = AsOfJoin.asofJoin(left, right,
+        col("k"), right("k"), left("ts"), right("ts"),
+        Seq(col("rid")), col("rid"))
+        .select(col("lid"), col("asof.rid").as("rid"))
+        .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      val expected = leftRows.map { case (k, ts, lid) =>
+        val candidates = rightRows.filter(r => r._1 == k && r._2 <= ts)
+        // greatest ts; among equal ts, greatest tieBreak (rid) wins
+        lid -> candidates.sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+      }.toMap
+      assert(got == expected)
+    }
+  }
+
+  test("boundedRangeJoin equals the naive filter on random data") {
+    val rnd = new scala.util.Random(777)
+    val width = 50L
+    val leftRows = (1 to 50).map(i =>
+      (rnd.nextInt(3).toLong, rnd.nextInt(500).toLong, i.toLong))
+    val rightRows = (1 to 100).map(i =>
+      (rnd.nextInt(3).toLong, rnd.nextInt(500).toLong, i.toLong))
+    val left = leftRows.toDF("k", "ts", "lid")
+    val right = rightRows.toDF("k", "ts", "rid")
+    val got = RangeJoin.boundedRangeJoin(left, right,
+      left("k"), right("k"), left("ts"), right("ts"), width)
+      .select(col("lid"), col("rid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val expected = (for {
+      (lk, lts, lid) <- leftRows
+      (rk, rts, rid) <- rightRows
+      if lk == rk && rts >= lts - width && rts < lts
+    } yield (lid, rid)).sorted
+    assert(got == expected)
+  }
+
   test("boundedRangeJoin: interval inside one bucket doesn't duplicate") {
     // width 1000, left ts=1500: probe buckets are div(500,1000)=0 and
     // div(1500,1000)=1 — right at 700 (bucket 0) and 1400 (bucket 1)

@@ -554,6 +554,23 @@ object Relational {
       .orderBy(col("event_type"), col("event_id"))
   }
 
+  /** Explicit GROUPING SETS via the SQL surface (no DataFrame
+    * equivalent — rollup/cube are fixed lattices; this picks exactly
+    * two sets). Also exercises spark.sql + temp views end-to-end.
+    */
+  def q36_grouping_sets: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql(
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  COUNT(*) AS n_orders,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+         |    AS sum_price
+         |FROM orders_v
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+         |ORDER BY o_orderstatus ASC NULLS FIRST,
+         |  o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_agg" -> q01_agg,
     "q02_point_lookup" -> q02_point_lookup,
@@ -592,6 +609,7 @@ object Relational {
     "q33_outliers" -> q33_outliers,
     "q34_window_frames" -> q34_window_frames,
     "q35_ranking" -> q35_ranking,
+    "q36_grouping_sets" -> q36_grouping_sets,
   )
 
   /** DuckDB oracle SQL. Column names/aliases match the Spark plans
@@ -735,6 +753,15 @@ object Relational {
         |  COUNT(*) AS n_events,
         |  CAST(len(list_sort(list(DISTINCT event_type))) AS INT) AS n_types
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q36_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin,
     "q34_window_frames" ->
       """WITH e AS (
         |  SELECT user_id, event_id, value, epoch_ns(ts) AS ens FROM events)

@@ -17,15 +17,21 @@ object IngestBench {
 
   val defaultRecords = 100000
 
-  def dumpPath(n: Int): String = s"/tmp/graft_ingest_bench_$n.xml.gz"
+  def dumpPath(n: Int, idOffset: Int = 0): String =
+    if (idOffset == 0) s"/tmp/graft_ingest_bench_$n.xml.gz"
+    else s"/tmp/graft_ingest_bench_${n}_o$idOffset.xml.gz"
 
   /** Deterministic synthetic releases dump (fixture-shaped: attributes,
-    * nested arrays, fan-out children, XML entities). */
-  def ensureDump(n: Int = defaultRecords): String = {
-    val path = dumpPath(n)
+    * nested arrays, fan-out children, XML entities). `idOffset` shifts
+    * the id range so multi-file benchmarks have disjoint keys. */
+  def ensureDump(n: Int = defaultRecords, idOffset: Int = 0): String = {
+    val path = dumpPath(n, idOffset)
     if (new java.io.File(path).exists()) return path
+    // write-then-rename: an interrupted write must not leave a
+    // truncated (but gzip-valid) dump that later runs silently reuse
+    val tmp = path + ".tmp"
     val out = new OutputStreamWriter(new GZIPOutputStream(
-      new BufferedOutputStream(new FileOutputStream(path), 1 << 16)), "UTF-8")
+      new BufferedOutputStream(new FileOutputStream(tmp), 1 << 16)), "UTF-8")
     try {
       val genres = Array("Electronic", "Rock", "Jazz", "Hip Hop", "Folk, World, &amp; Country")
       val styles = Array("Deep House", "Techno", "Ambient", "Experimental", "Tech House")
@@ -33,7 +39,7 @@ object IngestBench {
       out.write("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<releases>\n")
       var i = 0
       while (i < n) {
-        val id = i + 1
+        val id = idOffset + i + 1
         out.write(s"""   <release id="$id" status="Accepted">\n""")
         out.write(s"      <title>Synthetic Release &amp; Co. #$id</title>\n")
         out.write(s"""      <labels><label name="Label ${id % 997}" catno="CAT$id" id="${id % 997}"/></labels>\n""")
@@ -54,7 +60,14 @@ object IngestBench {
         i += 1
       }
       out.write("</releases>\n")
-    } finally out.close()
+      out.close()
+      java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+        java.nio.file.Paths.get(path),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } finally {
+      try out.close() catch { case _: Throwable => () }
+      new java.io.File(tmp).delete(): Unit
+    }
     path
   }
 
@@ -71,19 +84,22 @@ object IngestBench {
   }
 
   /** Multi-file parallel parse: gzip is non-splittable, so cluster
-    * ingest throughput scales with file count (one task each). Parses
-    * `files` copies concurrently through one read; the rate ÷ the
-    * single-stream rate is the file-parallelism speedup. */
+    * ingest throughput scales with file count (one task each). Runs
+    * the SAME readReleases pipeline as [[run]] (parse + normalize +
+    * dedup) over `files` copies via a glob path, so the rate ÷ the
+    * single-stream rate is a clean file-parallelism speedup. */
   def runParallel(spark: org.apache.spark.sql.SparkSession,
       files: Int = 4, nPerFile: Int = defaultRecords / 2): (Long, Double, Double) = {
-    val paths = (0 until files).map { i =>
-      val p = s"/tmp/graft_ingest_bench_f${i}_$nPerFile.xml.gz"
+    // disjoint id ranges per file — identical copies would collapse
+    // to one file's rows under the pipeline's first-wins dedup
+    (0 until files).foreach { i =>
+      val p = s"/tmp/graft_ingest_par_f${i}_$nPerFile.xml.gz"
       if (!new java.io.File(p).exists()) {
-        java.nio.file.Files.copy(java.nio.file.Paths.get(ensureDump(nPerFile)),
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(ensureDump(nPerFile, idOffset = i * nPerFile)),
           java.nio.file.Paths.get(p),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
-      p
     }
     // small files get bin-packed into one partition by default —
     // force one task per file so this measures file-level parallelism
@@ -92,11 +108,9 @@ object IngestBench {
     spark.conf.set("spark.sql.files.maxPartitionBytes", 1L << 20)
     try {
       val t0 = System.nanoTime()
-      val raw = spark.read.format("xml")
-        .option("rowTag", "release")
-        .schema(graft.schemas.Discogs.releaseXmlSchema)
-        .load(paths: _*)
-      val rows = raw.count()
+      val tables = sources.DiscogsXml.readReleases(spark,
+        s"/tmp/graft_ingest_par_f*_$nPerFile.xml.gz")
+      val rows = tables.release.count()
       val sec = (System.nanoTime() - t0) / 1e9
       (rows, sec, rows / sec)
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)

@@ -50,11 +50,15 @@ object MinHashUnionAgg {
   }
 
   /** Estimated Jaccard between two union signatures = fraction of
-    * agreeing slots. */
+    * agreeing slots. Signatures from different configurations (unequal
+    * lengths) are incomparable → null; empty signatures → 0.0. */
   def estimated_jaccard(a: Column, b: Column): Column = {
     import org.apache.spark.sql.functions._
     val agreements = zip_with(a, b, (x, y) =>
       when(x === y, 1.0).otherwise(0.0))
-    aggregate(agreements, lit(0.0), (acc, v) => acc + v) / size(a)
+    when(size(a) === 0 || size(b) === 0, lit(0.0))
+      .when(size(a) =!= size(b), lit(null).cast("double"))
+      .otherwise(
+        aggregate(agreements, lit(0.0), (acc, v) => acc + v) / size(a))
   }
 }

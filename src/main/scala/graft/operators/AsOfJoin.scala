@@ -32,13 +32,27 @@ object AsOfJoin {
       leftKey: Column, rightKey: Column,
       leftTs: Column, rightTs: Column,
       payload: Seq[Column], tieBreak: Column): DataFrame = {
+    val reserved = Seq("__k", "__ts", "__side", "__tie", "__payload", "asof")
+    require(!left.columns.exists(reserved.contains),
+      s"left columns may not use the reserved names ${reserved.mkString(", ")}")
+    val tieType = right.select(tieBreak).schema.head.dataType
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    require(integral.contains(tieType),
+      s"tieBreak must be an integral column (got ${tieType.catalogString}); " +
+        "a lossy cast would null it and make tie resolution nondeterministic")
+    // SQL semantics: NULL keys/timestamps never match — drop them from
+    // the build side up front (a null right ts would otherwise sort to
+    // the partition head and act as a -infinity match)
+    val cleanRight = right.filter(rightKey.isNotNull && rightTs.isNotNull)
     val ptype = payloadStructType(right, payload)
     val l = left.select(
       Seq(leftKey.as("__k"), leftTs.as("__ts"), lit(1).as("__side"),
         lit(null).cast("long").as("__tie"),
         lit(null).cast(ptype).as("__payload")) ++
         left.columns.map(c => left(c)): _*)
-    val r = right.select(
+    val r = cleanRight.select(
       Seq(rightKey.as("__k"), rightTs.as("__ts"), lit(0).as("__side"),
         tieBreak.cast("long").as("__tie"),
         struct(payload: _*).as("__payload")) ++

@@ -17,17 +17,26 @@ import java.sql.Connection
   */
 object PgCopy {
 
-  /** True iff the postgres driver (and thus the COPY API) is loadable. */
+  /** True iff the postgres driver (and thus the COPY API) is loadable.
+    * LinkageError (broken/mismatched jar) must also take the INSERT
+    * fallback instead of killing the task. */
   def available(): Boolean =
     try { Class.forName("org.postgresql.PGConnection"); true }
-    catch { case _: ClassNotFoundException => false }
+    catch {
+      case _: ClassNotFoundException => false
+      case _: LinkageError => false
+    }
 
   /** CSV-encode one field per COPY CSV rules: null → empty unquoted,
-    * strings quoted with doubled quotes, Seq → postgres array literal.
+    * strings quoted with doubled quotes, Seq → postgres array literal,
+    * binary → bytea hex. Nested structs/maps are rejected loudly —
+    * silently emitting their toString would shift columns mid-stream.
     */
   def fieldToCsv(v: Any): String = v match {
     case null => ""
     case s: String => quote(s)
+    case bytes: Array[Byte] =>
+      quote("\\x" + bytes.map("%02x".format(_)).mkString)
     case seq: scala.collection.Seq[_] =>
       quote(seq.map {
         case null => "NULL"
@@ -35,6 +44,10 @@ object PgCopy {
           val s = e.toString
           "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
       }.mkString("{", ",", "}"))
+    case _: org.apache.spark.sql.Row | _: scala.collection.Map[_, _] =>
+      throw new IllegalArgumentException(
+        s"COPY CSV does not support nested struct/map columns; " +
+          "flatten the DataFrame before writeJdbc")
     case other => other.toString
   }
 
@@ -69,7 +82,10 @@ object PgCopy {
     val pgIface = Class.forName("org.postgresql.PGConnection")
     val unwrapped = conn.unwrap(pgIface.asInstanceOf[Class[AnyRef]])
     val copyApi = pgIface.getMethod("getCopyAPI").invoke(unwrapped)
-    val sql = s"""COPY $table (${columns.mkString(", ")})
+    // quote identifiers: mixed-case/reserved names survive, and no
+    // identifier can smuggle SQL into the COPY statement
+    def q(ident: String) = "\"" + ident.replace("\"", "\"\"") + "\""
+    val sql = s"""COPY ${q(table)} (${columns.map(q).mkString(", ")})
                  |FROM STDIN WITH (FORMAT csv)""".stripMargin
     val m = copyApi.getClass.getMethod("copyIn", classOf[String], classOf[Reader])
     m.setAccessible(true)

@@ -798,8 +798,8 @@ object Relational {
          |    (sxx - sx * sx / n) / n AS variance
          |  FROM m)
          |SELECT e.event_type, COUNT(*) AS n_events,
-         |  SUM(CASE WHEN abs(e.value - mm.mean) > 2.0 * sqrt(mm.variance)
-         |      THEN 1 ELSE 0 END) AS n_outliers,
+         |  CAST(SUM(CASE WHEN abs(e.value - mm.mean) > 2.0 * sqrt(mm.variance)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
          |  round(MAX(mm.mean), 6) AS mean,
          |  round(MAX(mm.variance), 6) AS variance
          |FROM events e JOIN mm ON e.event_type = mm.mt
@@ -838,7 +838,7 @@ object Relational {
          |ORDER BY o_orderkey""".stripMargin,
     "q25_json" ->
       """SELECT event_type,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  COUNT(json_extract_string(props, '$.k')) AS n_with_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -869,8 +869,8 @@ object Relational {
          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          |), sessions AS (
          |  SELECT user_id, event_id, value,
-         |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
          |  FROM marked)
          |SELECT user_id, session_id, COUNT(*) AS n_events,
          |  MIN(event_id) AS first_event, MAX(event_id) AS last_event,

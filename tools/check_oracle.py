@@ -32,6 +32,19 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def dtype_class(dt) -> str:
+    k = getattr(dt, "kind", "O")
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"
+    return "object"
+
+
 def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list:
     errs = []
     a, b = norm(spark_df), norm(duck_df)
@@ -39,6 +52,20 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list:
         return [f"columns differ: spark={list(a.columns)} duck={list(b.columns)}"]
     if len(a) != len(b):
         return [f"row count differs: spark={len(a)} duck={len(b)}"]
+    # Driver's hash gate stringifies values, so int64 "3" vs float64 "3.0"
+    # is a hash mismatch even when numerically equal (DuckDB HUGEINT SUM →
+    # pandas float64). Be dtype-strict here so local green == driver green.
+    for c in a.columns:
+        ca, cb = dtype_class(a[c].dtype), dtype_class(b[c].dtype)
+        if ca != cb and not (len(a) == 0):
+            # nullable all-None columns surface as object on one side; only
+            # flag genuinely numeric class mismatches
+            if {ca, cb} <= {"int", "float", "bool"}:
+                errs.append(
+                    f"col {c}: DTYPE MISMATCH spark={a[c].dtype} duck={b[c].dtype}"
+                    " (driver hash gate would fail — cast the oracle SQL)")
+    if errs:
+        return errs
     for c in a.columns:
         av, bv = a[c], b[c]
         for i, (x, y) in enumerate(zip(av, bv)):

@@ -89,15 +89,21 @@ object IngestBench {
     * dedup) over `files` copies via a glob path, so the rate ÷ the
     * single-stream rate is a clean file-parallelism speedup. */
   def runParallel(spark: org.apache.spark.sql.SparkSession,
-      files: Int = 4, nPerFile: Int = defaultRecords / 2): (Long, Double, Double) = {
+      files: Int = 4, nPerFile: Int = defaultRecords): (Long, Double, Double) = {
+    // one dedicated directory, not a glob: DataSource.resolveRelation
+    // stats the raw path string for a streaming-sink metadata dir and a
+    // glob logs a spurious FileNotFoundException stack trace (benign but
+    // it polluted the round-1 bench output past parseability)
+    val dir = new java.io.File(s"/tmp/graft_ingest_par_$nPerFile")
+    dir.mkdirs()
     // disjoint id ranges per file — identical copies would collapse
     // to one file's rows under the pipeline's first-wins dedup
     (0 until files).foreach { i =>
-      val p = s"/tmp/graft_ingest_par_f${i}_$nPerFile.xml.gz"
-      if (!new java.io.File(p).exists()) {
+      val p = new java.io.File(dir, s"f$i.xml.gz")
+      if (!p.exists()) {
         java.nio.file.Files.copy(
           java.nio.file.Paths.get(ensureDump(nPerFile, idOffset = i * nPerFile)),
-          java.nio.file.Paths.get(p),
+          p.toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
     }
@@ -108,8 +114,7 @@ object IngestBench {
     spark.conf.set("spark.sql.files.maxPartitionBytes", 1L << 20)
     try {
       val t0 = System.nanoTime()
-      val tables = sources.DiscogsXml.readReleases(spark,
-        s"/tmp/graft_ingest_par_f*_$nPerFile.xml.gz")
+      val tables = sources.DiscogsXml.readReleases(spark, dir.getAbsolutePath)
       val rows = tables.release.count()
       val sec = (System.nanoTime() - t0) / 1e9
       (rows, sec, rows / sec)

@@ -107,54 +107,135 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Token-set Jaccard similarity, blocked on (source, lang) — the
-    * standard blocking-key trick, never an unblocked n² at scale; a
-    * finer key trades recall for a quadratic-factor cost cut. Exact
-    * integer intersection/union counts via an inverted-index join, so
-    * the DuckDB oracle matches bit-for-bit (single double division).
+  /** Jaccard similarity threshold for [[d04_ngram_jaccard]]. */
+  private val JaccardT = 0.8
+
+  /** Token-set Jaccard similarity, blocked on (source, lang), with
+    * PREFIX FILTERING (Chaudhuri et al. SSJoin / Xiao et al. PPJoin)
+    * so the inverted-index self-join never sees a hot token's full
+    * posting list.
+    *
+    * Exactness argument (why this loses NO pairs): J(a,b) ≥ t implies
+    * |a∩b| ≥ t·|a∪b| ≥ t·max(|a|,|b|), so overlap α ≥ ⌈t·|a|⌉ and
+    * α ≥ ⌈t·|b|⌉. Sort every doc's tokens by one global total order
+    * (df asc, tok asc — per block); by the prefix-filter lemma, two
+    * sets with overlap ≥ α must share a token among each one's first
+    * (n − α + 1) tokens. Keeping prefix n − ⌈t·n⌉ + 1 per doc (a
+    * superset of the required prefix for every qualifying partner)
+    * therefore generates every pair with J ≥ t as a candidate. The
+    * exact Jaccard is then computed once per candidate from the full
+    * token sets (codegen'd [[graft.functions.ArrayJaccard]]).
+    *
+    * Scale: df-ascending order pushes high-df (boilerplate) tokens out
+    * of every prefix, so candidate volume is Σ over RARE tokens of
+    * prefix-df² — the O(df²) hot-token blowup of a naive inverted
+    * index cannot occur. Cost is 3 shuffles (df count, prefix rank,
+    * candidate join) + one broadcast-size-bounded verify join per side.
     */
   def d04_ngram_jaccard: Q = (s, d) => {
+    import graft.functions.TextHashFunctions.array_jaccard
+    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
     val tok = docs
       .select(col("doc_id"), col("source"), col("lang"),
         explode(tokens(col("text"))).as("tok"))
       .filter(length(col("tok")) > 0)
       .distinct()
-    val ta = tok.select(col("source"), col("lang"), col("doc_id").as("id_a"), col("tok"))
-    val tb = tok.select(col("source"), col("lang"), col("doc_id").as("id_b"), col("tok"))
-    val inter = ta.join(tb, Seq("source", "lang", "tok"))
+      .persist() // df count + prefix rank + per-doc set collection
+    // document frequency per block: the prefix ordering key
+    val dfc = tok.groupBy(col("source"), col("lang"), col("tok"))
+      .agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    // ⌈t·n⌉ in exact integer arithmetic (t = 4/5): (4n + 4) div 5 —
+    // double math (n * 0.8) rounds wrong at e.g. n = 5
+    val ceilTn = floor((col("n_tok") * 4 + 4) / 5)
+    val prefix = tok.join(dfc, Seq("source", "lang", "tok"))
+      .withColumn("n_tok", count(lit(1)).over(wDoc))
+      .withColumn("pos", row_number().over(wDoc.orderBy(col("df"), col("tok"))))
+      .filter(col("pos") <= col("n_tok") - ceilTn + 1)
+    val pa = prefix.select(col("source"), col("lang"), col("tok"), col("doc_id").as("id_a"))
+    val pb = prefix.select(col("source"), col("lang"), col("tok"), col("doc_id").as("id_b"))
+    val candidates = pa.join(pb, Seq("source", "lang", "tok"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
-    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_tok", "n_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_tok", "n_b"), Seq("id_b"))
-      .withColumn("jaccard", round(col("n_inter").cast(DoubleType) /
-        (col("n_a") + col("n_b") - col("n_inter")), 4))
-      .filter(col("jaccard") >= 0.8)
+      .select(col("id_a"), col("id_b")).distinct()
+    // exact verify: full (distinct) token set per doc, one array
+    // Jaccard per candidate — identical value to the inverted-index
+    // n_inter / (n_a + n_b − n_inter) form, so the oracle is unchanged
+    val sets = tok.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("tok"))).as("toks"))
+    candidates
+      .join(sets.select(col("doc_id").as("id_a"), col("toks").as("toks_a")), Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("toks").as("toks_b")), Seq("id_b"))
+      .withColumn("jaccard", round(array_jaccard(col("toks_a"), col("toks_b")), 4))
+      .filter(col("jaccard") >= JaccardT)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Block-size ceiling for [[d05_embedding_neardup]]'s exact path.
+    * A label block of B vectors costs B² scored pairs; 10k ⇒ ≤ 1e8
+    * pairs per block, still partition-local work. Blocks beyond it
+    * take the hyperplane-LSH route (cost ∝ bucket collisions). */
+  private[graft] val D05MaxExactBlock = 10000L
+
   /** Embedding-cosine near-duplicate candidates: for every vector, its
-    * single most-similar neighbor within the same `label` block
-    * (blocked brute force; the unblocked scale path is the LSH variant
-    * in [[Similarity.s02_ann_lsh]]). Cosine runs in the custom
-    * codegen'd [[graft.functions.CosineSimilarity]] expression.
+    * single most-similar neighbor within the same `label` block.
+    * Cosine runs in the custom codegen'd
+    * [[graft.functions.CosineSimilarity]] expression.
+    *
+    * Scale guard: the exact all-pairs path is O(B²) per block, which
+    * is the corpus² when labels are few. Blocks larger than `maxBlock`
+    * are therefore routed through the same random-hyperplane LSH
+    * scheme as [[Similarity.s02_ann_lsh]] (bucket + hamming-1
+    * multi-probe, exact ranking within probed buckets) — approximate
+    * (a vector with no bucket collision yields no row), but cost is
+    * proportional to collisions, not B². The oracle runs at SFs where
+    * every block is under the ceiling, so the checked path is exact.
     */
-  def d05_embedding_neardup: Q = (s, d) => {
+  def d05_embedding_neardup: Q = (s, d) =>
+    embeddingNearDup(Tables.embeddings(s, d), D05MaxExactBlock)
+
+  private[graft] def embeddingNearDup(e: DataFrame, maxBlock: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = Tables.embeddings(s, d)
-    val a = e.select(col("label"), col("vec_id"), col("embedding").as("emb_a"))
-    val b = e.select(col("label"), col("vec_id").as("nn_id"), col("embedding").as("emb_b"))
+    import graft.functions.VectorFunctions.dot_product
+    val sized = e.join(
+      broadcast(e.groupBy(col("label")).agg(count(lit(1)).as("__bn"))),
+      Seq("label"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nn_id"))
-    a.join(b, Seq("label"))
+    def top1(pairs: DataFrame): DataFrame = pairs
       .filter(col("vec_id") =!= col("nn_id"))
       .withColumn("cos", round(cosine_similarity(col("emb_a"), col("emb_b")), 4))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("nn_id"), col("cos"))
-      .orderBy(col("vec_id"))
+
+    val small = sized.filter(col("__bn") <= maxBlock)
+    val exact = top1(
+      small.select(col("label"), col("vec_id"), col("embedding").as("emb_a"))
+        .join(small.select(col("label"), col("vec_id").as("nn_id"),
+          col("embedding").as("emb_b")), Seq("label")))
+
+    val big = sized.filter(col("__bn") > maxBlock)
+    val planes = 16; val dim = 64
+    val rnd = new scala.util.Random(42L)
+    val planeCols = (0 until planes).map { _ =>
+      array((0 until dim).map(_ => lit(rnd.nextGaussian())): _*)
+    }
+    def signature(emb: Column): Column =
+      (0 until planes).map { p =>
+        when(dot_product(emb, planeCols(p)) >= 0.0, shiftleft(lit(1), p))
+          .otherwise(lit(0))
+      }.reduce((x, y) => x.bitwiseOR(y))
+    val corpus = big.select(col("label"), col("vec_id").as("nn_id"),
+      col("embedding").as("emb_b"), signature(col("embedding")).as("bucket"))
+    val probes = big.select(col("label"), col("vec_id"),
+        col("embedding").as("emb_a"), signature(col("embedding")).as("sig"))
+      .select(col("label"), col("vec_id"), col("emb_a"),
+        explode(array(col("sig") +: (0 until planes).map(p =>
+          col("sig").bitwiseXOR(shiftleft(lit(1), p))): _*)).as("bucket"))
+    val approx = top1(corpus.join(probes, Seq("label", "bucket")))
+
+    exact.unionByName(approx).orderBy(col("vec_id"))
   }
 
   /** Corpus-level (group-vs-group) similarity via the custom

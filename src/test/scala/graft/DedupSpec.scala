@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the scale-guarded dedup operators: prefix filtering
+  * must be lossless (d04), and the d05 block-size guard must be a
+  * no-op below the ceiling and route above it.
+  */
+class DedupSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("d04 prefix-filtered join finds exactly the naive all-pairs result") {
+    import spark.implicits._
+    val got = operators.Dedup.d04_ngram_jaccard(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    // naive reference: unfiltered inverted-index intersection counts
+    val docs = Tables.documents(spark, sfDir)
+    val tok = docs
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0).distinct()
+    val ta = tok.select(col("source"), col("lang"), col("doc_id").as("id_a"), col("tok"))
+    val tb = tok.select(col("source"), col("lang"), col("doc_id").as("id_b"), col("tok"))
+    val inter = ta.join(tb, Seq("source", "lang", "tok"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+    val want = inter
+      .join(sizes.toDF("id_a", "n_a"), Seq("id_a"))
+      .join(sizes.toDF("id_b", "n_b"), Seq("id_b"))
+      .withColumn("jaccard", round(col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")), 4))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(want.nonEmpty, "fixture produced no near-dup pairs — test is vacuous")
+    assert(got == want)
+  }
+
+  test("d05 guard is a no-op when every block is under the ceiling") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    val got = operators.Dedup.embeddingNearDup(e, Long.MaxValue)
+      .as[(Long, Long, Double)].collect().toSet
+    // naive reference: exact blocked top-1 via a plain window
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.cosine_similarity
+    val a = e.select(col("label"), col("vec_id"), col("embedding").as("emb_a"))
+    val b = e.select(col("label"), col("vec_id").as("nn_id"), col("embedding").as("emb_b"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nn_id"))
+    val want = a.join(b, Seq("label"))
+      .filter(col("vec_id") =!= col("nn_id"))
+      .withColumn("cos", round(cosine_similarity(col("emb_a"), col("emb_b")), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("nn_id"), col("cos"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == want)
+  }
+
+  test("d05 routes oversize blocks through LSH with correct cosines") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    // ceiling 0: every block is "oversize" — all rows take the LSH path
+    val approx = operators.Dedup.embeddingNearDup(e, 0L)
+    val rows = approx.as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty, "LSH path returned nothing")
+    // at most one neighbor per vector
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // every reported pair must share a label and report the true cosine
+    import graft.functions.VectorFunctions.cosine_similarity
+    val verify = approx
+      .join(e.select(col("vec_id"), col("label").as("la"),
+        col("embedding").as("ea")), Seq("vec_id"))
+      .join(e.select(col("vec_id").as("nn_id"), col("label").as("lb"),
+        col("embedding").as("eb")), Seq("nn_id"))
+      .withColumn("true_cos", round(cosine_similarity(col("ea"), col("eb")), 4))
+    assert(verify.filter(col("la") =!= col("lb")).count() == 0)
+    assert(verify.filter(col("cos") =!= col("true_cos")).count() == 0)
+  }
+}

@@ -102,6 +102,16 @@ class PlanSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"))
   }
 
+  test("d04 joins the prefix-filtered index and verifies per-candidate") {
+    val p = plan("d04_ngram_jaccard")
+    // exact verify is one array_jaccard per candidate pair, not a
+    // per-token intersection count over full posting lists
+    assert(p.contains("array_jaccard"))
+    // the candidate join's inputs pass through the prefix rank filter
+    assert(p.contains("row_number"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("s01 ANN broadcasts the query side so the corpus is scanned once") {
     val p = plan("s01_ann_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))

@@ -49,9 +49,18 @@ object Discogs {
   private def arr(t: DataType): ArrayType = ArrayType(t, containsNull = true)
 
   /** `<release id status>` subtree — only the loaded fields
-    * (reference FSM states `release.rs:90-108`). */
+    * (reference FSM states `release.rs:90-108`).
+    *
+    * ATTRIBUTE leaves are declared STRING even when semantically
+    * numeric/boolean: the StAX parser's attribute conversion is not
+    * covered by PERMISSIVE mode, so one `id="oops"` in a 10 GB dump
+    * would hard-fail the whole file read (NumberFormatException →
+    * FAILED_READ_FILE). Element values convert leniently (bad value →
+    * null), so they keep their real types. The readers try_cast the
+    * string attributes and route null ids to the reject policy.
+    */
   val releaseXmlSchema: StructType = s(
-    f("_id", IntegerType),
+    f("_id", StringType),
     f("_status", StringType),
     f("title", StringType),
     f("country", StringType),
@@ -60,12 +69,12 @@ object Discogs {
     f("data_quality", StringType),
     f("genres", s(f("genre", arr(StringType)))),
     f("styles", s(f("style", arr(StringType)))),
-    f("master_id", s(f("_VALUE", IntegerType), f("_is_main_release", BooleanType))),
+    f("master_id", s(f("_VALUE", IntegerType), f("_is_main_release", StringType))),
     f("labels", s(f("label", arr(s(
-      f("_name", StringType), f("_catno", StringType), f("_id", IntegerType)))))),
+      f("_name", StringType), f("_catno", StringType), f("_id", StringType)))))),
     f("videos", s(f("video", arr(s(
-      f("_src", StringType), f("_duration", IntegerType),
-      f("_embed", BooleanType), f("title", StringType)))))))
+      f("_src", StringType), f("_duration", StringType),
+      f("_embed", StringType), f("title", StringType)))))))
 
   /** `<artist>` subtree (reference `artist.rs:55-70`); alias/member ids
     * are dropped (SURVEY §1.5), only text kept. */
@@ -77,10 +86,10 @@ object Discogs {
     f("data_quality", StringType),
     f("urls", s(f("url", arr(StringType)))),
     f("namevariations", s(f("name", arr(StringType)))),
-    f("aliases", s(f("name", arr(s(f("_VALUE", StringType), f("_id", LongType)))))),
+    f("aliases", s(f("name", arr(s(f("_VALUE", StringType), f("_id", StringType)))))),
     f("members", s(
       f("id", arr(LongType)),
-      f("name", arr(s(f("_VALUE", StringType), f("_id", LongType)))))))
+      f("name", arr(s(f("_VALUE", StringType), f("_id", StringType)))))))
 
   /** `<label>` subtree (reference `label.rs:52-65`). */
   val labelXmlSchema: StructType = s(
@@ -89,15 +98,15 @@ object Discogs {
     f("contactinfo", StringType),
     f("profile", StringType),
     f("data_quality", StringType),
-    f("parentLabel", s(f("_VALUE", StringType), f("_id", LongType))),
+    f("parentLabel", s(f("_VALUE", StringType), f("_id", StringType))),
     f("urls", s(f("url", arr(StringType)))),
-    f("sublabels", s(f("label", arr(s(f("_VALUE", StringType), f("_id", LongType)))))))
+    f("sublabels", s(f("label", arr(s(f("_VALUE", StringType), f("_id", StringType)))))))
 
   /** `<master id>` subtree (reference `master.rs:81-94`; we also load
     * year/genres/styles/notes which the reference silently drops —
     * quirk Q9, declared-semantics policy). */
   val masterXmlSchema: StructType = s(
-    f("_id", IntegerType),
+    f("_id", StringType),
     f("main_release", IntegerType),
     f("title", StringType),
     f("year", IntegerType),

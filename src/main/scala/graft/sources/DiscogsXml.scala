@@ -41,13 +41,54 @@ object DiscogsXml {
   private def int0(c: org.apache.spark.sql.Column) = coalesce(c, lit(0))
   private def arr0(c: org.apache.spark.sql.Column) =
     coalesce(c, array().cast("array<string>"))
+  /** Lenient int conversion for string-declared XML attributes (see
+    * [[graft.schemas.Discogs.releaseXmlSchema]]): bad value → null, not
+    * an ANSI cast error. */
+  private def tryInt(c: org.apache.spark.sql.Column) = c.try_cast(IntegerType)
 
+  /** Corrupt-record spill column (explicit malformed-record policy). */
+  val CorruptCol = "_graft_corrupt"
+
+  /** O1/O3: one declarative XML read with an EXPLICIT malformed-record
+    * policy. The reference FSM skips unknown/broken elements silently
+    * (`release.rs:181`); default PERMISSIVE parsing would instead emit
+    * an all-null row (null id) that flows into dedup and joins. Here a
+    * record that fails to parse lands in [[CorruptCol]] and a record
+    * with no id is equally rejectable — [[dropRejects]] filters both
+    * out of every reader, and [[rejects]] exposes them as counted,
+    * inspectable rows rather than silent nulls.
+    */
   private def readXml(spark: SparkSession, path: String, rowTag: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.format("xml")
       .option("rowTag", rowTag)
-      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .schema(schema.add(CorruptCol, StringType))
       .load(path)
+
+  /** Reject policy: a row is good iff it parsed clean AND carries a
+    * primary key. Null-id rows must never reach [[firstWinsById]] —
+    * they would all collapse into one surviving "record". */
+  private def dropRejects(df: DataFrame, idCol: String): DataFrame =
+    df.filter(col(CorruptCol).isNull && col(idCol).isNotNull)
+      .drop(CorruptCol)
+
+  /** Counted rejects of a dump: one row per record that failed the
+    * parse (raw text in `corrupt_record`) or parsed without an id.
+    * Diagnostic scan — the entity readers already exclude these.
+    */
+  def rejects(spark: SparkSession, path: String): DataFrame = {
+    val (tag, schema, idCol) = detectEntity(path) match {
+      case "releases" => ("release", Discogs.releaseXmlSchema, "_id")
+      case "artists"  => ("artist", Discogs.artistXmlSchema, "id")
+      case "labels"   => ("label", Discogs.labelXmlSchema, "id")
+      case "masters"  => ("master", Discogs.masterXmlSchema, "_id")
+    }
+    readXml(spark, path, tag, schema)
+      .filter(col(CorruptCol).isNotNull || tryInt(col(idCol)).isNull)
+      .select(col(CorruptCol).as("corrupt_record"))
+  }
 
   /** First-wins global dedup by id — reference O12 semantics
     * (`HashMap.entry(id).or_insert`, `release.rs:185-187`) made exact
@@ -98,8 +139,9 @@ object DiscogsXml {
     * child tables always reference exactly the surviving parent rows.
     */
   def readReleases(spark: SparkSession, path: String): ReleaseTables = {
-    val raw = firstWinsById(
-      readXml(spark, path, "release", Discogs.releaseXmlSchema), "_id")
+    val raw = firstWinsById(dropRejects(
+      readXml(spark, path, "release", Discogs.releaseXmlSchema)
+        .withColumn("_id", tryInt(col("_id"))), "_id"), "_id")
     val release = (
       raw.select(
         col("_id").as("id"),
@@ -120,11 +162,11 @@ object DiscogsXml {
       .select(col("release_id"),
         str0(col("l._name")).as("label"),
         str0(col("l._catno")).as("catno"),
-        int0(col("l._id")).as("label_id"))
+        int0(tryInt(col("l._id"))).as("label_id"))
     val releaseVideo = raw
       .select(col("_id").as("release_id"), explode(col("videos.video")).as("v"))
       .select(col("release_id"),
-        int0(col("v._duration")).as("duration"),
+        int0(tryInt(col("v._duration"))).as("duration"),
         str0(col("v._src")).as("src"),
         str0(col("v.title")).as("title"))
     ReleaseTables(release, releaseLabel, releaseVideo)
@@ -133,7 +175,8 @@ object DiscogsXml {
   /** O5: artists dump → artist (4 array columns; aliases and
     * namevariations populated correctly — quirks Q2/Q3 fixed). */
   def readArtists(spark: SparkSession, path: String): DataFrame = {
-    val raw = readXml(spark, path, "artist", Discogs.artistXmlSchema)
+    val raw = dropRejects(
+      readXml(spark, path, "artist", Discogs.artistXmlSchema), "id")
     firstWinsById(raw.select(
       col("id"),
       str0(col("name")).as("name"),
@@ -148,7 +191,8 @@ object DiscogsXml {
 
   /** O6: labels dump → label. */
   def readLabels(spark: SparkSession, path: String): DataFrame = {
-    val raw = readXml(spark, path, "label", Discogs.labelXmlSchema)
+    val raw = dropRejects(
+      readXml(spark, path, "label", Discogs.labelXmlSchema), "id")
     firstWinsById(raw.select(
       col("id"),
       str0(col("name")).as("name"),
@@ -164,8 +208,9 @@ object DiscogsXml {
     * notes populated — quirk Q9 fixed). Raw parse deduped before the
     * master_artist fan-out, as in [[readReleases]]. */
   def readMasters(spark: SparkSession, path: String): MasterTables = {
-    val raw = firstWinsById(
-      readXml(spark, path, "master", Discogs.masterXmlSchema), "_id")
+    val raw = firstWinsById(dropRejects(
+      readXml(spark, path, "master", Discogs.masterXmlSchema)
+        .withColumn("_id", tryInt(col("_id"))), "_id"), "_id")
     val master = (raw.select(
       col("_id").as("id"),
       str0(col("title")).as("title"),

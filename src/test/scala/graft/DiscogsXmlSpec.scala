@@ -140,6 +140,29 @@ class DiscogsXmlSpec extends AnyFunSuite {
     assert(t.releaseVideo.count() == 0) // video belonged to the dropped copy
   }
 
+  test("malformed records become counted rejects, not silent null rows") {
+    // one unparseable id (Integer schema), one record with no id at
+    // all, two clean records — reference behavior is skip-don't-crash
+    // (release.rs:181); ours is skip-and-count
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<releases>
+        |  <release id="1" status="Accepted"><title>Good A</title></release>
+        |  <release id="oops" status="Accepted"><title>Bad id</title></release>
+        |  <release status="Accepted"><title>No id</title></release>
+        |  <release id="2" status="Accepted"><title>Good B</title></release>
+        |</releases>
+        |""".stripMargin
+    val f = java.nio.file.Files.createTempFile("corrupt-releases", ".xml")
+    java.nio.file.Files.writeString(f, xml)
+    val t = DiscogsXml.readReleases(spark, f.toString)
+    assert(t.release.count() == 2)
+    assert(t.release.collect().map(_.getInt(0)).toSet == Set(1, 2))
+    // no null-id row survived into the table
+    assert(t.release.filter("id IS NULL").count() == 0)
+    assert(DiscogsXml.rejects(spark, f.toString).count() == 2)
+  }
+
   test("loadAll dispatches all four entities") {
     val all = DiscogsXml.loadAll(spark, Seq(
       res("releases.xml.gz"), res("artists.xml.gz"),

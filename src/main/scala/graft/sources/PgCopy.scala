@@ -32,18 +32,22 @@ object PgCopy {
     * binary → bytea hex. Nested structs/maps are rejected loudly —
     * silently emitting their toString would shift columns mid-stream.
     */
+  /** Postgres array-literal text form of a Seq — shared by the COPY
+    * CSV encoder and [[Sinks.writeJdbc]]'s no-ARRAY-support fallback. */
+  def arrayLiteral(seq: scala.collection.Seq[_]): String =
+    seq.map {
+      case null => "NULL"
+      case e =>
+        val s = e.toString
+        "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
+
   def fieldToCsv(v: Any): String = v match {
     case null => ""
     case s: String => quote(s)
     case bytes: Array[Byte] =>
       quote("\\x" + bytes.map("%02x".format(_)).mkString)
-    case seq: scala.collection.Seq[_] =>
-      quote(seq.map {
-        case null => "NULL"
-        case e =>
-          val s = e.toString
-          "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-      }.mkString("{", ",", "}"))
+    case seq: scala.collection.Seq[_] => quote(arrayLiteral(seq))
     case _: org.apache.spark.sql.Row | _: scala.collection.Map[_, _] =>
       throw new IllegalArgumentException(
         s"COPY CSV does not support nested struct/map columns; " +

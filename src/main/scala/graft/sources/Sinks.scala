@@ -108,14 +108,25 @@ object Sinks {
             val sql = s"""INSERT INTO $table (${colNames.mkString(", ")})
                          |VALUES ($placeholders)""".stripMargin
             val ps = conn.prepareStatement(sql)
+            // engines without SQL ARRAY (Derby, SQLite, H2 pre-2.x)
+            // reject createArrayOf — degrade once per partition to the
+            // postgres array-literal text form in a VARCHAR column
+            var arraysSupported = true
             var n = 0
             rows.foreach { row =>
               var i = 0
               while (i < colNames.length) {
                 row.get(i) match {
                   case seq: scala.collection.Seq[_] =>
-                    ps.setArray(i + 1, conn.createArrayOf("text",
-                      seq.map(_.asInstanceOf[AnyRef]).toArray))
+                    if (arraysSupported) {
+                      try ps.setArray(i + 1, conn.createArrayOf("text",
+                        seq.map(_.asInstanceOf[AnyRef]).toArray))
+                      catch {
+                        case _: java.sql.SQLFeatureNotSupportedException =>
+                          arraysSupported = false
+                          ps.setString(i + 1, PgCopy.arrayLiteral(seq))
+                      }
+                    } else ps.setString(i + 1, PgCopy.arrayLiteral(seq))
                   case v => ps.setObject(i + 1, v)
                 }
                 i += 1

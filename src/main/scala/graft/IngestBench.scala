@@ -83,6 +83,24 @@ object IngestBench {
     (rows, sec, rows / sec)
   }
 
+  /** Splittable re-stage throughput: one-time gz → parquet re-stage
+    * (timed as `stageSec`), then the SAME normalize+dedup pipeline
+    * over the staged parquet (timed as `scanSec`). The scan rate ÷
+    * the gz single-stream rate is the per-pass speedup every
+    * downstream consumer gets once the re-stage cost is paid. */
+  def runRestaged(spark: org.apache.spark.sql.SparkSession,
+      n: Int = defaultRecords): (Long, Double, Double, Double) = {
+    val path = ensureDump(n)
+    val outDir = s"/tmp/graft_restage_$n"
+    val t0 = System.nanoTime()
+    val staged = sources.DiscogsXml.restage(spark, path, outDir)
+    val stageSec = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val rows = sources.DiscogsXml.readReleasesStaged(spark, staged).release.count()
+    val scanSec = (System.nanoTime() - t1) / 1e9
+    (rows, stageSec, scanSec, rows / scanSec)
+  }
+
   /** Multi-file parallel parse: gzip is non-splittable, so cluster
     * ingest throughput scales with file count (one task each). Runs
     * the SAME readReleases pipeline as [[run]] (parse + normalize +

@@ -74,20 +74,32 @@ object DiscogsXml {
     df.filter(col(CorruptCol).isNull && col(idCol).isNotNull)
       .drop(CorruptCol)
 
+  /** (rowTag, read schema, id column) per root entity. */
+  private val entityMeta = Map(
+    "releases" -> (("release", Discogs.releaseXmlSchema, "_id")),
+    "artists" -> (("artist", Discogs.artistXmlSchema, "id")),
+    "labels" -> (("label", Discogs.labelXmlSchema, "id")),
+    "masters" -> (("master", Discogs.masterXmlSchema, "_id")))
+
   /** Counted rejects of a dump: one row per record that failed the
     * parse (raw text in `corrupt_record`) or parsed without an id.
     * Diagnostic scan — the entity readers already exclude these.
     */
   def rejects(spark: SparkSession, path: String): DataFrame = {
-    val (tag, schema, idCol) = detectEntity(path) match {
-      case "releases" => ("release", Discogs.releaseXmlSchema, "_id")
-      case "artists"  => ("artist", Discogs.artistXmlSchema, "id")
-      case "labels"   => ("label", Discogs.labelXmlSchema, "id")
-      case "masters"  => ("master", Discogs.masterXmlSchema, "_id")
-    }
+    val (tag, schema, idCol) = entityMeta(detectEntity(path))
     readXml(spark, path, tag, schema)
       .filter(col(CorruptCol).isNotNull || tryInt(col(idCol)).isNull)
       .select(col(CorruptCol).as("corrupt_record"))
+  }
+
+  /** Parse one dump to clean raw rows: explicit schema, corrupt and
+    * null-id records dropped, id cast to int. The shared front of the
+    * direct readers and [[restage]]. */
+  private def parseGood(spark: SparkSession, path: String, entity: String): DataFrame = {
+    val (tag, schema, idCol) = entityMeta(entity)
+    dropRejects(
+      readXml(spark, path, tag, schema)
+        .withColumn(idCol, tryInt(col(idCol))), idCol)
   }
 
   /** First-wins global dedup by id — reference O12 semantics
@@ -100,7 +112,13 @@ object DiscogsXml {
     */
   private def firstWinsById(df: DataFrame, key: String = "id"): DataFrame = {
     val w = Window.partitionBy(col(key)).orderBy(col("__ord"))
-    df.withColumn("__ord", monotonically_increasing_id())
+    // a re-staged table carries its document order as a materialized
+    // __ord column (partition index no longer tracks document order
+    // after a repartition); a direct XML read derives it here
+    val ordered =
+      if (df.columns.contains("__ord")) df
+      else df.withColumn("__ord", monotonically_increasing_id())
+    ordered
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__ord", "__rn")
@@ -138,10 +156,13 @@ object DiscogsXml {
     * so children of dropped duplicate parents are dropped with them —
     * child tables always reference exactly the surviving parent rows.
     */
-  def readReleases(spark: SparkSession, path: String): ReleaseTables = {
-    val raw = firstWinsById(dropRejects(
-      readXml(spark, path, "release", Discogs.releaseXmlSchema)
-        .withColumn("_id", tryInt(col("_id"))), "_id"), "_id")
+  def readReleases(spark: SparkSession, path: String): ReleaseTables =
+    normalizeReleases(parseGood(spark, path, "releases"))
+
+  /** Releases normalization over clean raw rows (direct parse or
+    * re-staged parquet). */
+  private def normalizeReleases(rawIn: DataFrame, dedup: Boolean = true): ReleaseTables = {
+    val raw = if (dedup) firstWinsById(rawIn, "_id") else rawIn
     val release = (
       raw.select(
         col("_id").as("id"),
@@ -174,10 +195,11 @@ object DiscogsXml {
 
   /** O5: artists dump → artist (4 array columns; aliases and
     * namevariations populated correctly — quirks Q2/Q3 fixed). */
-  def readArtists(spark: SparkSession, path: String): DataFrame = {
-    val raw = dropRejects(
-      readXml(spark, path, "artist", Discogs.artistXmlSchema), "id")
-    firstWinsById(raw.select(
+  def readArtists(spark: SparkSession, path: String): DataFrame =
+    normalizeArtists(parseGood(spark, path, "artists"))
+
+  private def normalizeArtists(rawIn: DataFrame, dedup: Boolean = true): DataFrame =
+    (if (dedup) firstWinsById(rawIn, "id") else rawIn).select(
       col("id"),
       str0(col("name")).as("name"),
       str0(col("realname")).as("real_name"),
@@ -186,14 +208,14 @@ object DiscogsXml {
       arr0(col("namevariations.name")).as("name_variations"),
       arr0(col("urls.url")).as("urls"),
       arr0(col("aliases.name._VALUE")).as("aliases"),
-      arr0(col("members.name._VALUE")).as("members")))
-  }
+      arr0(col("members.name._VALUE")).as("members"))
 
   /** O6: labels dump → label. */
-  def readLabels(spark: SparkSession, path: String): DataFrame = {
-    val raw = dropRejects(
-      readXml(spark, path, "label", Discogs.labelXmlSchema), "id")
-    firstWinsById(raw.select(
+  def readLabels(spark: SparkSession, path: String): DataFrame =
+    normalizeLabels(parseGood(spark, path, "labels"))
+
+  private def normalizeLabels(rawIn: DataFrame, dedup: Boolean = true): DataFrame =
+    (if (dedup) firstWinsById(rawIn, "id") else rawIn).select(
       col("id"),
       str0(col("name")).as("name"),
       str0(col("contactinfo")).as("contactinfo"),
@@ -201,16 +223,16 @@ object DiscogsXml {
       str0(col("parentLabel._VALUE")).as("parent_label"),
       arr0(col("sublabels.label._VALUE")).as("sublabels"),
       arr0(col("urls.url")).as("urls"),
-      str0(col("data_quality")).as("data_quality")))
-  }
+      str0(col("data_quality")).as("data_quality"))
 
   /** O7: masters dump → master + master_artist (year/genres/styles/
     * notes populated — quirk Q9 fixed). Raw parse deduped before the
     * master_artist fan-out, as in [[readReleases]]. */
-  def readMasters(spark: SparkSession, path: String): MasterTables = {
-    val raw = firstWinsById(dropRejects(
-      readXml(spark, path, "master", Discogs.masterXmlSchema)
-        .withColumn("_id", tryInt(col("_id"))), "_id"), "_id")
+  def readMasters(spark: SparkSession, path: String): MasterTables =
+    normalizeMasters(parseGood(spark, path, "masters"))
+
+  private def normalizeMasters(rawIn: DataFrame, dedup: Boolean = true): MasterTables = {
+    val raw = if (dedup) firstWinsById(rawIn, "_id") else rawIn
     val master = (raw.select(
       col("_id").as("id"),
       str0(col("title")).as("title"),
@@ -230,6 +252,53 @@ object DiscogsXml {
         str0(col("a.role")).as("role"))
     MasterTables(master, masterArtist)
   }
+
+  /** Splittable re-stage (SURVEY §7.4): one pass through the
+    * non-splittable gz XML dump, out as `partitions`-way parquet of
+    * the clean raw rows with document order materialized as `__ord`.
+    *
+    * gz gives ONE task per file no matter the cluster size — every
+    * downstream full scan is serialized behind a single core. Paying
+    * the single-stream parse exactly once and re-staging to parquet
+    * makes every later pass splittable (one task per row-group split),
+    * column-pruned, and ~an order of magnitude cheaper to decode.
+    * This is the first thing a 100 TB load should do with its input.
+    * Returns the staged path, `outDir/<entity>`.
+    */
+  def restage(spark: SparkSession, path: String, outDir: String,
+      partitions: Int = 0): String = {
+    val entity = detectEntity(path)
+    val (_, _, idCol) = entityMeta(entity)
+    val n = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    val staged = s"$outDir/$entity"
+    // first-wins dedup runs HERE, once: document order must be captured
+    // while it still exists (the gz read is one in-order partition),
+    // and paying the dedup shuffle at stage time means every staged
+    // read afterwards is pure map-side work — no shuffle at all
+    firstWinsById(
+      parseGood(spark, path, entity)
+        .withColumn("__ord", monotonically_increasing_id()),
+      idCol)
+      .repartition(n)
+      .write.mode("overwrite").parquet(staged)
+    staged
+  }
+
+  /** Readers over a [[restage]]d dump — same output tables, but the
+    * input is already first-wins-deduped clean rows, so these are
+    * shuffle-free projections over a splittable, column-pruned
+    * parquet scan (one task per split instead of one gz stream). */
+  def readReleasesStaged(spark: SparkSession, stagedPath: String): ReleaseTables =
+    normalizeReleases(spark.read.parquet(stagedPath), dedup = false)
+
+  def readArtistsStaged(spark: SparkSession, stagedPath: String): DataFrame =
+    normalizeArtists(spark.read.parquet(stagedPath), dedup = false)
+
+  def readLabelsStaged(spark: SparkSession, stagedPath: String): DataFrame =
+    normalizeLabels(spark.read.parquet(stagedPath), dedup = false)
+
+  def readMastersStaged(spark: SparkSession, stagedPath: String): MasterTables =
+    normalizeMasters(spark.read.parquet(stagedPath), dedup = false)
 
   /** Typed Dataset accessors — compile-time field checks for callers
     * that work row-wise (Encoders derive from the case classes in

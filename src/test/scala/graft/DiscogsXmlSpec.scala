@@ -163,6 +163,33 @@ class DiscogsXmlSpec extends AnyFunSuite {
     assert(DiscogsXml.rejects(spark, f.toString).count() == 2)
   }
 
+  test("restage preserves rows, schema, and first-wins document order") {
+    // duplicate-id fixture: the survivor must still be the FIRST
+    // occurrence after the re-stage's repartition scrambles physical
+    // order (__ord column carries document order through)
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<releases>
+        |  <release id="7" status="Accepted"><title>First</title></release>
+        |  <release id="8" status="Accepted"><title>Other</title></release>
+        |  <release id="7" status="Accepted"><title>Duplicate</title></release>
+        |</releases>
+        |""".stripMargin
+    val f = java.nio.file.Files.createTempFile("restage-releases", ".xml")
+    java.nio.file.Files.writeString(f, xml)
+    val out = java.nio.file.Files.createTempDirectory("restage-out")
+    val staged = DiscogsXml.restage(spark, f.toString, out.toString, partitions = 3)
+    val direct = DiscogsXml.readReleases(spark, f.toString).release
+    val viaStage = DiscogsXml.readReleasesStaged(spark, staged).release
+    assert(viaStage.schema == direct.schema)
+    assert(viaStage.collect().toSet == direct.collect().toSet)
+    assert(viaStage.filter("id = 7").first().getString(2) == "First")
+    // gz fixture round-trips through restage for the other entities too
+    val aStaged = DiscogsXml.restage(spark, res("artists.xml.gz"), out.toString)
+    assert(DiscogsXml.readArtistsStaged(spark, aStaged).collect().toSet ==
+      DiscogsXml.readArtists(spark, res("artists.xml.gz")).collect().toSet)
+  }
+
   test("loadAll dispatches all four entities") {
     val all = DiscogsXml.loadAll(spark, Seq(
       res("releases.xml.gz"), res("artists.xml.gz"),

@@ -50,15 +50,25 @@ object MinHashUnionAgg {
   }
 
   /** Estimated Jaccard between two union signatures = fraction of
-    * agreeing slots. Signatures from different configurations (unequal
-    * lengths) are incomparable → null; empty signatures → 0.0. */
+    * agreeing slots among INFORMATIVE slots. A slot still at the
+    * Long.MaxValue identity on both sides means neither group produced
+    * a shingle for that permutation — counting it as agreement would
+    * report two empty/near-empty groups as up to 100% similar, so such
+    * slots are excluded from numerator and denominator; if no slot is
+    * informative the estimate is 0.0. Signatures from different
+    * configurations (unequal lengths) are incomparable → null; empty
+    * signatures → 0.0. */
   def estimated_jaccard(a: Column, b: Column): Column = {
     import org.apache.spark.sql.functions._
+    val identity = Long.MaxValue
+    val informative = zip_with(a, b, (x, y) =>
+      when(x === identity && y === identity, 0.0).otherwise(1.0))
     val agreements = zip_with(a, b, (x, y) =>
-      when(x === y, 1.0).otherwise(0.0))
+      when(x === y && x =!= identity, 1.0).otherwise(0.0))
+    val nInf = aggregate(informative, lit(0.0), (acc, v) => acc + v)
     when(size(a) === 0 || size(b) === 0, lit(0.0))
       .when(size(a) =!= size(b), lit(null).cast("double"))
-      .otherwise(
-        aggregate(agreements, lit(0.0), (acc, v) => acc + v) / size(a))
+      .otherwise(when(nInf === 0.0, lit(0.0)).otherwise(
+        aggregate(agreements, lit(0.0), (acc, v) => acc + v) / nInf))
   }
 }

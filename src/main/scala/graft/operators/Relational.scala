@@ -847,8 +847,14 @@ object Relational {
         |  SELECT o_orderkey, o_custkey, epoch_ns(o_orderdate) AS ots
         |  FROM orders
         |), e AS (
+        |  -- DuckDB ASOF's pick among right rows tied on ets is
+        |  -- unspecified; AsOfJoin's tieBreak deterministically keeps
+        |  -- the greatest event_id, so drop its losers here to make
+        |  -- the oracle tie-free and deterministic
         |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS ets
-        |  FROM events)
+        |  FROM events
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, epoch_ns(ts)
+        |    ORDER BY event_id DESC) = 1)
         |SELECT o.o_orderkey, e.event_id AS last_event_id,
         |  e.event_type AS last_event_type
         |FROM o ASOF LEFT JOIN e

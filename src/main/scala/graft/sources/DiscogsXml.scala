@@ -104,24 +104,31 @@ object DiscogsXml {
 
   /** First-wins global dedup by id — reference O12 semantics
     * (`HashMap.entry(id).or_insert`, `release.rs:185-187`) made exact
-    * across the whole dump instead of per 10k batch.
-    * `monotonically_increasing_id` is monotone within a partition and
-    * partition-ordered across them, so for any input it is a stable
-    * proxy for document order (gz = 1 partition = exact document
-    * order). One shuffle on the key.
+    * across the whole dump instead of per 10k batch. One shuffle on
+    * the key.
+    *
+    * Ordering: `monotonically_increasing_id` is monotone within a
+    * partition, and a gz file is exactly one partition, so within a
+    * file it is exact document order. ACROSS files the partition index
+    * is planning-dependent (the file source bin-packs partitions
+    * sorted by size descending), so the order key is (file path, id):
+    * deterministic for any multi-file read — file paths ascending,
+    * document order within each file — instead of silently depending
+    * on file sizes.
     */
   private def firstWinsById(df: DataFrame, key: String = "id"): DataFrame = {
-    val w = Window.partitionBy(col(key)).orderBy(col("__ord"))
+    val w = Window.partitionBy(col(key)).orderBy(col("__file"), col("__ord"))
     // a re-staged table carries its document order as a materialized
     // __ord column (partition index no longer tracks document order
     // after a repartition); a direct XML read derives it here
     val ordered =
-      if (df.columns.contains("__ord")) df
-      else df.withColumn("__ord", monotonically_increasing_id())
+      if (df.columns.contains("__ord")) df.withColumn("__file", lit(""))
+      else df.withColumn("__file", input_file_name())
+        .withColumn("__ord", monotonically_increasing_id())
     ordered
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__ord", "__rn")
+      .drop("__file", "__ord", "__rn")
   }
 
   /** O2: root-element dispatch — peek the first bytes of the (possibly
@@ -328,6 +335,14 @@ object DiscogsXml {
     * sequential per-file loop, `main.rs:43-103`, except each entity's
     * tables land as separate DataFrames and multiple files of the same
     * entity union together — monthly-dump union, SURVEY §2.2 set ops).
+    *
+    * NOTE: the union is a plain UNION ALL — dedup is per FILE (each
+    * reader call), so an id present in two dumps keeps both rows, as
+    * two monthly snapshots of the same record. Cross-dump first-wins
+    * semantics are a policy choice, not a default: route the result
+    * through [[graft.operators.DiscogsQueries.unionDumps]] (or pass
+    * all files of one logical dump in a single reader call, where
+    * (file, document-order) first-wins applies).
     */
   def loadAll(spark: SparkSession, paths: Seq[String]): Map[String, DataFrame] = {
     val parts = paths.groupBy(detectEntity)

@@ -163,6 +163,23 @@ class DiscogsXmlSpec extends AnyFunSuite {
     assert(DiscogsXml.rejects(spark, f.toString).count() == 2)
   }
 
+  test("multi-file first-wins follows file order, not partition size") {
+    // same id in two files; b.xml is much larger, so Spark's
+    // size-descending bin-packing would schedule it first — the
+    // survivor must still come from a.xml (file paths ascending)
+    val dir = java.nio.file.Files.createTempDirectory("multifile")
+    def release(id: Int, title: String) =
+      s"""  <release id="$id" status="Accepted"><title>$title</title></release>"""
+    java.nio.file.Files.writeString(dir.resolve("a.xml"),
+      s"""<releases>\n${release(1, "FromA")}\n</releases>\n""")
+    val padding = (100 to 160).map(i => release(i, s"Pad $i")).mkString("\n")
+    java.nio.file.Files.writeString(dir.resolve("b.xml"),
+      s"""<releases>\n${release(1, "FromB")}\n$padding\n</releases>\n""")
+    val t = DiscogsXml.readReleases(spark, dir.toString)
+    assert(t.release.filter("id = 1").first().getString(2) == "FromA")
+    assert(t.release.count() == 62) // 1 survivor + 61 padding
+  }
+
   test("restage preserves rows, schema, and first-wins document order") {
     // duplicate-id fixture: the survivor must still be the FIRST
     // occurrence after the re-stage's repartition scrambles physical

@@ -165,6 +165,26 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaAgg == direct)
   }
 
+  test("estimated_jaccard ignores never-updated identity slots") {
+    import spark.implicits._
+    import graft.functions.MinHashUnionAgg.estimated_jaccard
+    val M = Long.MaxValue
+    val rows = Seq(
+      // both all-identity (two empty groups): must be 0.0, not 1.0
+      (Seq(M, M, M, M), Seq(M, M, M, M), 0.0),
+      // 2 informative slots (1 agree, 1 differ), 2 both-identity
+      (Seq(1L, 2L, M, M), Seq(1L, 3L, M, M), 0.5),
+      // one-sided identity IS informative (one group saw shingles)
+      (Seq(1L, M), Seq(1L, 5L), 0.5),
+      // fully informative, all agree
+      (Seq(7L, 8L), Seq(7L, 8L), 1.0))
+    rows.zipWithIndex.foreach { case ((a, b, want), i) =>
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(estimated_jaccard($"a", $"b")).first().getDouble(0)
+      assert(got == want, s"case $i: got $got, want $want")
+    }
+  }
+
   test("GraftExtensions function builders work via SQL") {
     val s2 = spark.newSession()
     GraftExtensions.registerAll(s2)

@@ -134,25 +134,34 @@ object Dedup {
     */
   def d04_ngram_jaccard: Q = (s, d) => {
     import graft.functions.TextHashFunctions.array_jaccard
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, d)
-    val tok = docs
+    // per-doc DISTINCT token sets are a map-side array_distinct — no
+    // shuffle spent deduping the exploded token stream
+    val base = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), col("lang"),
-        explode(tokens(col("text"))).as("tok"))
-      .filter(length(col("tok")) > 0)
-      .distinct()
-      .persist() // df count + prefix rank + per-doc set collection
+        sort_array(array_remove(array_distinct(tokens(col("text"))), ""))
+          .as("toks"))
+      .persist() // token explode + both verify joins
+    val tok = base.select(col("doc_id"), col("source"), col("lang"),
+      explode(col("toks")).as("tok"))
     // document frequency per block: the prefix ordering key
     val dfc = tok.groupBy(col("source"), col("lang"), col("tok"))
       .agg(count(lit(1)).as("df"))
-    val wDoc = Window.partitionBy(col("doc_id"))
-    // ⌈t·n⌉ in exact integer arithmetic (t = 4/5): (4n + 4) div 5 —
-    // double math (n * 0.8) rounds wrong at e.g. n = 5
-    val ceilTn = floor((col("n_tok") * 4 + 4) / 5)
-    val prefix = tok.join(dfc, Seq("source", "lang", "tok"))
-      .withColumn("n_tok", count(lit(1)).over(wDoc))
-      .withColumn("pos", row_number().over(wDoc.orderBy(col("df"), col("tok"))))
-      .filter(col("pos") <= col("n_tok") - ceilTn + 1)
+    // ONE aggregation rebuilds each doc's tokens ordered by the global
+    // (df, tok) order (struct sort is field-lexicographic); the prefix
+    // is then a map-side slice — no window sort over the token stream
+    val perDoc = tok.join(dfc, Seq("source", "lang", "tok"))
+      .groupBy(col("doc_id"), col("source"), col("lang"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord_toks"))
+      // prefix size n − ⌈t·n⌉ + 1 with ⌈t·n⌉ (t = 4/5) in exact
+      // integer arithmetic: (4n + 4) div 5 — double math (n * 0.8)
+      // rounds wrong at e.g. n = 5
+      .withColumn("p",
+        size(col("ord_toks"))
+          - floor((size(col("ord_toks")) * 4 + 4) / 5).cast(IntegerType) + 1)
+    val prefix = perDoc
+      .select(col("source"), col("lang"), col("doc_id"),
+        explode(slice(col("ord_toks"), lit(1), col("p"))).as("pt"))
+      .select(col("source"), col("lang"), col("pt.tok").as("tok"), col("doc_id"))
     val pa = prefix.select(col("source"), col("lang"), col("tok"), col("doc_id").as("id_a"))
     val pb = prefix.select(col("source"), col("lang"), col("tok"), col("doc_id").as("id_b"))
     val candidates = pa.join(pb, Seq("source", "lang", "tok"))
@@ -161,11 +170,9 @@ object Dedup {
     // exact verify: full (distinct) token set per doc, one array
     // Jaccard per candidate — identical value to the inverted-index
     // n_inter / (n_a + n_b − n_inter) form, so the oracle is unchanged
-    val sets = tok.groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("tok"))).as("toks"))
     candidates
-      .join(sets.select(col("doc_id").as("id_a"), col("toks").as("toks_a")), Seq("id_a"))
-      .join(sets.select(col("doc_id").as("id_b"), col("toks").as("toks_b")), Seq("id_b"))
+      .join(base.select(col("doc_id").as("id_a"), col("toks").as("toks_a")), Seq("id_a"))
+      .join(base.select(col("doc_id").as("id_b"), col("toks").as("toks_b")), Seq("id_b"))
       .withColumn("jaccard", round(array_jaccard(col("toks_a"), col("toks_b")), 4))
       .filter(col("jaccard") >= JaccardT)
       .select(col("id_a"), col("id_b"), col("jaccard"))

@@ -107,8 +107,10 @@ class PlanSpec extends AnyFunSuite {
     // exact verify is one array_jaccard per candidate pair, not a
     // per-token intersection count over full posting lists
     assert(p.contains("array_jaccard"))
-    // the candidate join's inputs pass through the prefix rank filter
-    assert(p.contains("row_number"))
+    // the candidate join's inputs are the sliced per-doc prefix, not
+    // the full posting list, and no window sort touches the tokens
+    assert(p.contains("slice(ord_toks"))
+    assert(!p.contains("Window"))
     assert(!p.contains("CartesianProduct"))
   }
 

@@ -571,7 +571,104 @@ object Relational {
          |  o_orderpriority ASC NULLS FIRST""".stripMargin)
   }
 
+  /** Correlated EXISTS / NOT EXISTS through the SQL surface. Catalyst
+    * decorrelates both into semi/anti joins — no per-row subquery
+    * execution; the scale shape is two hash joins on c_custkey.
+    */
+  def q37_exists_subquery: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("customer_q37")
+    Tables.orders(s, d).createOrReplaceTempView("orders_q37")
+    s.sql(
+      """SELECT c_mktsegment, COUNT(*) AS n_customers,
+        |  CAST(SUM(CASE WHEN has_big THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_with_big_order
+        |FROM (
+        |  SELECT c_custkey, c_mktsegment,
+        |    EXISTS(SELECT 1 FROM orders_q37 o
+        |           WHERE o.o_custkey = c.c_custkey
+        |             AND o.o_totalprice > 250000.0) AS has_big
+        |  FROM customer_q37 c) t
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  /** Ordered string aggregation (listagg): nations per region as one
+    * deterministic comma-joined string. sort_array fixes the order
+    * under any partitioning — collect_list alone is order-unstable. */
+  def q38_string_agg: Q = (s, d) =>
+    Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"),
+        array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"))
+      .orderBy(col("r_name"))
+
+  /** Gap-filling grid: every (event_type, hour-of-day) cell, including
+    * empty ones — sequence+explode builds the dense axis, the sparse
+    * counts left-join onto it. The broadcast keeps the grid build a
+    * BroadcastNestedLoopJoin, never a cartesian shuffle.
+    */
+  def q39_gap_fill: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val types = e.select(col("event_type")).distinct()
+    val hours = s.range(0, 1).select(
+      explode(sequence(lit(0), lit(23))).as("hour_of_day"))
+    val counts = e.groupBy(col("event_type"),
+        hour(col("ts")).as("hour_of_day"))
+      .agg(count(lit(1)).as("n"))
+    types.join(broadcast(hours), lit(true))
+      .join(counts, Seq("event_type", "hour_of_day"), "left")
+      .select(col("event_type"), col("hour_of_day"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+      .orderBy(col("event_type"), col("hour_of_day"))
+  }
+
+  /** Regexp functions over documents: match predicate + extracted
+    * first digit-run length, per language. rlike/regexp_extract are
+    * codegen'd builtins; the patterns stay in the POSIX-compatible
+    * subset both engines interpret identically. */
+  def q40_regexp: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("text").rlike("[0-9]").cast(LongType)).as("n_with_digit"),
+        max(length(regexp_extract(col("text"), "[0-9]+", 0))).as("max_digitrun_len"))
+      .orderBy(col("lang"))
+
+  /** ntile quartiles within each order priority (tie-broken by key so
+    * the assignment is a deterministic total order), aggregated per
+    * (priority, quartile) — the windowed-bucketing shape behind
+    * percentile-band reporting. */
+  def q41_ntile: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("o_orderpriority"), col("quartile"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderpriority"), col("quartile"))
+  }
+
+  /** Date arithmetic: per month (yyyymm int — engine-neutral), orders
+    * falling in the month's last 7 calendar days via last_day. */
+  def q42_date_arith: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .as("yyyymm"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum((col("o_orderdate") > date_sub(last_day(col("o_orderdate")), 7))
+          .cast(LongType)).as("n_last_week"))
+      .orderBy(col("yyyymm"))
+
   val queries: Map[String, Q] = Map(
+    "q37_exists_subquery" -> q37_exists_subquery,
+    "q38_string_agg" -> q38_string_agg,
+    "q39_gap_fill" -> q39_gap_fill,
+    "q40_regexp" -> q40_regexp,
+    "q41_ntile" -> q41_ntile,
+    "q42_date_arith" -> q42_date_arith,
     "q01_agg" -> q01_agg,
     "q02_point_lookup" -> q02_point_lookup,
     "q03_fanout_join" -> q03_fanout_join,
@@ -620,6 +717,57 @@ object Relational {
   private def DAVG(x: String) = s"${DSUM(x)} / COUNT($x)"
 
   val oracles: Map[String, String] = Map(
+    "q37_exists_subquery" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers,
+        |  CAST(SUM(CASE WHEN has_big THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_with_big_order
+        |FROM (
+        |  SELECT c_custkey, c_mktsegment,
+        |    EXISTS(SELECT 1 FROM orders o
+        |           WHERE o.o_custkey = c.c_custkey
+        |             AND o.o_totalprice > 250000.0) AS has_big
+        |  FROM customer c) t
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q38_string_agg" ->
+      """SELECT r_name, COUNT(*) AS n_nations,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q39_gap_fill" ->
+      """SELECT et.event_type, gs.hour_of_day,
+        |  COALESCE(c.n, 0) AS n_events
+        |FROM (SELECT DISTINCT event_type FROM events) et
+        |CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS hour_of_day) gs
+        |LEFT JOIN (
+        |  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS h,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2) c
+        |  ON c.event_type = et.event_type AND c.h = gs.hour_of_day
+        |ORDER BY et.event_type, gs.hour_of_day""".stripMargin,
+    "q40_regexp" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN regexp_matches(text, '[0-9]') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_with_digit,
+        |  CAST(MAX(COALESCE(LENGTH(regexp_extract(text, '[0-9]+')), 0)) AS INT)
+        |    AS max_digitrun_len
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q41_ntile" ->
+      s"""WITH q AS (
+         |  SELECT o_orderpriority, o_totalprice,
+         |    CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+         |      ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile
+         |  FROM orders)
+         |SELECT o_orderpriority, quartile, COUNT(*) AS n_orders,
+         |  ${DSUM("o_totalprice")} AS sum_price
+         |FROM q GROUP BY o_orderpriority, quartile
+         |ORDER BY o_orderpriority, quartile""".stripMargin,
+    "q42_date_arith" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) * 100
+        |    + EXTRACT(month FROM o_orderdate) AS INT) AS yyyymm,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CASE WHEN o_orderdate > last_day(o_orderdate) - 7
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_last_week
+        |FROM orders GROUP BY 1 ORDER BY yyyymm""".stripMargin,
     "q01_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${DSUM("l_quantity")} AS sum_qty,

@@ -60,6 +60,39 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Orders subset used by the stream-stream join. */
+  val orderSchema: StructType = StructType(Seq(
+    StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+    StructField("o_orderdate", TimestampType)))
+
+  /** File-source stream over a directory of orders parquet files
+    * (column-pruned to the join's needs). */
+  def readOrderStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(orderSchema).parquet(dir)
+
+  /** Stream-stream interval join — the streaming twin of
+    * q27_range_join: each order pairs with the same user's events in
+    * the 24 h before the order. BOTH sides are watermarked and the
+    * predicate bounds event-time in both directions, which is what
+    * lets Spark evict join state once the watermark passes the
+    * interval — bounded state on unbounded streams. A key-only equi
+    * join (no time bound) would buffer both streams forever.
+    */
+  def orderEventIntervalJoin(orders: DataFrame, events: DataFrame): DataFrame = {
+    val o = orders
+      .withColumnRenamed("o_orderdate", "o_ts")
+      .withWatermark("o_ts", "1 hour")
+    val e = events
+      .select(col("user_id"), col("event_id"), col("value"), col("ts"))
+      .withWatermark("ts", "1 hour")
+    o.join(e,
+      col("o_custkey") === col("user_id") &&
+        col("ts") >= col("o_ts") - expr("INTERVAL 24 HOURS") &&
+        col("ts") < col("o_ts"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_ts"),
+        col("event_id"), col("value"))
+  }
+
   final case class Event(event_id: Long, ts_ns: Long, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(start_ns: Long, last_ns: Long, n: Long)

@@ -58,6 +58,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join == static join on the same data") {
+    val dir = stageDir()
+    // the testdata orders (1995-2001) and events (2024) never overlap
+    // in time, so derive an order stream FROM the events: every 50th
+    // event becomes an "order" at its timestamp — same-user events in
+    // the 24 h before it are guaranteed to exist
+    val odir = Files.createTempDirectory("graft-orders").toString
+    val pseudoOrders = Tables.events(spark, sfDir)
+      .filter(col("event_id") % 50 === 0)
+      .select(col("event_id").as("o_orderkey"),
+        col("user_id").as("o_custkey"), col("ts").as("o_orderdate"))
+    pseudoOrders.coalesce(1).write.mode("overwrite").parquet(odir)
+    val q = EventStreams.orderEventIntervalJoin(
+        EventStreams.readOrderStream(spark, odir),
+        EventStreams.readEventStream(spark, dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ivj_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ivj_out")
+        .select(col("o_orderkey"), col("event_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // static twin: identical predicate over batch reads
+      val e = Tables.events(spark, sfDir)
+      val want = pseudoOrders.join(e,
+          col("o_custkey") === col("user_id") &&
+            col("ts") >= col("o_orderdate") - expr("INTERVAL 24 HOURS") &&
+            col("ts") < col("o_orderdate"))
+        .select(col("o_orderkey"), col("event_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(want.nonEmpty, "static twin matched nothing — vacuous test")
+      assert(streamed == want)
+    } finally q.stop()
+  }
+
   test("streaming sessionization emits exactly the closed batch sessions") {
     import spark.implicits._
     val dir = stageDir()

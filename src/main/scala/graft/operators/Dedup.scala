@@ -270,7 +270,38 @@ object Dedup {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** Snapshot diff — the monthly-dump CDC primitive: which documents
+    * were added, removed, or changed between two corpus snapshots.
+    * Expressed as one full-outer join on the key with content compared
+    * by hash (never by full text — the hash is computed scan-side so
+    * only (key, 16-byte digest) ever shuffles). At scale both
+    * snapshots bucket by doc_id and the join is exchange-free.
+    *
+    * Snapshots are derived deterministically from the one testdata
+    * corpus: A drops ids ≡ 9 (mod 10), B drops ids ≡ 0 (mod 10) and
+    * uppercases text for ids ≡ 0 (mod 13) — yielding all three diff
+    * classes.
+    */
+  def d07_snapshot_diff: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val snapA = docs.filter(col("doc_id") % 10 =!= 9)
+      .select(col("doc_id"), md5(col("text")).as("h_a"))
+    val snapB = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 13 === 0, upper(col("text")))
+          .otherwise(col("text"))).as("h_b"))
+    snapA.join(snapB, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("h_a").isNull, "added")
+          .when(col("h_b").isNull, "removed")
+          .when(col("h_a") =!= col("h_b"), "changed"))
+      .filter(col("status").isNotNull)
+      .select(col("doc_id"), col("status"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "d07_snapshot_diff" -> d07_snapshot_diff,
     "d01_dedup_exact" -> d01_dedup_exact,
     "d06_source_similarity" -> d06_source_similarity,
     "d02_minhash_lsh" -> d02_minhash_lsh,
@@ -280,6 +311,24 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "d07_snapshot_diff" ->
+      """WITH a AS (
+        |  SELECT doc_id, md5(text) AS h_a FROM documents
+        |  WHERE doc_id % 10 <> 9
+        |), b AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 13 = 0 THEN upper(text) ELSE text END)
+        |      AS h_b
+        |  FROM documents WHERE doc_id % 10 <> 0)
+        |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN a.doc_id IS NULL THEN 'added'
+        |       WHEN b.doc_id IS NULL THEN 'removed'
+        |       WHEN a.h_a <> b.h_b THEN 'changed' END AS status
+        |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        |WHERE CASE WHEN a.doc_id IS NULL THEN 'added'
+        |       WHEN b.doc_id IS NULL THEN 'removed'
+        |       WHEN a.h_a <> b.h_b THEN 'changed' END IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
     "d01_dedup_exact" ->
       """SELECT md5(text) AS content_hash, COUNT(*) AS n_copies,
         |  MIN(doc_id) AS keep_id

@@ -571,6 +571,52 @@ object Relational {
          |  o_orderpriority ASC NULLS FIRST""".stripMargin)
   }
 
+  /** Dense as-of join. The testdata orders (1995-2001) and events
+    * (2024) never overlap in time, so q24's oracle — while exact —
+    * only checks the all-null match path. This variant probes with
+    * every 50th EVENT as a pseudo-order at its own timestamp, so
+    * every probe has real same-user candidates and the composition's
+    * match path is oracle-covered end to end.
+    */
+  def q24b_asof_dense: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val o = e.filter(col("event_id") % 50 === 0)
+      .select(col("event_id").as("probe_id"),
+        col("user_id").as("probe_user"), col("ts_ns").as("ots"))
+    val joined = AsOfJoin.asofJoin(
+      o, e.select(col("user_id"), col("event_id"), col("event_type"), col("ts_ns")),
+      leftKey = col("probe_user"), rightKey = col("user_id"),
+      leftTs = col("ots"), rightTs = col("ts_ns"),
+      payload = Seq(col("event_id"), col("event_type")),
+      tieBreak = col("event_id"))
+    joined.select(col("probe_id"),
+      col("asof.event_id").as("last_event_id"),
+      col("asof.event_type").as("last_event_type"))
+      .orderBy(col("probe_id"))
+  }
+
+  /** Dense range join — q27's composition with the same event-derived
+    * probes as [[q24b_asof_dense]], so the in-window aggregation path
+    * carries real matches under the oracle. */
+  def q27b_range_dense: Q = (s, d) => {
+    val dayNs = 86400L * 1000000000L
+    val e = Tables.events(s, d)
+    val o = e.filter(col("event_id") % 50 === 0)
+      .select(col("event_id").as("probe_id"),
+        col("user_id").as("probe_user"), col("ts_ns").as("ots"))
+    val matched = RangeJoin.boundedRangeJoin(
+      o, e.select(col("user_id"), col("event_id"), col("value"), col("ts_ns")),
+      leftKey = col("probe_user"), rightKey = col("user_id"),
+      leftTs = col("ots"), rightTs = col("ts_ns"), width = dayNs)
+      .groupBy(col("probe_id").as("mk"))
+      .agg(count(lit(1)).as("n_ev"), dsum(col("value")).as("sum_ev"))
+    o.join(matched, o("probe_id") === matched("mk"), "left_outer")
+      .select(col("probe_id"),
+        coalesce(col("n_ev"), lit(0L)).as("n_events_24h"),
+        coalesce(col("sum_ev"), lit(0.0)).as("sum_value_24h"))
+      .orderBy(col("probe_id"))
+  }
+
   /** Correlated EXISTS / NOT EXISTS through the SQL surface. Catalyst
     * decorrelates both into semi/anti joins — no per-row subquery
     * execution; the scale shape is two hash joins on c_custkey.
@@ -663,6 +709,8 @@ object Relational {
       .orderBy(col("yyyymm"))
 
   val queries: Map[String, Q] = Map(
+    "q24b_asof_dense" -> q24b_asof_dense,
+    "q27b_range_dense" -> q27b_range_dense,
     "q37_exists_subquery" -> q37_exists_subquery,
     "q38_string_agg" -> q38_string_agg,
     "q39_gap_fill" -> q39_gap_fill,
@@ -717,6 +765,41 @@ object Relational {
   private def DAVG(x: String) = s"${DSUM(x)} / COUNT($x)"
 
   val oracles: Map[String, String] = Map(
+    "q24b_asof_dense" ->
+      """WITH o AS (
+        |  SELECT event_id AS probe_id, user_id AS probe_user,
+        |    epoch_ns(ts) AS ots
+        |  FROM events WHERE event_id % 50 = 0
+        |), e AS (
+        |  -- tie-free build side (see q24): keep the greatest event_id
+        |  -- per (user, ts), the row the Spark tieBreak selects
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS ets
+        |  FROM events
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, epoch_ns(ts)
+        |    ORDER BY event_id DESC) = 1)
+        |SELECT o.probe_id, e.event_id AS last_event_id,
+        |  e.event_type AS last_event_type
+        |FROM o ASOF LEFT JOIN e
+        |  ON o.probe_user = e.user_id AND o.ots >= e.ets
+        |ORDER BY probe_id""".stripMargin,
+    "q27b_range_dense" ->
+      s"""WITH o AS (
+         |  SELECT event_id AS probe_id, user_id AS probe_user,
+         |    epoch_ns(ts) AS ots
+         |  FROM events WHERE event_id % 50 = 0
+         |), m AS (
+         |  SELECT o.probe_id AS mk, COUNT(*) AS n_ev,
+         |    ${DSUM("e.value")} AS sum_ev
+         |  FROM o JOIN events e
+         |    ON o.probe_user = e.user_id
+         |    AND epoch_ns(e.ts) >= o.ots - 86400000000000
+         |    AND epoch_ns(e.ts) < o.ots
+         |  GROUP BY o.probe_id)
+         |SELECT o.probe_id,
+         |  COALESCE(m.n_ev, 0) AS n_events_24h,
+         |  COALESCE(m.sum_ev, 0.0) AS sum_value_24h
+         |FROM o LEFT JOIN m ON o.probe_id = m.mk
+         |ORDER BY probe_id""".stripMargin,
     "q37_exists_subquery" ->
       """SELECT c_mktsegment, COUNT(*) AS n_customers,
         |  CAST(SUM(CASE WHEN has_big THEN 1 ELSE 0 END) AS BIGINT)

@@ -123,13 +123,46 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"), col("vec_id"))
   }
 
+  /** Per-label embedding L2-norm statistics — the sanity screen a
+    * vector pipeline runs before indexing (un-normalized or zero
+    * vectors break cosine ANN). Norm = sqrt(dot(v,v)) in the codegen'd
+    * [[graft.functions.DotProduct]] (floats widened to double before
+    * multiply, matching DuckDB's CAST AS DOUBLE[] semantics); rounded
+    * to 4dp before aggregating so the oracle compare is ulp-proof.
+    * Map-only + one tiny aggregate.
+    */
+  def s04_norm_stats: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("label"),
+        round(sqrt(dot_product(col("embedding"), col("embedding"))), 4)
+          .as("norm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(graft.Tables.dsum(col("norm")) / count(lit(1)), 4).as("avg_norm"),
+        min(col("norm")).as("min_norm"),
+        max(col("norm")).as("max_norm"))
+      .orderBy(col("label"))
+
   val queries: Map[String, Q] = Map(
     "s01_ann_bruteforce" -> s01_ann_bruteforce,
     "s02_ann_lsh" -> s02_ann_lsh,
     "s03_ann_ivf" -> s03_ann_ivf,
+    "s04_norm_stats" -> s04_norm_stats,
   )
 
   val oracles: Map[String, String] = Map(
+    "s04_norm_stats" ->
+      """WITH n AS (
+        |  SELECT label,
+        |    round(sqrt(list_inner_product(
+        |      CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 4)
+        |      AS norm
+        |  FROM embeddings)
+        |SELECT label, COUNT(*) AS n_vectors,
+        |  round(CAST(SUM(CAST(norm AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 4)
+        |    AS avg_norm,
+        |  MIN(norm) AS min_norm, MAX(norm) AS max_norm
+        |FROM n GROUP BY label ORDER BY label""".stripMargin,
     "s01_ann_bruteforce" ->
       s"""SELECT q_id, vec_id, cos, rk FROM (
          |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,

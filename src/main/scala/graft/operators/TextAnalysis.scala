@@ -136,7 +136,35 @@ object TextAnalysis {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Fixed-size overlapping character chunks — the training-data prep
+    * step that splits long documents into model-window-sized pieces.
+    * Chunk starts advance by `stride` (< `size` ⇒ overlap keeps
+    * context across boundaries); all arithmetic is integer so the
+    * chunk grid is engine-exact, and the md5 pins the chunk CONTENT
+    * in the oracle hash, not just its geometry. Map-only (explode of
+    * a per-row sequence — no shuffle at any scale).
+    */
+  def t06_chunking: Q = (s, d) => {
+    val size = 500
+    val stride = 400
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+    // n_chunks = 1 + ceil((len - size) / stride) for len > size, else 1
+    val extra = greatest(col("len") - size, lit(0))
+    val nChunks = lit(1) +
+      floor((extra + stride - 1) / stride).cast(IntegerType)
+    docs
+      .withColumn("chunk_id",
+        explode(sequence(lit(0), nChunks - 1)))
+      .select(col("doc_id"), col("chunk_id"),
+        col("text").substr(col("chunk_id") * stride + 1, lit(size)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        length(col("chunk")).as("chunk_len"), md5(col("chunk")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t06_chunking" -> t06_chunking,
     "t01_lang_id" -> t01_lang_id,
     "t02_quality" -> t02_quality,
     "t03_tokens" -> t03_tokens,
@@ -145,6 +173,20 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "t06_chunking" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS len FROM documents
+        |), g AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0,
+        |      CAST(floor((greatest(len - 500, 0) + 399) / 400) AS INT)))
+        |      AS chunk_id
+        |  FROM d)
+        |SELECT doc_id, chunk_id,
+        |  CAST(length(substring(text, chunk_id * 400 + 1, 500)) AS INT)
+        |    AS chunk_len,
+        |  md5(substring(text, chunk_id * 400 + 1, 500)) AS chunk_md5
+        |FROM g ORDER BY doc_id, chunk_id""".stripMargin,
     "t01_lang_id" -> {
       val scores = lexicons.map { case (lg, alt) =>
         s"len(regexp_extract_all(lower(text), '\\b$alt\\b')) AS s_$lg"

@@ -307,6 +307,30 @@ object DiscogsXml {
   def readMastersStaged(spark: SparkSession, stagedPath: String): MasterTables =
     normalizeMasters(spark.read.parquet(stagedPath), dedup = false)
 
+  /** [[loadAll]] over [[restage]]d paths (each `.../[entity]`). Same
+    * union semantics; the scans parallelize across parquet splits. */
+  def loadAllStaged(spark: SparkSession, stagedPaths: Seq[String]): Map[String, DataFrame] = {
+    val out = scala.collection.mutable.Map[String, DataFrame]()
+    def put(name: String, df: DataFrame): Unit =
+      out(name) = out.get(name).map(_.unionByName(df)).getOrElse(df)
+    stagedPaths.foreach { p =>
+      new java.io.File(p).getName match {
+        case "releases" =>
+          val t = readReleasesStaged(spark, p)
+          put("release", t.release); put("release_label", t.releaseLabel)
+          put("release_video", t.releaseVideo)
+        case "artists" => put("artist", readArtistsStaged(spark, p))
+        case "labels" => put("label", readLabelsStaged(spark, p))
+        case "masters" =>
+          val t = readMastersStaged(spark, p)
+          put("master", t.master); put("master_artist", t.masterArtist)
+        case other => throw new IllegalArgumentException(
+          s"$p: not a re-staged entity directory (got '$other')")
+      }
+    }
+    out.toMap
+  }
+
   /** Typed Dataset accessors — compile-time field checks for callers
     * that work row-wise (Encoders derive from the case classes in
     * [[graft.schemas.Discogs]]; the DataFrame plans are unchanged).

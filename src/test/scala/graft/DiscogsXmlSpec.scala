@@ -207,6 +207,22 @@ class DiscogsXmlSpec extends AnyFunSuite {
       DiscogsXml.readArtists(spark, res("artists.xml.gz")).collect().toSet)
   }
 
+  test("loadAllStaged over re-staged dumps matches direct loadAll") {
+    val out = java.nio.file.Files.createTempDirectory("staged-all")
+    val staged = Seq(res("releases.xml.gz"), res("artists.xml.gz"),
+      res("labels.xml.gz"), res("masters.xml.gz")).zipWithIndex.map {
+      case (f, i) => DiscogsXml.restage(spark, f, s"$out/d$i")
+    }
+    val viaStage = DiscogsXml.loadAllStaged(spark, staged)
+    val direct = DiscogsXml.loadAll(spark, Seq(
+      res("releases.xml.gz"), res("artists.xml.gz"),
+      res("labels.xml.gz"), res("masters.xml.gz")))
+    assert(viaStage.keySet == direct.keySet)
+    viaStage.keySet.foreach { t =>
+      assert(viaStage(t).collect().toSet == direct(t).collect().toSet, s"table $t")
+    }
+  }
+
   test("loadAll dispatches all four entities") {
     val all = DiscogsXml.loadAll(spark, Seq(
       res("releases.xml.gz"), res("artists.xml.gz"),

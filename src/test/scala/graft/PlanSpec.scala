@@ -114,6 +114,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q37 EXISTS decorrelates to an existence join, no per-row subquery") {
+    val p = plan("q37_exists_subquery")
+    assert(p.contains("ExistenceJoin"))
+    assert(!p.contains("Subquery"), "per-row subquery execution survived")
+  }
+
+  test("q39 grid build broadcasts (never a cartesian shuffle)") {
+    val p = plan("q39_gap_fill")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("d07 snapshot diff shuffles only (key, digest), hashes scan-side") {
+    val p = plan("d07_snapshot_diff")
+    // md5 must be computed below the exchange: the join inputs project
+    // exactly (doc_id, md5-digest), never the full text column
+    assert(p.contains("FullOuter"))
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(doc_id")
+    assert(exchangeIdx > 0)
+    assert(p.indexOf("md5", exchangeIdx) > 0,
+      "md5 should appear below the exchange (computed pre-shuffle)")
+    assert(!p.substring(0, p.indexOf("SortMergeJoin")).contains("text#"),
+      "full text column visible above the join")
+  }
+
   test("s01 ANN broadcasts the query side so the corpus is scanned once") {
     val p = plan("s01_ann_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))

@@ -163,7 +163,32 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** Vocabulary building: top-30 tokens per language by document
+    * frequency (ties broken lexically — fully deterministic). The
+    * scale shape: map-side array_distinct per doc, one shuffle for
+    * the (lang, token) counts, then per-lang top-k as a window over
+    * the (small) count table — the full token stream is never sorted.
+    */
+  def t07_vocab: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val k = 30
+    val counts = Tables.documents(s, d)
+      .select(col("lang"),
+        explode(array_remove(array_distinct(split(lower(col("text")), "\\s+")), ""))
+          .as("tok"))
+      .groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("df").desc, col("tok"))
+    counts
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("rk"), col("tok"), col("df"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t07_vocab" -> t07_vocab,
     "t06_chunking" -> t06_chunking,
     "t01_lang_id" -> t01_lang_id,
     "t02_quality" -> t02_quality,
@@ -173,6 +198,21 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "t07_vocab" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, lang,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT lang, tok, COUNT(*) AS df FROM tok
+        |  WHERE length(tok) > 0 GROUP BY lang, tok)
+        |SELECT lang,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY df DESC, tok) AS INT) AS rk,
+        |  tok, df
+        |FROM c
+        |QUALIFY rk <= 30
+        |ORDER BY lang, rk""".stripMargin,
     "t06_chunking" ->
       """WITH d AS (
         |  SELECT doc_id, text, length(text) AS len FROM documents

@@ -84,12 +84,14 @@ object Sinks {
       .saveAsTable(table)
 
   final case class JdbcConfig(url: String, user: String, password: String,
-      batchSize: Int = 10000)
+      batchSize: Int = 10000, copyFormat: String = "binary")
 
   /** Relational sink. Executors open their own connections (one per
     * partition) and stream `batchSize`-row batches — the reference's
     * 10k-row flush (O13, `db.rs:18-20`) distributed. Uses postgres
-    * COPY when the driver is available, batched INSERT otherwise.
+    * COPY when the driver is available (BINARY by default — the
+    * reference's wire format, `db.rs:242-244`; CSV via
+    * `copyFormat = "csv"`), batched INSERT otherwise.
     */
   def writeJdbc(df: DataFrame, table: String, cfg: JdbcConfig): Unit = {
     val schema = df.schema
@@ -100,8 +102,11 @@ object Sinks {
         try {
           if (PgCopy.available()) {
             // reference O14 fast path: stream the partition through
-            // COPY ... FROM STDIN (CSV) — no per-row round trips
-            PgCopy.copyIn(conn, table, colNames, rows): Unit
+            // COPY ... FROM STDIN — no per-row round trips
+            if (cfg.copyFormat == "binary")
+              PgBinaryCopy.copyIn(conn, table, colNames, schema, rows): Unit
+            else
+              PgCopy.copyIn(conn, table, colNames, rows): Unit
           } else {
             conn.setAutoCommit(false)
             val placeholders = colNames.map(_ => "?").mkString(", ")
@@ -140,6 +145,21 @@ object Sinks {
       }
     }
   }
+
+  /** Streaming → relational bridge: land each micro-batch through the
+    * same partition-streamed [[writeJdbc]] path. foreachBatch is the
+    * idiomatic seam from Structured Streaming to a batch sink — the
+    * batch DataFrame reuses all of the COPY/INSERT logic, and
+    * exactly-once reduces to the sink table's idempotency (key the
+    * table or dedup downstream; the reference's truncate-reload model
+    * has no streaming equivalent).
+    */
+  def jdbcStreamWriter(df: DataFrame, table: String,
+      cfg: JdbcConfig): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        writeJdbc(batch.toDF(), table, cfg)
+    }
 
   /** O16: truncate-and-reload DDL before a JDBC load (the reference
     * runs DROP TABLE IF EXISTS + CREATE, `db.rs:40-45`). */

@@ -61,6 +61,24 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(query("SELECT COUNT(*) FROM reload_t")(_.getLong(1)) == Vector(0L))
   }
 
+  test("streaming events land in Derby via the foreachBatch bridge") {
+    Sinks.initTable(cfg,
+      "CREATE TABLE stream_sink (event_id BIGINT, user_id BIGINT, value DOUBLE)")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-jdbc").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val events = graft.streaming.EventStreams.readEventStream(spark, dir)
+      .select(org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("value"))
+    val q = Sinks.jdbcStreamWriter(events, "stream_sink", cfg).start()
+    try q.processAllAvailable() finally q.stop()
+    val n = query("SELECT COUNT(*) FROM stream_sink")(_.getLong(1))
+    val want = Tables.events(spark, "/root/testdata/sf0.001").count()
+    assert(n == Vector(want))
+  }
+
   test("COPY CSV stream is byte-exact on a mixed golden batch") {
     val rows = Iterator(
       Row(1, "plain", Seq("Electronic", "Jazz"), null),

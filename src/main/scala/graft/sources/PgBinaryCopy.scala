@@ -77,8 +77,10 @@ object PgBinaryCopy {
       case (StringType, x: String) => d.write(x.getBytes("UTF-8"))
       case (BinaryType, x: Array[Byte]) => d.write(x)
       case (TimestampType, x: java.sql.Timestamp) =>
-        val micros = math.multiplyExact(x.getTime / 1000, 1000000L) +
-          x.getNanos / 1000
+        // floorDiv, not /: plain division truncates toward zero and
+        // shifts pre-1970 timestamps forward a second
+        val micros = math.multiplyExact(
+          Math.floorDiv(x.getTime, 1000L), 1000000L) + x.getNanos / 1000
         d.writeLong(micros - PgEpochMicros)
       case (DateType, x: java.sql.Date) =>
         d.writeInt((x.toLocalDate.toEpochDay - PgEpochDays).toInt)

@@ -87,6 +87,15 @@ class PgBinaryCopySpec extends AnyFunSuite {
     assert(ts != null) // silence unused warning for the non-UTC value
   }
 
+  test("pre-1970 timestamps floor correctly (no truncation-toward-zero)") {
+    val schema = StructType(Seq(StructField("ts", TimestampType)))
+    val ts = new java.sql.Timestamp(-500L) // 1969-12-31 23:59:59.5 UTC
+    ts.setNanos(500000000)
+    val got = PgBinaryCopy.encodeRow(Row(ts), schema)
+    val want = be16(1) ++ be32(8) ++ be64(-500000L - 946684800000000L)
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("RowStream frames header + tuples + trailer across small reads") {
     val schema = StructType(Seq(StructField("a", IntegerType)))
     val s = new PgBinaryCopy.RowStream(Iterator(Row(1), Row(2)), schema)

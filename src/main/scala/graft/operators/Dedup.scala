@@ -132,11 +132,14 @@ object Dedup {
     * index cannot occur. Cost is 3 shuffles (df count, prefix rank,
     * candidate join) + one broadcast-size-bounded verify join per side.
     */
-  def d04_ngram_jaccard: Q = (s, d) => {
+  def d04_ngram_jaccard: Q = (s, d) =>
+    ngramJaccardPairs(Tables.documents(s, d))
+
+  private[graft] def ngramJaccardPairs(documents: DataFrame): DataFrame = {
     import graft.functions.TextHashFunctions.array_jaccard
     // per-doc DISTINCT token sets are a map-side array_distinct — no
     // shuffle spent deduping the exploded token stream
-    val base = Tables.documents(s, d)
+    val base = documents
       .select(col("doc_id"), col("source"), col("lang"),
         sort_array(array_remove(array_distinct(tokens(col("text"))), ""))
           .as("toks"))

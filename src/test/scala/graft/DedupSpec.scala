@@ -40,6 +40,46 @@ class DedupSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("d04 prefix filtering is lossless on randomized corpora") {
+    import spark.implicits._
+    // small vocab forces hot tokens, exact-duplicate docs, and
+    // threshold-boundary jaccards — the regimes where a buggy prefix
+    // bound silently drops pairs
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = ('a' to 'l').map(_.toString)
+      val docs = (0 until 40).map { i =>
+        val n = 1 + rnd.nextInt(8)
+        val text = Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+        val dup = if (rnd.nextInt(4) == 0 && i > 0) Some(i - 1) else None
+        (i.toLong, s"src${i % 2}", s"l${i % 2}",
+          dup.map(_ => text).getOrElse(text)) // keep layout simple
+      }
+      // force a few exact duplicates (jaccard 1.0 must survive)
+      val withDups = docs ++ docs.take(5).map {
+        case (id, s0, l0, t) => (id + 1000, s0, l0, t)
+      }
+      val df = withDups.toDF("doc_id", "source", "lang", "text")
+      val got = operators.Dedup.ngramJaccardPairs(df)
+        .as[(Long, Long, Double)].collect().toSet
+      // naive in-memory reference
+      def toks(t: String) = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet
+      val rows = withDups.map { case (id, s0, l0, t) => (id, (s0, l0), toks(t)) }
+      val want = (for {
+        a <- rows; b <- rows
+        if a._1 < b._1 && a._2 == b._2
+        inter = (a._3 & b._3).size
+        union = (a._3 | b._3).size
+        if union > 0
+        j = BigDecimal(inter.toDouble / union)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if j >= 0.8
+      } yield (a._1, b._1, j)).toSet
+      assert(want.exists(_._3 == 1.0), s"seed $seed: no exact dups — weak test")
+      assert(got == want, s"seed $seed")
+    }
+  }
+
   test("d05 guard is a no-op when every block is under the ceiling") {
     import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)

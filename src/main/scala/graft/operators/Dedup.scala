@@ -155,12 +155,17 @@ object Dedup {
     val perDoc = tok.join(dfc, Seq("source", "lang", "tok"))
       .groupBy(col("doc_id"), col("source"), col("lang"))
       .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord_toks"))
-      // prefix size n − ⌈t·n⌉ + 1 with ⌈t·n⌉ (t = 4/5) in exact
-      // integer arithmetic: (4n + 4) div 5 — double math (n * 0.8)
-      // rounds wrong at e.g. n = 5
+      // prefix size n − ⌈t'·n⌉ + 1 in exact integer arithmetic.
+      // t' = 15999/20000 = 0.79995, NOT 0.8: the output filter keeps
+      // round(J, 4) ≥ 0.8, which admits true J down to 0.79995, so the
+      // prefix bound must be derived from that lower edge or pairs in
+      // [0.79995, 0.8) could be dropped before the verify step ever
+      // sees them. ⌈t'·n⌉ = (15999·n + 19999) div 20000; double math
+      // (n * 0.8) additionally rounds wrong at e.g. n = 5.
       .withColumn("p",
         size(col("ord_toks"))
-          - floor((size(col("ord_toks")) * 4 + 4) / 5).cast(IntegerType) + 1)
+          - floor((size(col("ord_toks")) * 15999L + 19999L) / 20000L)
+            .cast(IntegerType) + 1)
     val prefix = perDoc
       .select(col("source"), col("lang"), col("doc_id"),
         explode(slice(col("ord_toks"), lit(1), col("p"))).as("pt"))
@@ -226,7 +231,14 @@ object Dedup {
           col("embedding").as("emb_b")), Seq("label")))
 
     val big = sized.filter(col("__bn") > maxBlock)
-    val planes = 16; val dim = 64
+    val planes = 16
+    // hyperplanes must span the FULL embedding width — dot_product
+    // truncates to min(length), so a hardcoded 64 would silently hash
+    // only the first 64 components of wider embeddings. One tiny
+    // driver-side peek fixes the dimensionality; empty input keeps a
+    // harmless default (the LSH branch then has no rows anyway).
+    val dim = e.select(size(col("embedding"))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(64)
     val rnd = new scala.util.Random(42L)
     val planeCols = (0 until planes).map { _ =>
       array((0 until dim).map(_ => lit(rnd.nextGaussian())): _*)

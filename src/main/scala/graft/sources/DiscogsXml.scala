@@ -89,7 +89,13 @@ object DiscogsXml {
     val (tag, schema, idCol) = entityMeta(detectEntity(path))
     readXml(spark, path, tag, schema)
       .filter(col(CorruptCol).isNotNull || tryInt(col(idCol)).isNull)
-      .select(col(CorruptCol).as("corrupt_record"))
+      .select(
+        when(col(CorruptCol).isNotNull, "corrupt")
+          .otherwise("null_id").as("reason"),
+        // the raw (uncast) id value — for null_id rejects this is what
+        // failed to parse, the triage handle a bare NULL row lacks
+        col(idCol).cast(StringType).as("id_raw"),
+        col(CorruptCol).as("corrupt_record"))
   }
 
   /** Parse one dump to clean raw rows: explicit schema, corrupt and
@@ -281,11 +287,17 @@ object DiscogsXml {
     // first-wins dedup runs HERE, once: document order must be captured
     // while it still exists (the gz read is one in-order partition),
     // and paying the dedup shuffle at stage time means every staged
-    // read afterwards is pure map-side work — no shuffle at all
-    firstWinsById(
-      parseGood(spark, path, entity)
-        .withColumn("__ord", monotonically_increasing_id()),
-      idCol)
+    // read afterwards is pure map-side work — no shuffle at all.
+    // __ord is KEPT in the staged files (firstWinsById would drop it):
+    // it is the only durable record of document order, and any later
+    // first-wins pass over staged data (e.g. cross-dump union dedup)
+    // needs it — post-repartition partition indexes are arbitrary.
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__ord"))
+    parseGood(spark, path, entity)
+      .withColumn("__ord", monotonically_increasing_id())
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
       .repartition(n)
       .write.mode("overwrite").parquet(staged)
     staged

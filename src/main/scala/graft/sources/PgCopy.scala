@@ -27,6 +27,18 @@ object PgCopy {
       case _: LinkageError => false
     }
 
+  /** True iff THIS connection is a postgres connection — classpath
+    * presence alone must not route a Derby/H2/SQLite connection into
+    * COPY (unwrap would throw and the write would die without ever
+    * reaching the INSERT fallback). */
+  def isPostgres(conn: Connection): Boolean =
+    available() && {
+      try conn.isWrapperFor(
+        Class.forName("org.postgresql.PGConnection")
+          .asInstanceOf[Class[AnyRef]])
+      catch { case _: Throwable => false }
+    }
+
   /** CSV-encode one field per COPY CSV rules: null → empty unquoted,
     * strings quoted with doubled quotes, Seq → postgres array literal,
     * binary → bytea hex. Nested structs/maps are rejected loudly —

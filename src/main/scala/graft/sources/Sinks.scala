@@ -100,7 +100,7 @@ object Sinks {
       if (rows.nonEmpty) {
         val conn = DriverManager.getConnection(cfg.url, cfg.user, cfg.password)
         try {
-          if (PgCopy.available()) {
+          if (PgCopy.isPostgres(conn)) {
             // reference O14 fast path: stream the partition through
             // COPY ... FROM STDIN — no per-row round trips
             if (cfg.copyFormat == "binary")

@@ -48,15 +48,23 @@ class DedupSpec extends AnyFunSuite {
     for (seed <- Seq(1, 2, 3)) {
       val rnd = new scala.util.Random(seed)
       val vocab = ('a' to 'l').map(_.toString)
-      val docs = (0 until 40).map { i =>
+      val docs = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String)]
+      for (i <- 0 until 40) {
         val n = 1 + rnd.nextInt(8)
-        val text = Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
-        val dup = if (rnd.nextInt(4) == 0 && i > 0) Some(i - 1) else None
-        (i.toLong, s"src${i % 2}", s"l${i % 2}",
-          dup.map(_ => text).getOrElse(text)) // keep layout simple
+        val fresh = Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+        // 25% of docs copy the PREVIOUS doc's text with one extra
+        // token — near-identical-but-not-equal pairs at the threshold
+        // boundary, the regime a wrong prefix bound drops
+        val text =
+          if (rnd.nextInt(4) == 0 && i > 0)
+            docs(i - 1)._4 + " " + vocab(rnd.nextInt(vocab.length))
+          else fresh
+        // block key changes every 4 docs so consecutive (near-dup)
+        // pairs usually share a block and actually get compared
+        docs += ((i.toLong, s"src${(i / 4) % 2}", s"l${(i / 4) % 2}", text))
       }
       // force a few exact duplicates (jaccard 1.0 must survive)
-      val withDups = docs ++ docs.take(5).map {
+      val withDups = docs.toSeq ++ docs.take(5).map {
         case (id, s0, l0, t) => (id + 1000, s0, l0, t)
       }
       val df = withDups.toDF("doc_id", "source", "lang", "text")

@@ -160,7 +160,10 @@ class DiscogsXmlSpec extends AnyFunSuite {
     assert(t.release.collect().map(_.getInt(0)).toSet == Set(1, 2))
     // no null-id row survived into the table
     assert(t.release.filter("id IS NULL").count() == 0)
-    assert(DiscogsXml.rejects(spark, f.toString).count() == 2)
+    val rej = DiscogsXml.rejects(spark, f.toString)
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    // both rejects are inspectable: reason + the raw id that failed
+    assert(rej == Set(("null_id", Some("oops")), ("null_id", None)))
   }
 
   test("multi-file first-wins follows file order, not partition size") {

@@ -708,7 +708,31 @@ object Relational {
           .cast(LongType)).as("n_last_week"))
       .orderBy(col("yyyymm"))
 
+  /** Latest-wins compaction — the CDC/upsert dual of q10's first-wins:
+    * per (user_id, event_type), keep the newest event (tie-broken by
+    * event_id so the survivor is a deterministic total order). One
+    * shuffle on the compaction key; at scale this is the "current
+    * state" materialization over an append-only event log. */
+  def q43_latest_wins: Q = (s, d) => {
+    // µs granularity on BOTH engines: DuckDB reads the TIMESTAMP(NANOS)
+    // parquet at µs precision, so ns-precise ordering/output could
+    // never hash-match; event_id desc breaks any same-µs tie
+    // identically on both sides (integral div — double division loses
+    // µs exactness at ns epochs)
+    val tsUs = call_function("div", col("ts_ns"), lit(1000L))
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(tsUs.desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("ts_us", tsUs)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts_us"), col("value"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q43_latest_wins" -> q43_latest_wins,
     "q24b_asof_dense" -> q24b_asof_dense,
     "q27b_range_dense" -> q27b_range_dense,
     "q37_exists_subquery" -> q37_exists_subquery,
@@ -765,6 +789,13 @@ object Relational {
   private def DAVG(x: String) = s"${DSUM(x)} / COUNT($x)"
 
   val oracles: Map[String, String] = Map(
+    "q43_latest_wins" ->
+      """SELECT user_id, event_type, event_id,
+        |  epoch_us(ts) AS ts_us, value
+        |FROM events
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |  ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+        |ORDER BY user_id, event_type""".stripMargin,
     "q24b_asof_dense" ->
       """WITH o AS (
         |  SELECT event_id AS probe_id, user_id AS probe_user,

@@ -187,7 +187,48 @@ object TextAnalysis {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** Per-row predicted language (argmax of stopword hits, lexicon
+    * order breaking ties, 'und' when nothing hits) — the scalar form
+    * of [[t01_lang_id]]'s scoring, reused by the curation pipeline. */
+  private[operators] def predLangCol(tLower: Column): Column = {
+    val scores = lexicons.map { case (lg, alt) => lg -> hits(tLower, alt) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lg, sc), acc) =>
+      when(sc === best && best > 0, lit(lg)).otherwise(acc)
+    }
+  }
+
+  /** The curation pipeline end to end — what a training-data run
+    * actually executes before tokenization: canonical-fingerprint
+    * dedup (keep lowest doc_id), language gate (lexicon argmax must
+    * resolve), and quality gates (length + punctuation), emitting the
+    * curated corpus manifest. Single scan + one window shuffle on the
+    * fingerprint; every gate is a codegen'd expression.
+    */
+  def d08_curation: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val nTok = size(split(col("text"), "\\s+"))
+    val nChars = length(col("text"))
+    val nPunct = size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0)))
+    val fp = md5(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        fp.as("fp"), nTok.as("n_tokens"),
+        round(nPunct.cast(DoubleType) / nChars, 6).as("punct_ratio"),
+        round(least(nTok.cast(DoubleType) / 50.0, lit(1.0)) *
+          (lit(1.0) - nPunct.cast(DoubleType) / nChars), 4).as("quality_score"),
+        predLangCol(lower(col("text"))).as("pred_lang"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("pred_lang") =!= "und" &&
+        col("n_tokens") >= 5 && col("punct_ratio") < 0.2)
+      .select(col("doc_id"), col("pred_lang"), col("n_tokens"),
+        col("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "d08_curation" -> d08_curation,
     "t07_vocab" -> t07_vocab,
     "t06_chunking" -> t06_chunking,
     "t01_lang_id" -> t01_lang_id,
@@ -198,6 +239,35 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "d08_curation" -> {
+      val scores = lexicons.map { case (lg, alt) =>
+        s"len(regexp_extract_all(lower(text), '\\b$alt\\b')) AS s_$lg"
+      }.mkString(",\n    ")
+      val best = "greatest(" + lexicons.map("s_" + _._1).mkString(", ") + ")"
+      val pred = lexicons.map { case (lg, _) =>
+        s"WHEN s_$lg = $best AND $best > 0 THEN '$lg'"
+      }.mkString("CASE ", " ", " ELSE 'und' END")
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |    $scores,
+         |    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+         |    len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
+         |    length(text) AS n_chars,
+         |    len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct
+         |  FROM documents
+         |), ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id)
+         |    AS rn
+         |  FROM scored)
+         |SELECT doc_id, $pred AS pred_lang,
+         |  CAST(n_tokens AS INT) AS n_tokens,
+         |  round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) *
+         |    (1.0 - CAST(n_punct AS DOUBLE) / n_chars), 4) AS quality_score
+         |FROM ranked
+         |WHERE rn = 1 AND ($pred) <> 'und' AND n_tokens >= 5
+         |  AND round(CAST(n_punct AS DOUBLE) / n_chars, 6) < 0.2
+         |ORDER BY doc_id""".stripMargin
+    },
     "t07_vocab" ->
       """WITH tok AS (
         |  SELECT DISTINCT doc_id, lang,

@@ -731,7 +731,42 @@ object Relational {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** Deterministic (repeatable) stratified sampling — hash-mod on the
+    * key, NOT rand(): the same rows are sampled on every engine, every
+    * run, any partitioning. ~3/16 of each language stratum via the
+    * first md5 hex digit. The manifest shape a data pipeline persists
+    * next to the sample. Map-only. */
+  def q44_sample: Q = (s, d) =>
+    Tables.documents(s, d)
+      .filter(substring(md5(col("doc_id").cast(StringType)), 1, 1)
+        .isin("0", "1", "2"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  /** Non-equi broadcast band join: classify each order into a price
+    * band from a (tiny, broadcast) band dimension. The range predicate
+    * makes this a BroadcastNestedLoopJoin — correct at any fact scale
+    * because the stream side never shuffles; PlanSpec pins the shape.
+    */
+  def q45_band_join: Q = (s, d) => {
+    val bands = s.createDataFrame(Seq(
+      ("budget", 0.0, 100000.0),
+      ("mid", 100000.0, 250000.0),
+      ("high", 250000.0, 400000.0),
+      ("lux", 400000.0, Double.MaxValue)
+    )).toDF("band", "lo", "hi")
+    Tables.orders(s, d)
+      .join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("band"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q44_sample" -> q44_sample,
+    "q45_band_join" -> q45_band_join,
     "q43_latest_wins" -> q43_latest_wins,
     "q24b_asof_dense" -> q24b_asof_dense,
     "q27b_range_dense" -> q27b_range_dense,
@@ -789,6 +824,21 @@ object Relational {
   private def DAVG(x: String) = s"${DSUM(x)} / COUNT($x)"
 
   val oracles: Map[String, String] = Map(
+    "q44_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2')
+        |ORDER BY doc_id""".stripMargin,
+    "q45_band_join" ->
+      s"""WITH bands(band, lo, hi) AS (VALUES
+         |  ('budget', 0.0, 100000.0),
+         |  ('mid', 100000.0, 250000.0),
+         |  ('high', 250000.0, 400000.0),
+         |  ('lux', 400000.0, 1e308))
+         |SELECT band, COUNT(*) AS n_orders,
+         |  ${DSUM("o_totalprice")} AS sum_price
+         |FROM orders JOIN bands
+         |  ON o_totalprice >= lo AND o_totalprice < hi
+         |GROUP BY band ORDER BY band""".stripMargin,
     "q43_latest_wins" ->
       """SELECT user_id, event_type, event_id,
         |  epoch_us(ts) AS ts_us, value

@@ -139,6 +139,13 @@ class PlanSpec extends AnyFunSuite {
       "full text column visible above the join")
   }
 
+  test("q45 non-equi band join broadcasts the band dim (fact never shuffles)") {
+    val p = plan("q45_band_join")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Exchange hashpartitioning(o_"))
+  }
+
   test("s01 ANN broadcasts the query side so the corpus is scanned once") {
     val p = plan("s01_ann_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))

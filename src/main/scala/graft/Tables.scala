@@ -34,8 +34,16 @@ object Tables {
     * no nanosecond timestamp type, so read it as a raw long
     * (`nanosAsLong`) and expose BOTH a µs-truncated `ts` timestamp (for
     * date_trunc-style bucketing — identical to DuckDB at ≥µs
-    * granularity) and the exact `ts_ns` long (for ordering, so
-    * tie-breaks match a ns-precision engine bit-for-bit).
+    * granularity) and the exact `ts_ns` long.
+    *
+    * Oracle-parity caveat (verified against DuckDB 1.0.0): DuckDB
+    * reads this TIMESTAMP(NANOS) parquet TRUNCATED to µs — epoch_ns
+    * there is really µs·1000. An oracle-checked query must therefore
+    * never ORDER BY or output raw `ts_ns` without an explicit
+    * tie-break that also resolves sub-µs differences (see
+    * q43_latest_wins: order at µs + event_id); `ts_ns` remains exact
+    * for arithmetic (gaps, ranges) where both sides use the same
+    * bound arithmetic.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

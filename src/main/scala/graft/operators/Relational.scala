@@ -753,7 +753,7 @@ object Relational {
       ("budget", 0.0, 100000.0),
       ("mid", 100000.0, 250000.0),
       ("high", 250000.0, 400000.0),
-      ("lux", 400000.0, Double.MaxValue)
+      ("lux", 400000.0, 1e308) // same literal as the oracle's VALUES
     )).toDF("band", "lo", "hi")
     Tables.orders(s, d)
       .join(broadcast(bands),

@@ -37,23 +37,12 @@ object TextAnalysis {
     * with deterministic tie-break; 'und' (undetermined) when no lexicon
     * hits at all. Compared against the labeled `lang` column.
     */
-  def t01_lang_id: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-    val scored = lexicons.foldLeft(docs.withColumn("t", lower(col("text")))) {
-      case (df, (lg, alt)) => df.withColumn(s"s_$lg", hits(col("t"), alt))
-    }
-    val langs = lexicons.map(_._1)
-    val best = langs.map(lg => col(s"s_$lg")).reduce((a, b) => greatest(a, b))
-    // first lang (in lexicon order) achieving the max score wins ties
-    val predOrdered = langs.foldRight(lit("und"): Column) { case (lg, acc) =>
-      when(col(s"s_$lg") === best && best > 0, lit(lg)).otherwise(acc)
-    }
-    scored
-      .withColumn("pred_lang", predOrdered)
+  def t01_lang_id: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("pred_lang", predLangCol(lower(col("text"))))
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("pred_lang"))
-  }
 
   /** Quality scoring: length/token/punctuation/stopword ratios plus a
     * composite score. Integer counts; ratios are single double
@@ -213,7 +202,7 @@ object TextAnalysis {
     val fp = md5(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
     val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
     Tables.documents(s, d)
-      .select(col("doc_id"), col("text"),
+      .select(col("doc_id"),
         fp.as("fp"), nTok.as("n_tokens"),
         round(nPunct.cast(DoubleType) / nChars, 6).as("punct_ratio"),
         round(least(nTok.cast(DoubleType) / 50.0, lit(1.0)) *
@@ -238,15 +227,24 @@ object TextAnalysis {
     "t05_winnow_neardup" -> t05_winnow_neardup,
   )
 
+  /** DuckDB SQL fragments mirroring [[predLangCol]] — ONE source for
+    * both oracle blocks (t01 + d08) so a lexicon change can't
+    * desynchronize a query from its oracle. Returns (score select
+    * list, argmax CASE expression). */
+  private def langOracleSql: (String, String) = {
+    val scores = lexicons.map { case (lg, alt) =>
+      s"len(regexp_extract_all(lower(text), '\\b$alt\\b')) AS s_$lg"
+    }.mkString(",\n    ")
+    val best = "greatest(" + lexicons.map("s_" + _._1).mkString(", ") + ")"
+    val pred = lexicons.map { case (lg, _) =>
+      s"WHEN s_$lg = $best AND $best > 0 THEN '$lg'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    (scores, pred)
+  }
+
   val oracles: Map[String, String] = Map(
     "d08_curation" -> {
-      val scores = lexicons.map { case (lg, alt) =>
-        s"len(regexp_extract_all(lower(text), '\\b$alt\\b')) AS s_$lg"
-      }.mkString(",\n    ")
-      val best = "greatest(" + lexicons.map("s_" + _._1).mkString(", ") + ")"
-      val pred = lexicons.map { case (lg, _) =>
-        s"WHEN s_$lg = $best AND $best > 0 THEN '$lg'"
-      }.mkString("CASE ", " ", " ELSE 'und' END")
+      val (scores, pred) = langOracleSql
       s"""WITH scored AS (
          |  SELECT doc_id,
          |    $scores,
@@ -298,13 +296,7 @@ object TextAnalysis {
         |  md5(substring(text, chunk_id * 400 + 1, 500)) AS chunk_md5
         |FROM g ORDER BY doc_id, chunk_id""".stripMargin,
     "t01_lang_id" -> {
-      val scores = lexicons.map { case (lg, alt) =>
-        s"len(regexp_extract_all(lower(text), '\\b$alt\\b')) AS s_$lg"
-      }.mkString(",\n    ")
-      val best = "greatest(" + lexicons.map("s_" + _._1).mkString(", ") + ")"
-      val pred = lexicons.map { case (lg, _) =>
-        s"WHEN s_$lg = $best AND $best > 0 THEN '$lg'"
-      }.mkString("CASE ", " ", " ELSE 'und' END")
+      val (scores, pred) = langOracleSql
       s"""WITH scored AS (
          |  SELECT lang,
          |    $scores

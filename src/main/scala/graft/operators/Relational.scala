@@ -764,7 +764,22 @@ object Relational {
       .orderBy(col("band"))
   }
 
+  /** Salted two-phase aggregation under the oracle gate: the hot-key
+    * mitigation ([[SkewTools.saltedCountSum]]) must produce results
+    * IDENTICAL to a plain GROUP BY — proven here bit-for-bit by
+    * running the salted plan against the unsalted DuckDB oracle. The
+    * value is summed as DECIMAL(28,6) so the extra (key, salt) partial
+    * phase stays exact under any row distribution (double partials
+    * would drift with the salt assignment). */
+  def q46_salted_agg: Q = (s, d) =>
+    SkewTools.saltedCountSum(Tables.events(s, d), col("event_type"),
+        col("value").cast(DecimalType(28, 6)), saltFactor = 8)
+      .select(col("key").as("event_type"), col("n").as("n_events"),
+        col("s").cast(DoubleType).as("sum_value"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, Q] = Map(
+    "q46_salted_agg" -> q46_salted_agg,
     "q44_sample" -> q44_sample,
     "q45_band_join" -> q45_band_join,
     "q43_latest_wins" -> q43_latest_wins,
@@ -824,6 +839,10 @@ object Relational {
   private def DAVG(x: String) = s"${DSUM(x)} / COUNT($x)"
 
   val oracles: Map[String, String] = Map(
+    "q46_salted_agg" ->
+      s"""SELECT event_type, COUNT(*) AS n_events,
+         |  ${DSUM("value")} AS sum_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q44_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2')

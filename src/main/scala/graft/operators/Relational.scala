@@ -778,7 +778,24 @@ object Relational {
         col("s").cast(DoubleType).as("sum_value"))
       .orderBy(col("event_type"))
 
+  /** Salted skew join under the oracle gate: [[SkewTools.saltedJoin]]
+    * (hot-key rows spread over saltFactor reducers, small side
+    * replicated) must be result-identical to the plain inner join the
+    * DuckDB oracle runs. Aggregated per market segment with exact
+    * decimal sums so the compare is partitioning-proof. */
+  def q47_salted_join: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .withColumnRenamed("c_custkey", "user_id")
+    SkewTools.saltedJoin(e, c, "user_id", saltFactor = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q47_salted_join" -> q47_salted_join,
     "q46_salted_agg" -> q46_salted_agg,
     "q44_sample" -> q44_sample,
     "q45_band_join" -> q45_band_join,
@@ -839,6 +856,11 @@ object Relational {
   private def DAVG(x: String) = s"${DSUM(x)} / COUNT($x)"
 
   val oracles: Map[String, String] = Map(
+    "q47_salted_join" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_events,
+         |  ${DSUM("value")} AS sum_value
+         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q46_salted_agg" ->
       s"""SELECT event_type, COUNT(*) AS n_events,
          |  ${DSUM("value")} AS sum_value

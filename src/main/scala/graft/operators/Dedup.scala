@@ -15,6 +15,11 @@ import org.apache.spark.sql.types._
   * without a blocking key. The LSH variants are the 100 TB path (cost
   * ∝ candidates, not pairs); the exact-Jaccard verify step only runs
   * over LSH candidates.
+  *
+  * Caching note: d02/d04/d06 persist() an intermediate referenced by
+  * several downstream joins. The cache lives until the session evicts
+  * it — a long-lived session running many pipelines should call
+  * `spark.catalog.clearCache()` between them (as Verify/Bench do).
   */
 object Dedup {
 
@@ -231,14 +236,18 @@ object Dedup {
           col("embedding").as("emb_b")), Seq("label")))
 
     val big = sized.filter(col("__bn") > maxBlock)
-    val planes = 16
     // hyperplanes must span the FULL embedding width — dot_product
     // truncates to min(length), so a hardcoded 64 would silently hash
-    // only the first 64 components of wider embeddings. One tiny
-    // driver-side peek fixes the dimensionality; empty input keeps a
-    // harmless default (the LSH branch then has no rows anyway).
-    val dim = e.select(size(col("embedding"))).limit(1).collect()
-      .headOption.map(_.getInt(0)).getOrElse(64)
+    // only the first 64 components of wider embeddings. MAX over a
+    // null-filtered sample (not first(): an arbitrary short row would
+    // under-size the planes for every wider vector) — one small
+    // driver-side job, the price of sizing literal plane vectors.
+    val planes = 16
+    val dim = e.select(size(col("embedding")).as("s"))
+      .filter(col("s").isNotNull).limit(1000)
+      .agg(max(col("s"))).collect()
+      .headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+      .getOrElse(64) // empty input: LSH branch has no rows anyway
     val rnd = new scala.util.Random(42L)
     val planeCols = (0 until planes).map { _ =>
       array((0 until dim).map(_ => lit(rnd.nextGaussian())): _*)

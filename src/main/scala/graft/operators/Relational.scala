@@ -579,14 +579,19 @@ object Relational {
     * match path is oracle-covered end to end.
     */
   def q24b_asof_dense: Q = (s, d) => {
-    val e = Tables.events(s, d)
+    // µs on BOTH engines: DuckDB reads the nanos parquet truncated to
+    // µs (see Tables.events), so raw-ns predicates would diverge the
+    // moment two same-user events collide within one µs; the event_id
+    // tieBreak resolves such collisions identically on both sides
+    val tsUs = call_function("div", col("ts_ns"), lit(1000L))
+    val e = Tables.events(s, d).withColumn("ts_us", tsUs)
     val o = e.filter(col("event_id") % 50 === 0)
       .select(col("event_id").as("probe_id"),
-        col("user_id").as("probe_user"), col("ts_ns").as("ots"))
+        col("user_id").as("probe_user"), col("ts_us").as("ots"))
     val joined = AsOfJoin.asofJoin(
-      o, e.select(col("user_id"), col("event_id"), col("event_type"), col("ts_ns")),
+      o, e.select(col("user_id"), col("event_id"), col("event_type"), col("ts_us")),
       leftKey = col("probe_user"), rightKey = col("user_id"),
-      leftTs = col("ots"), rightTs = col("ts_ns"),
+      leftTs = col("ots"), rightTs = col("ts_us"),
       payload = Seq(col("event_id"), col("event_type")),
       tieBreak = col("event_id"))
     joined.select(col("probe_id"),
@@ -599,15 +604,19 @@ object Relational {
     * probes as [[q24b_asof_dense]], so the in-window aggregation path
     * carries real matches under the oracle. */
   def q27b_range_dense: Q = (s, d) => {
-    val dayNs = 86400L * 1000000000L
-    val e = Tables.events(s, d)
+    // µs on BOTH engines — same reasoning as q24b: DuckDB truncates
+    // the nanos parquet to µs, so the window predicate must be
+    // evaluated at µs or a sub-µs same-user collision diverges the gate
+    val dayUs = 86400L * 1000000L
+    val tsUs = call_function("div", col("ts_ns"), lit(1000L))
+    val e = Tables.events(s, d).withColumn("ts_us", tsUs)
     val o = e.filter(col("event_id") % 50 === 0)
       .select(col("event_id").as("probe_id"),
-        col("user_id").as("probe_user"), col("ts_ns").as("ots"))
+        col("user_id").as("probe_user"), col("ts_us").as("ots"))
     val matched = RangeJoin.boundedRangeJoin(
-      o, e.select(col("user_id"), col("event_id"), col("value"), col("ts_ns")),
+      o, e.select(col("user_id"), col("event_id"), col("value"), col("ts_us")),
       leftKey = col("probe_user"), rightKey = col("user_id"),
-      leftTs = col("ots"), rightTs = col("ts_ns"), width = dayNs)
+      leftTs = col("ots"), rightTs = col("ts_us"), width = dayUs)
       .groupBy(col("probe_id").as("mk"))
       .agg(count(lit(1)).as("n_ev"), dsum(col("value")).as("sum_ev"))
     o.join(matched, o("probe_id") === matched("mk"), "left_outer")
@@ -890,14 +899,14 @@ object Relational {
     "q24b_asof_dense" ->
       """WITH o AS (
         |  SELECT event_id AS probe_id, user_id AS probe_user,
-        |    epoch_ns(ts) AS ots
+        |    epoch_us(ts) AS ots
         |  FROM events WHERE event_id % 50 = 0
         |), e AS (
         |  -- tie-free build side (see q24): keep the greatest event_id
-        |  -- per (user, ts), the row the Spark tieBreak selects
-        |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS ets
+        |  -- per (user, µs), the row the Spark tieBreak selects
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ets
         |  FROM events
-        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, epoch_ns(ts)
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts)
         |    ORDER BY event_id DESC) = 1)
         |SELECT o.probe_id, e.event_id AS last_event_id,
         |  e.event_type AS last_event_type
@@ -907,15 +916,15 @@ object Relational {
     "q27b_range_dense" ->
       s"""WITH o AS (
          |  SELECT event_id AS probe_id, user_id AS probe_user,
-         |    epoch_ns(ts) AS ots
+         |    epoch_us(ts) AS ots
          |  FROM events WHERE event_id % 50 = 0
          |), m AS (
          |  SELECT o.probe_id AS mk, COUNT(*) AS n_ev,
          |    ${DSUM("e.value")} AS sum_ev
          |  FROM o JOIN events e
          |    ON o.probe_user = e.user_id
-         |    AND epoch_ns(e.ts) >= o.ots - 86400000000000
-         |    AND epoch_ns(e.ts) < o.ots
+         |    AND epoch_us(e.ts) >= o.ots - 86400000000
+         |    AND epoch_us(e.ts) < o.ots
          |  GROUP BY o.probe_id)
          |SELECT o.probe_id,
          |  COALESCE(m.n_ev, 0) AS n_events_24h,

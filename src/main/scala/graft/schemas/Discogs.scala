@@ -79,7 +79,10 @@ object Discogs {
   /** `<artist>` subtree (reference `artist.rs:55-70`); alias/member ids
     * are dropped (SURVEY §1.5), only text kept. */
   val artistXmlSchema: StructType = s(
-    f("id", IntegerType),
+    // STRING like the attribute ids: element conversion nulls a bad
+    // value silently, which would leave rejects() with no raw text to
+    // report; the readers try_cast and reject nulls uniformly
+    f("id", StringType),
     f("name", StringType),
     f("realname", StringType),
     f("profile", StringType),
@@ -93,7 +96,7 @@ object Discogs {
 
   /** `<label>` subtree (reference `label.rs:52-65`). */
   val labelXmlSchema: StructType = s(
-    f("id", IntegerType),
+    f("id", StringType), // see artistXmlSchema: uniform reject triage
     f("name", StringType),
     f("contactinfo", StringType),
     f("profile", StringType),

@@ -124,9 +124,11 @@ object DiscogsXml {
     */
   private def firstWinsById(df: DataFrame, key: String = "id"): DataFrame = {
     val w = Window.partitionBy(col(key)).orderBy(col("__file"), col("__ord"))
-    // a re-staged table carries its document order as a materialized
-    // __ord column (partition index no longer tracks document order
-    // after a repartition); a direct XML read derives it here
+    // a re-staged table carries its own dump's document order as a
+    // materialized __ord column (partition index no longer tracks
+    // document order after a repartition); a direct XML read derives
+    // it here. __ord is only meaningful WITHIN one staged dump —
+    // cross-dump unions must route through unionDumps instead.
     val ordered =
       if (df.columns.contains("__ord")) df.withColumn("__file", lit(""))
       else df.withColumn("__file", input_file_name())
@@ -289,9 +291,11 @@ object DiscogsXml {
     // and paying the dedup shuffle at stage time means every staged
     // read afterwards is pure map-side work — no shuffle at all.
     // __ord is KEPT in the staged files (firstWinsById would drop it):
-    // it is the only durable record of document order, and any later
-    // first-wins pass over staged data (e.g. cross-dump union dedup)
-    // needs it — post-repartition partition indexes are arbitrary.
+    // it is the only durable record of THIS dump's document order
+    // (post-repartition partition indexes are arbitrary). Scope: the
+    // column orders rows within ONE staged dump only — each dump's
+    // __ord restarts at 0, so cross-dump precedence must go through
+    // DiscogsQueries.unionDumps, never a raw union + first-wins.
     val w = Window.partitionBy(col(idCol)).orderBy(col("__ord"))
     parseGood(spark, path, entity)
       .withColumn("__ord", monotonically_increasing_id())

@@ -44,6 +44,19 @@ object PgBinaryCopy {
 
   val trailer: Array[Byte] = Array[Byte](-1, -1) // int16 -1
 
+  /** True iff every column of `schema` has a binary-COPY encoding
+    * here. [[Sinks.writeJdbc]] consults this so a schema the binary
+    * path can't express (decimals, non-string arrays, …) falls back
+    * to CSV COPY — where the server's input parser coerces — instead
+    * of failing every partition. */
+  def supports(schema: StructType): Boolean =
+    schema.fields.forall(_.dataType match {
+      case ShortType | IntegerType | LongType | FloatType | DoubleType |
+           BooleanType | StringType | BinaryType | TimestampType |
+           DateType | ArrayType(StringType, _) => true
+      case _ => false
+    })
+
   /** One tuple in binary COPY framing. `schema` drives the per-field
     * encoding; unsupported types fail loudly (a silently-wrong length
     * prefix would desynchronize the whole stream). */

@@ -84,7 +84,12 @@ object Sinks {
       .saveAsTable(table)
 
   final case class JdbcConfig(url: String, user: String, password: String,
-      batchSize: Int = 10000, copyFormat: String = "binary")
+      batchSize: Int = 10000, copyFormat: String = "binary") {
+    // fail fast on typos ("Binary", "BINARY") — a silent fallback
+    // would change the wire format instead of surfacing the mistake
+    require(copyFormat == "binary" || copyFormat == "csv",
+      s"copyFormat must be 'binary' or 'csv', got '$copyFormat'")
+  }
 
   /** Relational sink. Executors open their own connections (one per
     * partition) and stream `batchSize`-row batches — the reference's
@@ -102,8 +107,12 @@ object Sinks {
         try {
           if (PgCopy.isPostgres(conn)) {
             // reference O14 fast path: stream the partition through
-            // COPY ... FROM STDIN — no per-row round trips
-            if (cfg.copyFormat == "binary")
+            // COPY ... FROM STDIN — no per-row round trips. Binary is
+            // the reference's wire format but only covers the types it
+            // encodes (and string arrays assume a text[] column);
+            // schemas outside that set take CSV COPY, whose server-side
+            // input parser coerces (e.g. int -> bigint, text -> varchar[]).
+            if (cfg.copyFormat == "binary" && PgBinaryCopy.supports(schema))
               PgBinaryCopy.copyIn(conn, table, colNames, schema, rows): Unit
             else
               PgCopy.copyIn(conn, table, colNames, rows): Unit

@@ -166,6 +166,26 @@ class DiscogsXmlSpec extends AnyFunSuite {
     assert(rej == Set(("null_id", Some("oops")), ("null_id", None)))
   }
 
+  test("element-id entities get the same reject triage as attribute ids") {
+    // artists carry id as an ELEMENT; the read schema declares it
+    // STRING so a bad value reaches rejects() as raw text instead of
+    // being silently nulled by lenient element conversion
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<artists>
+        |  <artist><id>1</id><name>Good</name></artist>
+        |  <artist><id>xyz</id><name>Bad id</name></artist>
+        |</artists>
+        |""".stripMargin
+    val f = java.nio.file.Files.createTempFile("corrupt-artists", ".xml")
+    java.nio.file.Files.writeString(f, xml)
+    val a = DiscogsXml.readArtists(spark, f.toString)
+    assert(a.collect().map(_.getInt(0)).toSeq == Seq(1))
+    val rej = DiscogsXml.rejects(spark, f.toString)
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(rej == Set(("null_id", Some("xyz"))))
+  }
+
   test("multi-file first-wins follows file order, not partition size") {
     // same id in two files; b.xml is much larger, so Spark's
     // size-descending bin-packing would schedule it first — the

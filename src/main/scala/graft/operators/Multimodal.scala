@@ -100,12 +100,46 @@ object Multimodal {
         sum(octet_length(col("frame_bytes")).cast(LongType)).as("bytes_sampled"))
       .orderBy(col("doc_id"))
 
+  /** Media-catalog statistics per format. On a real binaryFile-backed
+    * table the size would come from the file-source `length` metadata
+    * column and parquet pruning would skip the payload entirely; over
+    * the synthesized corpus octet_length stands in for it. Every value
+    * is exact integer arithmetic over the synthesis formulas, so —
+    * uniquely among the m-ops — this one carries a DuckDB oracle
+    * derived from the same `documents` source.
+    */
+  def m03_media_stats: Q = (s, d) =>
+    synthesizeMedia(s, d)
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(octet_length(col("media")).cast(LongType)).as("total_bytes"),
+        sum((col("width").cast(LongType)) * col("height")).as("sum_pixels"),
+        max(col("n_frames")).as("max_frames"))
+      .orderBy(col("format"))
+
   val queries: Map[String, Q] = Map(
     "m01_media_features" -> m01_media_features,
     "m02_frame_sample" -> m02_frame_sample,
+    "m03_media_stats" -> m03_media_stats,
   )
 
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    // mirrors synthesizeMedia's formulas: media = (md5||md5) ×4 = 128
+    // bytes, format/width/height/n_frames are doc_id arithmetic
+    "m03_media_stats" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    ['jpeg','png','webm'][CAST(doc_id % 3 + 1 AS INT)] AS format,
+        |    doc_id % 640 + 64 AS width,
+        |    doc_id % 480 + 48 AS height,
+        |    doc_id % 16 + 1 AS n_frames
+        |  FROM documents)
+        |SELECT format, COUNT(*) AS n_media,
+        |  CAST(COUNT(*) * 128 AS BIGINT) AS total_bytes,
+        |  CAST(SUM(width * height) AS BIGINT) AS sum_pixels,
+        |  CAST(MAX(n_frames) AS INT) AS max_frames
+        |FROM m GROUP BY format ORDER BY format""".stripMargin,
+  )
 }
 
 /** The codec seam. Everything in here is a deterministic STUB standing

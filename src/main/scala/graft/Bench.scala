@@ -87,7 +87,25 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
+    // full-detail line first (humans reading the whole log, plus the file
+    // above), then a COMPACT line as the very last stdout write: the
+    // driver keeps only the final ~2000 chars of output (r01 and r02 both
+    // lost the opening brace of a ~2,900-char line to that window and
+    // recorded parsed:null), and sbt appends its own ~72-char [success]
+    // line after us. Short keys ("q01_agg" -> "q01"; the numbered prefix
+    // is unique across the whole query set) + 2-decimal seconds keep the
+    // compact line ~1.3k chars — inside the window with headroom for
+    // future queries.
     println(json)
+    def d2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qsShort = results.map { case (k, v, _) => "\"" + k.takeWhile(_ != '_') + "\":" + d2(v) }
+      .mkString("{", ",", "}")
+    val sfShort = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse(sfDir)
+    val compact = s"""{"metric":"total","value":${d2(total)},"unit":"sec","queries":$qsShort,"sf":$sfShort,"ingest_rps":${d0(inRate)},"ingest_rps_4f":${d0(parRate)},"restage_sec":${d2(stageSec)},"staged_rps":${d0(stagedRate)}}"""
+    if (compact.length > 1850)
+      System.err.println(s"[bench] compact line ${compact.length} chars — may overflow the driver's tail window")
+    println(compact)
+    Console.out.flush()
     spark.stop()
   }
 }

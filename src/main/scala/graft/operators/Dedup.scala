@@ -16,10 +16,15 @@ import org.apache.spark.sql.types._
   * ∝ candidates, not pairs); the exact-Jaccard verify step only runs
   * over LSH candidates.
   *
-  * Caching note: d02/d04/d06 persist() an intermediate referenced by
-  * several downstream joins. The cache lives until the session evicts
-  * it — a long-lived session running many pipelines should call
-  * `spark.catalog.clearCache()` between them (as Verify/Bench do).
+  * Caching note: d02/d04/d06 (and TextAnalysis t05) persist() an
+  * intermediate referenced by several downstream joins. persist() is
+  * MEMORY_AND_DISK, so an over-large intermediate degrades to disk
+  * rather than OOM — but the blocks are NOT unpersisted here (the
+  * builders return an unexecuted plan that still references them), so
+  * the cache lives until the session evicts it. A long-lived session
+  * running these repeatedly MUST call `spark.catalog.clearCache()`
+  * (or `df.unpersist()` on its own handles) between pipelines, as
+  * Verify and Bench both do between queries.
   */
 object Dedup {
 
@@ -238,13 +243,14 @@ object Dedup {
     val big = sized.filter(col("__bn") > maxBlock)
     // hyperplanes must span the FULL embedding width — dot_product
     // truncates to min(length), so a hardcoded 64 would silently hash
-    // only the first 64 components of wider embeddings. MAX over a
-    // null-filtered sample (not first(): an arbitrary short row would
-    // under-size the planes for every wider vector) — one small
-    // driver-side job, the price of sizing literal plane vectors.
+    // only the first 64 components of wider embeddings. MAX over the
+    // whole column (not a limit() sample: that's a nondeterministic
+    // subset, and a wider embedding outside it would get its tail
+    // ignored by every plane) — a single-column scan, the price of
+    // sizing literal plane vectors correctly.
     val planes = 16
     val dim = e.select(size(col("embedding")).as("s"))
-      .filter(col("s").isNotNull).limit(1000)
+      .filter(col("s").isNotNull)
       .agg(max(col("s"))).collect()
       .headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
       .getOrElse(64) // empty input: LSH branch has no rows anyway

@@ -296,13 +296,22 @@ object DiscogsXml {
     // column orders rows within ONE staged dump only — each dump's
     // __ord restarts at 0, so cross-dump precedence must go through
     // DiscogsQueries.unionDumps, never a raw union + first-wins.
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__ord"))
+    // survivor choice must not depend on planning: for a multi-file
+    // path (or a splittable plain .xml) partitions are bin-packed
+    // size-descending, so bare monotonically_increasing_id order is
+    // planning-dependent ACROSS files — order by (file, in-file
+    // position) exactly like firstWinsById. One shuffle total: the
+    // explicit repartition on the id satisfies the window's required
+    // clustering, so the window sorts in place and the writer inherits
+    // the n-way partitioning with no second exchange.
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__file"), col("__ord"))
     parseGood(spark, path, entity)
+      .withColumn("__file", input_file_name())
       .withColumn("__ord", monotonically_increasing_id())
+      .repartition(n, col(idCol))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__rn")
-      .repartition(n)
+      .drop("__rn", "__file")
       .write.mode("overwrite").parquet(staged)
     staged
   }

@@ -27,7 +27,6 @@ import java.sql.Connection
   */
 object PgBinaryCopy {
 
-  private val PgEpochMicros = 946684800000000L // 2000-01-01 in unix µs
   private val PgEpochDays = 10957 // 2000-01-01 in unix days
 
   private val TextOid = 25
@@ -90,11 +89,17 @@ object PgBinaryCopy {
       case (StringType, x: String) => d.write(x.getBytes("UTF-8"))
       case (BinaryType, x: Array[Byte]) => d.write(x)
       case (TimestampType, x: java.sql.Timestamp) =>
-        // floorDiv, not /: plain division truncates toward zero and
-        // shifts pre-1970 timestamps forward a second
-        val micros = math.multiplyExact(
-          Math.floorDiv(x.getTime, 1000L), 1000000L) + x.getNanos / 1000
-        d.writeLong(micros - PgEpochMicros)
+        // postgres `timestamp` is zoneless; the CSV COPY path
+        // (Timestamp.toString) and the INSERT fallback (pgjdbc
+        // setObject) both bind the JVM-default-zone WALL CLOCK, so the
+        // binary form must encode the same LocalDateTime — an
+        // epoch-instant encoding would shift every value by the TZ
+        // offset on any non-UTC JVM relative to the other two paths
+        val ldt = x.toLocalDateTime // default zone, nanos preserved
+        val micros = math.addExact(
+          math.multiplyExact(ldt.toLocalDate.toEpochDay - PgEpochDays, 86400000000L),
+          ldt.toLocalTime.toNanoOfDay / 1000)
+        d.writeLong(micros)
       case (DateType, x: java.sql.Date) =>
         d.writeInt((x.toLocalDate.toEpochDay - PgEpochDays).toInt)
       case (ArrayType(StringType, _), xs: scala.collection.Seq[_]) =>

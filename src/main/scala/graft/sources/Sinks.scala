@@ -136,7 +136,12 @@ object Sinks {
                       try ps.setArray(i + 1, conn.createArrayOf("text",
                         seq.map(_.asInstanceOf[AnyRef]).toArray))
                       catch {
-                        case _: java.sql.SQLFeatureNotSupportedException =>
+                        // not just SQLFeatureNotSupportedException:
+                        // drivers reject createArrayOf with a plain
+                        // SQLException (older SQLite/H2) or don't
+                        // implement it at all (AbstractMethodError on
+                        // pre-4.0 drivers) — degrade on any of them
+                        case _: java.sql.SQLException | _: LinkageError =>
                           arraysSupported = false
                           ps.setString(i + 1, PgCopy.arrayLiteral(seq))
                       }

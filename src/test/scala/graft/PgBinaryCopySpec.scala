@@ -89,11 +89,33 @@ class PgBinaryCopySpec extends AnyFunSuite {
 
   test("pre-1970 timestamps floor correctly (no truncation-toward-zero)") {
     val schema = StructType(Seq(StructField("ts", TimestampType)))
-    val ts = new java.sql.Timestamp(-500L) // 1969-12-31 23:59:59.5 UTC
-    ts.setNanos(500000000)
-    val got = PgBinaryCopy.encodeRow(Row(ts), schema)
-    val want = be16(1) ++ be32(8) ++ be64(-500000L - 946684800000000L)
-    assert(got.toSeq == want.toSeq)
+    val tz = java.util.TimeZone.getDefault
+    java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("UTC"))
+    try {
+      val ts = new java.sql.Timestamp(-500L) // 1969-12-31 23:59:59.5 UTC
+      ts.setNanos(500000000)
+      val got = PgBinaryCopy.encodeRow(Row(ts), schema)
+      val want = be16(1) ++ be32(8) ++ be64(-500000L - 946684800000000L)
+      assert(got.toSeq == want.toSeq)
+    } finally java.util.TimeZone.setDefault(tz)
+  }
+
+  test("non-UTC JVM: binary timestamp matches the CSV/INSERT wall clock") {
+    // postgres `timestamp` is zoneless; Timestamp.toString (CSV COPY)
+    // and pgjdbc setObject (INSERT fallback) both bind the default-zone
+    // wall clock. The binary path must agree — an epoch-instant
+    // encoding would shift this value by -5h (EST) relative to them.
+    val schema = StructType(Seq(StructField("ts", TimestampType)))
+    val tz = java.util.TimeZone.getDefault
+    java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("America/New_York"))
+    try {
+      val ts = java.sql.Timestamp.valueOf("2000-01-01 00:00:01.000001")
+      assert(ts.toString == "2000-01-01 00:00:01.000001") // the CSV form
+      val got = PgBinaryCopy.encodeRow(Row(ts), schema)
+      // wall clock 1.000001 s past the pg epoch, NOT 5h1.000001s
+      val want = be16(1) ++ be32(8) ++ be64(1000001L)
+      assert(got.toSeq == want.toSeq)
+    } finally java.util.TimeZone.setDefault(tz)
   }
 
   test("RowStream frames header + tuples + trailer across small reads") {

@@ -9,14 +9,19 @@ import org.apache.spark.sql.SparkSessionExtensions
   *
   * Injected functions: cosine_similarity, dot_product, simhash64,
   * word_shingles, minhash_signature, minhash_bands, array_jaccard.
+  * Injected optimizer rules: [[graft.plans.CosineFusionRule]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, usage, b) =>
       ext.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),
         GraftExtensions.info(name, usage), b))
     }
+    // post-resolution optimizer rule: single-pass cosine fusion (see
+    // CosineFusionRule scaladoc for the semantics trade)
+    ext.injectOptimizerRule(_ => graft.plans.CosineFusionRule)
+  }
 }
 
 object GraftExtensions {

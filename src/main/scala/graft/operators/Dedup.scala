@@ -330,6 +330,59 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Duplicate-cluster assignment: connected components over the
+    * verified near-duplicate pairs of [[d04_ngram_jaccard]], so every
+    * document in a transitive duplicate chain gets one canonical
+    * `cluster_id` (the minimum doc_id reachable from it) — the step a
+    * curation pipeline runs after pair generation, since keeping "one
+    * of each pair" over-deletes when chains overlap.
+    *
+    * Implementation: min-label propagation — labels start as own id;
+    * each round every node takes the min of its own and its
+    * neighbors' labels (one join + one aggregation per round, both
+    * shuffles on the node id) until a fixpoint. Rounds = component
+    * diameter; near-dup components are short chains, and the loop is
+    * hard-capped. Each round persists its (small) label table and the
+    * convergence check materializes it, so lineage stays one round
+    * deep. At 1000-executor scale with adversarially long chains,
+    * swap the loop body for large-star/small-star contraction
+    * (Kiveris et al.) — same per-round shuffle shape, O(log n)
+    * rounds; the driver-side loop-until-fixpoint skeleton here is
+    * exactly what that algorithm needs too.
+    */
+  def d09_dup_clusters: Q = (s, d) =>
+    dupClusters(
+      ngramJaccardPairs(Tables.documents(s, d)).select(col("id_a"), col("id_b")))
+
+  private[graft] def dupClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .persist()
+    var changed = true
+    var rounds = 0
+    while (changed && rounds < 25) {
+      val viaNbr = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .select(col("src").as("id"), col("cluster"))
+      val next = labels.unionByName(viaNbr)
+        .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+        .persist()
+      changed = !next
+        .join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
+        .filter(col("cluster") < col("old"))
+        .isEmpty
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "d07_snapshot_diff" -> d07_snapshot_diff,
     "d01_dedup_exact" -> d01_dedup_exact,
@@ -338,7 +391,34 @@ object Dedup {
     "d03_simhash" -> d03_simhash,
     "d04_ngram_jaccard" -> d04_ngram_jaccard,
     "d05_embedding_neardup" -> d05_embedding_neardup,
+    "d09_dup_clusters" -> d09_dup_clusters,
   )
+
+  /** The d04 pair query without its final ORDER BY — one source for
+    * the d04 oracle and the d09 oracle's `pairs` CTE (a drifted copy
+    * would make the cluster oracle disagree with the pair oracle). */
+  private val d04OracleBody: String =
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id, source, lang,
+      |    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+      |  FROM documents
+      |), tok2 AS (SELECT * FROM tok WHERE length(tok) > 0),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      |  FROM tok2 a JOIN tok2 b
+      |    ON a.source = b.source AND a.lang = b.lang AND a.tok = b.tok
+      |    AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS n_tok FROM tok2 GROUP BY doc_id)
+      |SELECT id_a, id_b,
+      |  round(CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter), 4)
+      |    AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter), 4)
+      |  >= 0.8""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "d07_snapshot_diff" ->
@@ -363,29 +443,20 @@ object Dedup {
       """SELECT md5(text) AS content_hash, COUNT(*) AS n_copies,
         |  MIN(doc_id) AS keep_id
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
-    "d04_ngram_jaccard" ->
-      """WITH tok AS (
-        |  SELECT DISTINCT doc_id, source, lang,
-        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
-        |  FROM documents
-        |), tok2 AS (SELECT * FROM tok WHERE length(tok) > 0),
-        |inter AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
-        |  FROM tok2 a JOIN tok2 b
-        |    ON a.source = b.source AND a.lang = b.lang AND a.tok = b.tok
-        |    AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id
-        |), sizes AS (
-        |  SELECT doc_id, COUNT(*) AS n_tok FROM tok2 GROUP BY doc_id)
-        |SELECT id_a, id_b,
-        |  round(CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter), 4)
-        |    AS jaccard
-        |FROM inter
-        |JOIN sizes sa ON sa.doc_id = id_a
-        |JOIN sizes sb ON sb.doc_id = id_b
-        |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter), 4)
-        |  >= 0.8
-        |ORDER BY id_a, id_b""".stripMargin,
+    "d04_ngram_jaccard" -> (d04OracleBody + "\nORDER BY id_a, id_b"),
+    "d09_dup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$d04OracleBody
+         |), edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs
+         |), reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+         |)
+         |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach
+         |GROUP BY id ORDER BY doc_id""".stripMargin,
     "d05_embedding_neardup" ->
       """SELECT vec_id, nn_id, cos FROM (
         |  SELECT a.vec_id, b.vec_id AS nn_id,

@@ -117,10 +117,37 @@ object Multimodal {
         max(col("n_frames")).as("max_frames"))
       .orderBy(col("format"))
 
+  /** Training-sample assembly — the join that materializes one
+    * multimodal training example per document: text metadata + media
+    * metadata + embedding stats as a single flat row. Scale shape:
+    * all three sides key on doc_id, so a bucketed/co-partitioned
+    * layout makes both joins shuffle-free; the binary payload is
+    * projected to its length before the join, so the wide column
+    * never moves through a shuffle (and on a real parquet-backed
+    * media table would never leave the scan).
+    */
+  def m04_sample_assembly: Q = (s, d) => {
+    import graft.functions.VectorFunctions.dot_product
+    val media = synthesizeMedia(s, d)
+      .select(col("doc_id"), col("format"),
+        octet_length(col("media")).as("media_bytes"))
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id").as("doc_id"),
+        size(col("embedding")).as("emb_dim"),
+        round(sqrt(dot_product(col("embedding"), col("embedding"))), 4)
+          .as("emb_norm"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(media, Seq("doc_id"))
+      .join(emb, Seq("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "m01_media_features" -> m01_media_features,
     "m02_frame_sample" -> m02_frame_sample,
     "m03_media_stats" -> m03_media_stats,
+    "m04_sample_assembly" -> m04_sample_assembly,
   )
 
   val oracles: Map[String, String] = Map(
@@ -139,6 +166,24 @@ object Multimodal {
         |  CAST(SUM(width * height) AS BIGINT) AS sum_pixels,
         |  CAST(MAX(n_frames) AS INT) AS max_frames
         |FROM m GROUP BY format ORDER BY format""".stripMargin,
+    // media_bytes: synthesizeMedia emits (md5||md5)×4 = 128 bytes/row;
+    // emb_norm: sqrt of the same sequential double dot both engines run
+    "m04_sample_assembly" ->
+      """WITH med AS (
+        |  SELECT doc_id,
+        |    ['jpeg','png','webm'][CAST(doc_id % 3 + 1 AS INT)] AS format,
+        |    CAST(128 AS INT) AS media_bytes
+        |  FROM documents),
+        |emb AS (
+        |  SELECT vec_id AS doc_id,
+        |    CAST(len(embedding) AS INT) AS emb_dim,
+        |    round(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+        |      CAST(embedding AS DOUBLE[]))), 4) AS emb_norm
+        |  FROM embeddings)
+        |SELECT d.doc_id, d.lang, d.n_chars, med.format, med.media_bytes,
+        |  emb.emb_dim, emb.emb_norm
+        |FROM documents d JOIN med USING (doc_id) JOIN emb USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
   )
 }
 

@@ -803,7 +803,70 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Higher-order array functions (transform / filter / aggregate)
+    * over per-order quantity vectors. The lambdas are interpreted per
+    * element (not codegen'd) — fine here because they run once per
+    * GROUP, not per row; for per-row hot paths prefer a native
+    * expression (see functions.VectorExpressions). Ascending
+    * sort_array fixes the fold order so the double sums are
+    * partition-independent.
+    */
+  def q48_hof_arrays: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") % 50 === 0)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_quantity"))).as("qs"))
+      .select(col("l_orderkey"),
+        size(col("qs")).as("n_items"),
+        round(aggregate(col("qs"), lit(0.0d), (a, x) => a + x), 4).as("hof_sum"),
+        size(filter(col("qs"), x => x > 30.0d)).as("n_big"),
+        round(aggregate(transform(col("qs"), x => x * x), lit(0.0d),
+          (a, x) => a + x), 4).as("sum_sq"))
+      .orderBy(col("l_orderkey"))
+
+  /** Deterministic stratified sampling: keep ≈10% of every `source`
+    * stratum by thresholding a Knuth multiplicative hash of the key —
+    * exact integer arithmetic, so the SAME rows are kept on any
+    * cluster size, any partitioning, and in the DuckDB oracle (a
+    * seeded `sample` can promise none of that). This is how a
+    * training pipeline carves reproducible subsets at 100 TB: a
+    * map-only predicate, no shuffle before the per-stratum counts.
+    */
+  def q49_stratified_sample: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("keep",
+        col("doc_id") * 2654435761L % 4294967296L % 1000L < 100L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"))
+      .withColumn("rate", round(col("n_sampled") / col("n_total"), 4))
+      .orderBy(col("source"))
+
+  /** Native session-window aggregation — the declarative twin of the
+    * hand-rolled gap-and-cumsum [[q21_sessionize]]: Spark's
+    * `session_window` plans a single UpdatingSessionsExec-style
+    * aggregation keyed on (user, merged-window), no window-function
+    * sort pass. Boundary semantics: windows are [start, last+gap), so
+    * an event exactly `gap` after the previous one starts a NEW
+    * session (the oracle's `diff >= gap` mirror). Runs on the µs
+    * `ts` column (see Tables.events: DuckDB truncates this parquet's
+    * nanos to µs, so both engines must sessionize at µs).
+    */
+  def q21b_session_window: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"),
+        dsum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("start_us"), col("end_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("start_us"))
+
   val queries: Map[String, Q] = Map(
+    "q48_hof_arrays" -> q48_hof_arrays,
+    "q49_stratified_sample" -> q49_stratified_sample,
+    "q21b_session_window" -> q21b_session_window,
     "q47_salted_join" -> q47_salted_join,
     "q46_salted_agg" -> q46_salted_agg,
     "q44_sample" -> q44_sample,
@@ -870,6 +933,45 @@ object Relational {
          |  ${DSUM("value")} AS sum_value
          |FROM events e JOIN customer c ON e.user_id = c.c_custkey
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q48_hof_arrays" ->
+      """WITH arr AS (
+        |  SELECT l_orderkey, list_sort(list(l_quantity)) AS qs
+        |  FROM lineitem WHERE l_orderkey % 50 = 0 GROUP BY l_orderkey)
+        |SELECT l_orderkey,
+        |  CAST(len(qs) AS INT) AS n_items,
+        |  round(list_reduce(qs, (a, x) -> a + x), 4) AS hof_sum,
+        |  CAST(len(list_filter(qs, x -> x > 30.0)) AS INT) AS n_big,
+        |  round(list_reduce(list_transform(qs, x -> x * x),
+        |    (a, x) -> a + x), 4) AS sum_sq
+        |FROM arr ORDER BY l_orderkey""".stripMargin,
+    "q49_stratified_sample" ->
+      """SELECT source,
+        |  COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN doc_id * 2654435761 % 4294967296 % 1000 < 100
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |  round(CAST(SUM(CASE WHEN doc_id * 2654435761 % 4294967296 % 1000 < 100
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS rate
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q21b_session_window" ->
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+         |), m AS (
+         |  SELECT user_id, ts_us, value,
+         |    CASE WHEN ts_us - LAG(ts_us) OVER (
+         |        PARTITION BY user_id ORDER BY ts_us) >= 1800000000
+         |      OR LAG(ts_us) OVER (
+         |        PARTITION BY user_id ORDER BY ts_us) IS NULL
+         |      THEN 1 ELSE 0 END AS brk
+         |  FROM e
+         |), sid AS (
+         |  SELECT user_id, ts_us, value,
+         |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+         |      ROWS UNBOUNDED PRECEDING) AS session_no
+         |  FROM m)
+         |SELECT user_id, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+         |  COUNT(*) AS n_events, ${DSUM("value")} AS sum_value
+         |FROM sid GROUP BY user_id, session_no
+         |ORDER BY user_id, start_us""".stripMargin,
     "q46_salted_agg" ->
       s"""SELECT event_type, COUNT(*) AS n_events,
          |  ${DSUM("value")} AS sum_value

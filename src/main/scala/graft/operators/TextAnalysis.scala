@@ -216,8 +216,93 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** TF-IDF: top-3 terms per document by tf·idf (tf = in-doc count /
+    * doc length; idf = ln(N / df)). Three aggregations (term counts,
+    * doc lengths, document frequency) + one broadcast of the scalar
+    * corpus size, then a per-doc window over the small per-term table.
+    * All inputs to the double math are exact integers, so both engines
+    * compute ln/÷ on identical arguments — round(…,4) is stable.
+    */
+  def t08_tfidf: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val tok = docs.select(col("doc_id"),
+      explode(array_remove(split(lower(col("text")), "\\s+"), "")).as("tok"))
+    val tf = tok.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val dlen = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    val dfc = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("tok"))
+    tf.join(dlen, Seq("doc_id")).join(dfc, Seq("tok"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round((col("c") / col("len")) * log(col("n_docs") / col("df")), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("tok"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  /** Adjacent-bigram counts for [[t09_bigram_lm]] / [[t10_pmi]]: the
+    * one-pass native [[graft.functions.WordShingles]] expression (n=2)
+    * over the empty-filtered token stream — map-only until the count
+    * shuffle. Docs with <2 tokens contribute nothing (word_shingles
+    * would emit the whole doc as one short shingle, which the DuckDB
+    * zip-based oracle never generates). */
+  private def bigramCounts(docs: DataFrame): DataFrame = {
+    import graft.functions.TextHashFunctions.word_shingles
+    val toks = array_remove(split(lower(col("text")), "\\s+"), "")
+    docs.select(toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(word_shingles(col("toks"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_bigram"))
+  }
+
+  /** Bigram language-model table: global bigram counts and the
+    * conditional next-word probability p(w2 | w1) = c(w1 w2) / c(w1·),
+    * where c(w1·) is the head's count summed from the bigram table
+    * itself (self-consistent, no separate unigram pass). The LM-count
+    * shape every n-gram pipeline runs before training. */
+  def t09_bigram_lm: Q = (s, d) => {
+    val c = bigramCounts(Tables.documents(s, d))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+    val hc = c.groupBy(col("w1")).agg(sum(col("c_bigram")).as("c_head"))
+    c.join(hc, Seq("w1"))
+      .filter(col("c_bigram") >= 5)
+      .select(col("bigram"), col("c_bigram"), col("c_head"),
+        round(col("c_bigram") / col("c_head"), 4).as("p_next"))
+      .orderBy(col("bigram"))
+  }
+
+  /** Collocation mining by pointwise mutual information over adjacent
+    * bigrams: pmi = ln(p(xy) / (p(x)·p(y))) = ln(c_xy·T / (c_x·c_y)).
+    * Head/tail marginals and the total T all derive from the one
+    * bigram count table (two tiny reaggregations + one broadcast);
+    * every ln argument is a ratio of exact int64 products, so the
+    * rounded value is engine-stable. */
+  def t10_pmi: Q = (s, d) => {
+    val c = bigramCounts(Tables.documents(s, d))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+    val heads = c.groupBy(col("w1")).agg(sum(col("c_bigram")).as("c_x"))
+    val tails = c.groupBy(col("w2")).agg(sum(col("c_bigram")).as("c_y"))
+    val total = c.agg(sum(col("c_bigram")).as("t_bigrams"))
+    c.join(heads, Seq("w1")).join(tails, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .filter(col("c_bigram") >= 10)
+      .select(col("bigram"), col("c_bigram"),
+        round(log((col("c_bigram") * col("t_bigrams")) /
+          (col("c_x") * col("c_y"))), 4).as("pmi"))
+      .orderBy(col("bigram"))
+  }
+
   val queries: Map[String, Q] = Map(
     "d08_curation" -> d08_curation,
+    "t08_tfidf" -> t08_tfidf,
+    "t09_bigram_lm" -> t09_bigram_lm,
+    "t10_pmi" -> t10_pmi,
     "t07_vocab" -> t07_vocab,
     "t06_chunking" -> t06_chunking,
     "t01_lang_id" -> t01_lang_id,
@@ -241,6 +326,23 @@ object TextAnalysis {
     }.mkString("CASE ", " ", " ELSE 'und' END")
     (scores, pred)
   }
+
+  /** Shared DuckDB CTE block (`toks`/`bg`/`c`) mirroring
+    * [[bigramCounts]] — one source for the t09 + t10 oracles. DuckDB
+    * builds the adjacent pairs by zipping the token list with its own
+    * 2-offset slice (lengths equalized so no NULL-padded tail pair);
+    * the Spark side is the native word_shingles(toks, 2) expression,
+    * which joins with the same single space. */
+  private val bigramOracleCte: String =
+    """toks AS (
+      |  SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |    t -> t <> '') AS l
+      |  FROM documents
+      |), bg AS (
+      |  SELECT unnest(list_transform(list_zip(l[1:len(l)-1], l[2:]),
+      |    p -> p[1] || ' ' || p[2])) AS bigram
+      |  FROM toks WHERE len(l) >= 2
+      |), c AS (SELECT bigram, COUNT(*) AS c_bigram FROM bg GROUP BY bigram)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "d08_curation" -> {
@@ -266,6 +368,56 @@ object TextAnalysis {
          |  AND round(CAST(n_punct AS DOUBLE) / n_chars, 6) < 0.2
          |ORDER BY doc_id""".stripMargin
     },
+    "t08_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |  FROM documents
+        |), tok2 AS (SELECT * FROM tok WHERE length(tok) > 0),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok2 GROUP BY doc_id, tok),
+        |dlen AS (SELECT doc_id, COUNT(*) AS len FROM tok2 GROUP BY doc_id),
+        |dfc AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT doc_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY
+        |    round((CAST(c AS DOUBLE) / len) * ln(CAST(n_docs AS DOUBLE) / df), 4)
+        |      DESC, tok) AS INT) AS rk,
+        |  tok,
+        |  round((CAST(c AS DOUBLE) / len) * ln(CAST(n_docs AS DOUBLE) / df), 4)
+        |    AS tfidf
+        |FROM tf JOIN dlen USING (doc_id) JOIN dfc USING (tok) CROSS JOIN n
+        |QUALIFY rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
+    "t09_bigram_lm" ->
+      s"""WITH $bigramOracleCte,
+        |h AS (
+        |  SELECT split_part(bigram, ' ', 1) AS w1,
+        |    CAST(SUM(c_bigram) AS BIGINT) AS c_head
+        |  FROM c GROUP BY 1)
+        |SELECT bigram, c_bigram, c_head,
+        |  round(CAST(c_bigram AS DOUBLE) / c_head, 4) AS p_next
+        |FROM c JOIN h ON split_part(c.bigram, ' ', 1) = h.w1
+        |WHERE c_bigram >= 5
+        |ORDER BY bigram""".stripMargin,
+    "t10_pmi" ->
+      s"""WITH $bigramOracleCte,
+        |hx AS (
+        |  SELECT split_part(bigram, ' ', 1) AS w1,
+        |    CAST(SUM(c_bigram) AS BIGINT) AS c_x
+        |  FROM c GROUP BY 1),
+        |ty AS (
+        |  SELECT split_part(bigram, ' ', 2) AS w2,
+        |    CAST(SUM(c_bigram) AS BIGINT) AS c_y
+        |  FROM c GROUP BY 1),
+        |t AS (SELECT CAST(SUM(c_bigram) AS BIGINT) AS t_bigrams FROM c)
+        |SELECT bigram, c_bigram,
+        |  round(ln(CAST(c_bigram * t_bigrams AS DOUBLE) / (c_x * c_y)), 4)
+        |    AS pmi
+        |FROM c
+        |JOIN hx ON split_part(c.bigram, ' ', 1) = hx.w1
+        |JOIN ty ON split_part(c.bigram, ' ', 2) = ty.w2
+        |CROSS JOIN t
+        |WHERE c_bigram >= 10
+        |ORDER BY bigram""".stripMargin,
     "t07_vocab" ->
       """WITH tok AS (
         |  SELECT DISTINCT doc_id, lang,

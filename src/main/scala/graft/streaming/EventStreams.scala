@@ -93,6 +93,26 @@ object EventStreams {
         col("event_id"), col("value"))
   }
 
+  /** Native session-window streaming aggregation — the declarative
+    * twin of [[sessionize]] (and the streaming form of
+    * Relational.q21b_session_window): Spark keeps one mergeable
+    * session state per (user, window) and finalizes a session once
+    * the watermark passes its end (= last event + gap). Same output
+    * as the flatMapGroupsWithState version but with engine-managed
+    * state, watermark eviction, and no custom merge code — prefer
+    * this unless the session logic outgrows a gap rule.
+    */
+  def sessionWindowAgg(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n_events"))
+
   final case class Event(event_id: Long, ts_ns: Long, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(start_ns: Long, last_ns: Long, n: Long)

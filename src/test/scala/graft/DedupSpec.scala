@@ -129,4 +129,23 @@ class DedupSpec extends AnyFunSuite {
     assert(verify.filter(col("la") =!= col("lb")).count() == 0)
     assert(verify.filter(col("cos") =!= col("true_cos")).count() == 0)
   }
+
+  test("d09 connected components: chain, triangle, isolated pair") {
+    import spark.implicits._
+    // chain 1-2-3-4-5: diameter 4, so min-label propagation needs
+    // several rounds to pull 1 all the way to node 5; triangle with a
+    // redundant edge; and an isolated pair
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L),
+    ).toDF("id_a", "id_b")
+    val got = operators.Dedup.dupClusters(pairs)
+      .as[(Long, Long)].collect().toSet
+    val want = Set(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L)
+    assert(got == want)
+  }
 }

@@ -199,4 +199,39 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getDouble(2) === 1.0)
     assert(r.getAs[scala.collection.Seq[Long]](3).length == 16)
   }
+
+  test("CosineFusionRule fuses dot(l2,l2) into one-pass cosine") {
+    val df = Seq(
+      (Array(1f, 2f, 2f), Array(2f, 1f, 2f)),
+      (Array(0f, 0f, 0f), Array(1f, 0f, 0f)), // zero vector: both forms 0.0
+    ).toDF("a", "b")
+      .select(
+        dot_product(l2_normalize($"a"), l2_normalize($"b")).as("fusable"),
+        cosine_similarity($"a", $"b").as("direct"))
+    // the rewrite itself, applied to the analyzed plan
+    val rewritten = graft.plans.CosineFusionRule(df.queryExecution.analyzed)
+    val flat = rewritten.expressions.flatMap(_.collect { case e => e })
+    assert(flat.exists(_.isInstanceOf[graft.functions.CosineSimilarity]))
+    assert(!flat.exists(_.isInstanceOf[graft.functions.DotProduct]),
+      "dot_product(l2_normalize, l2_normalize) survived the rewrite")
+    // value equivalence: exact for zero vectors, ulp-level otherwise
+    df.as[(Double, Double)].collect().foreach { case (f, c) =>
+      assert(math.abs(f - c) < 1e-12, s"fused $f vs direct $c")
+    }
+    // end-to-end through an optimizer-rule extension point (over a
+    // parquet-backed table: ConvertToLocalRelation would constant-fold
+    // the whole projection away on an in-memory Seq relation)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.CosineFusionRule
+    try {
+      val opt = Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .select(dot_product(l2_normalize(col("embedding")),
+          l2_normalize(col("embedding"))))
+        .queryExecution.optimizedPlan
+      val oflat = opt.expressions.flatMap(_.collect { case e => e })
+      assert(oflat.exists(_.isInstanceOf[graft.functions.CosineSimilarity]))
+    } finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations
+        .filterNot(_ == graft.plans.CosineFusionRule)
+  }
 }

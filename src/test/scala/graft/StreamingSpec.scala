@@ -93,6 +93,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("native session_window stream agrees with batch q21b sessions") {
+    val dir = stageDir()
+    val q = EventStreams.sessionWindowAgg(EventStreams.readEventStream(spark, dir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("swin_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("swin_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // batch q21b reports end_us as the LAST EVENT's µs; the native
+      // session window's end is last event + gap
+      val batch = operators.Relational.q21b_session_window(spark, sfDir)
+        .select(col("user_id"), col("start_us"),
+          (col("end_us") + 1800L * 1000000L).as("window_end_us"),
+          col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(streamed.nonEmpty, "no session emitted — watermark never closed one")
+      // append mode can only emit true sessions...
+      assert(streamed.subsetOf(batch))
+      // ...and MUST have emitted every session whose window end lies
+      // strictly before the final watermark (max event time − 1 h)
+      val maxUs = Tables.events(spark, sfDir)
+        .agg(max(unix_micros(col("ts")))).first().getLong(0)
+      val mustEmit = batch.filter(_._3 < maxUs - 3600L * 1000000L)
+      assert(mustEmit.nonEmpty, "vacuous: no session closed before the watermark")
+      assert(mustEmit.subsetOf(streamed))
+    } finally q.stop()
+  }
+
   test("streaming sessionization emits exactly the closed batch sessions") {
     import spark.implicits._
     val dir = stageDir()

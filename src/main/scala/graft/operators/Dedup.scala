@@ -360,24 +360,39 @@ object Dedup {
       .persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
+      .select(col("id"), col("cluster"), col("cluster").as("old"))
       .persist()
     var changed = true
     var rounds = 0
     while (changed && rounds < 25) {
       val viaNbr = edges
-        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .join(labels.select(col("id").as("dst"), col("cluster")), Seq("dst"))
         .select(col("src").as("id"), col("cluster"))
-      val next = labels.unionByName(viaNbr)
-        .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+      // the previous label rides along as `old` (MaxValue on neighbor
+      // rows, so min(old) recovers each node's own previous label) —
+      // convergence is then a filter over THIS table, no second join.
+      // The count() is deliberate: it materializes EVERY partition of
+      // the new cache before the old one is dropped. A limit-style
+      // probe (isEmpty) only computes the partitions it touches, and
+      // the untouched ones would later recompute through the already
+      // unpersisted previous round — a cascade that re-ran the whole
+      // upstream pair pipeline once per round (measured 96 s at sf0.1;
+      // 1.3 s with the full materialization).
+      val next = labels.select(col("id"), col("cluster"), col("cluster").as("old"))
+        .unionByName(viaNbr.withColumn("old", lit(Long.MaxValue)))
+        .groupBy(col("id"))
+        .agg(min(col("cluster")).as("cluster"), min(col("old")).as("old"))
         .persist()
-      changed = !next
-        .join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
-        .filter(col("cluster") < col("old"))
-        .isEmpty
+      changed = next.filter(col("cluster") < col("old")).count() > 0
       labels.unpersist()
       labels = next
       rounds += 1
     }
+    if (changed)
+      System.err.println(
+        s"[dupClusters] label propagation hit the $rounds-round cap before " +
+          "converging — labels are partially propagated; a duplicate chain " +
+          "this long needs the large-star/small-star variant")
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
       .orderBy(col("doc_id"))

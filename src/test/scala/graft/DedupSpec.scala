@@ -148,4 +148,31 @@ class DedupSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L)
     assert(got == want)
   }
+
+  test("d09 connected components match union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    for (_ <- 1 to 3) {
+      val n = 40 + rnd.nextInt(40)
+      val edges = Seq.fill(n) {
+        val a = rnd.nextInt(30).toLong; val b = rnd.nextInt(30).toLong
+        if (a < b) (a, b) else (b, a + 1) // no self loops
+      }.distinct
+      val got = operators.Dedup.dupClusters(edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      // reference: plain union-find over the same edges
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = nodes.map(v => v -> find(v)).toMap
+      assert(got == want)
+    }
+  }
 }

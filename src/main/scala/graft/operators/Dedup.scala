@@ -358,10 +358,26 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
+    // materialize the edge cache in its own job: round 1 scans edges
+    // twice (label init + neighbor join), and two concurrent scans of
+    // an unmaterialized cache would each run the pair pipeline
+    edges.count()
+    // Iterative loop discipline: every round ends in an EAGER
+    // localCheckpoint, not persist(). A persisted round would keep the
+    // previous round in its lineage, and both paths through the cache
+    // machinery burn: a limit-style convergence probe (isEmpty) only
+    // materializes the partitions it touches, and unpersisting round r
+    // CASCADE-recaches round r+1 (clearing its buffers) because its
+    // plan references the dropped InMemoryRelation — each round then
+    // recomputed the whole chain (measured: 96 s, then 45 s at sf0.1).
+    // localCheckpoint cuts the lineage to a LogicalRDD: round r+1
+    // cannot be invalidated and the final plan is independent of every
+    // intermediate, so nothing in the loop is ever recomputed (1.5 s).
+    // On a multi-node cluster prefer checkpoint(dir) at the same spots
+    // (localCheckpoint blocks die with their executor).
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
-      .select(col("id"), col("cluster"), col("cluster").as("old"))
-      .persist()
+      .localCheckpoint(true)
     var changed = true
     var rounds = 0
     while (changed && rounds < 25) {
@@ -370,22 +386,14 @@ object Dedup {
         .select(col("src").as("id"), col("cluster"))
       // the previous label rides along as `old` (MaxValue on neighbor
       // rows, so min(old) recovers each node's own previous label) —
-      // convergence is then a filter over THIS table, no second join.
-      // The count() is deliberate: it materializes EVERY partition of
-      // the new cache before the old one is dropped. A limit-style
-      // probe (isEmpty) only computes the partitions it touches, and
-      // the untouched ones would later recompute through the already
-      // unpersisted previous round — a cascade that re-ran the whole
-      // upstream pair pipeline once per round (measured 96 s at sf0.1;
-      // 1.3 s with the full materialization).
+      // convergence is a filter over THIS table, no second join
       val next = labels.select(col("id"), col("cluster"), col("cluster").as("old"))
         .unionByName(viaNbr.withColumn("old", lit(Long.MaxValue)))
         .groupBy(col("id"))
         .agg(min(col("cluster")).as("cluster"), min(col("old")).as("old"))
-        .persist()
+        .localCheckpoint(true)
       changed = next.filter(col("cluster") < col("old")).count() > 0
-      labels.unpersist()
-      labels = next
+      labels = next.select(col("id"), col("cluster"))
       rounds += 1
     }
     if (changed)

@@ -33,9 +33,34 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("n_frames", IntegerType)))
 
+  /** The REAL media ingestion path: `binaryFile` datasource over a
+    * directory tree (what you point at an object-store prefix of
+    * images/audio). Emits the [[mediaSchema]] shape with metadata
+    * parsed from the file name (`<doc_id>_<width>x<height>x<frames>.
+    * <format>`; production metadata would come from a sidecar or
+    * header sniff in the codec). `pathGlobFilter` prunes non-media
+    * files at the LISTING, and plans that touch only metadata never
+    * read payload bytes — binaryFile exposes length/path as ordinary
+    * columns, so column pruning skips `content` exactly like a
+    * parquet binary column.
+    */
+  def readMediaDir(spark: SparkSession, dir: String): DataFrame = {
+    val name = regexp_extract(col("path"), "([^/]+)$", 1)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.{jpeg,png,webm}")
+      .load(dir)
+      .select(
+        regexp_extract(name, "^(\\d+)_", 1).cast(LongType).as("doc_id"),
+        col("content").as("media"),
+        regexp_extract(name, "\\.([a-z0-9]+)$", 1).as("format"),
+        regexp_extract(name, "_(\\d+)x", 1).cast(IntegerType).as("width"),
+        regexp_extract(name, "x(\\d+)x", 1).cast(IntegerType).as("height"),
+        regexp_extract(name, "x(\\d+)\\.", 1).cast(IntegerType).as("n_frames"))
+  }
+
   /** Deterministic fake media corpus derived from the documents table
-    * (stand-in for `spark.read.format("binaryFile")` over an object
-    * store): bytes = repeated md5 of the text, dimensions from doc_id.
+    * (stand-in for [[readMediaDir]] over an object store): bytes =
+    * repeated md5 of the text, dimensions from doc_id.
     */
   def synthesizeMedia(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)

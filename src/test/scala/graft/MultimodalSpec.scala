@@ -46,4 +46,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.m01_media_features(spark, sfDir).count() == 3)
     assert(Multimodal.m02_frame_sample(spark, sfDir).count() == 500)
   }
+
+  test("binaryFile media dir reads payloads + metadata, prunes non-media") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-media")
+    def put(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(dir.resolve(name), bytes)
+    put("7_64x48x4.jpeg", Array.tabulate(96)(_.toByte))
+    put("12_320x240x1.png", Array.tabulate(128)(i => (i * 3).toByte))
+    put("9_100x80x8.webm", Array.tabulate(64)(i => (i ^ 7).toByte))
+    put("README.txt", "not media".getBytes("UTF-8")) // must be pruned
+    val m = Multimodal.readMediaDir(spark, dir.toString)
+    val rows = m.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.keySet == Set(7L, 12L, 9L))
+    val r7 = rows(7L)
+    assert(r7.getAs[String]("format") == "jpeg")
+    assert(r7.getAs[Int]("width") == 64 && r7.getAs[Int]("height") == 48)
+    assert(r7.getAs[Int]("n_frames") == 4)
+    assert(r7.getAs[Array[Byte]]("media").toSeq ==
+      Array.tabulate(96)(_.toByte).toSeq)
+    // the schema matches the synthesized corpus, so the whole decode
+    // pipeline runs unchanged over real files
+    val feats = Multimodal.decodeFeatures(m).collect()
+    assert(feats.length == 3)
+    assert(feats.forall(
+      _.getAs[scala.collection.Seq[Float]]("features").length == 8))
+  }
 }

@@ -337,18 +337,16 @@ object Dedup {
     * curation pipeline runs after pair generation, since keeping "one
     * of each pair" over-deletes when chains overlap.
     *
-    * Implementation: min-label propagation — labels start as own id;
-    * each round every node takes the min of its own and its
-    * neighbors' labels (one join + one aggregation per round, both
-    * shuffles on the node id) until a fixpoint. Rounds = component
-    * diameter; near-dup components are short chains, and the loop is
-    * hard-capped. Each round persists its (small) label table and the
-    * convergence check materializes it, so lineage stays one round
-    * deep. At 1000-executor scale with adversarially long chains,
-    * swap the loop body for large-star/small-star contraction
-    * (Kiveris et al.) — same per-round shuffle shape, O(log n)
-    * rounds; the driver-side loop-until-fixpoint skeleton here is
-    * exactly what that algorithm needs too.
+    * Implementation: min-label propagation with Shiloach–Vishkin
+    * pointer jumping — labels start as own id; each round every node
+    * takes the min of its own and its neighbors' labels, then follows
+    * the result one more hop (l(v) ← l(l(v))). The neighbor step
+    * spreads the minimum locally, the jump collapses label chains
+    * geometrically, so rounds are O(log n) — not O(component
+    * diameter) — and the hard cap of 25 covers components of ~2^25
+    * nodes. Each round is two joins + one aggregation, all shuffled
+    * on the node id, ended by an eager localCheckpoint so nothing is
+    * ever recomputed across rounds (see the inline note).
     */
   def d09_dup_clusters: Q = (s, d) =>
     dupClusters(
@@ -387,10 +385,22 @@ object Dedup {
       // the previous label rides along as `old` (MaxValue on neighbor
       // rows, so min(old) recovers each node's own previous label) —
       // convergence is a filter over THIS table, no second join
-      val next = labels.select(col("id"), col("cluster"), col("cluster").as("old"))
+      val prop = labels.select(col("id"), col("cluster"), col("cluster").as("old"))
         .unionByName(viaNbr.withColumn("old", lit(Long.MaxValue)))
         .groupBy(col("id"))
         .agg(min(col("cluster")).as("cluster"), min(col("old")).as("old"))
+      // pointer jump (Shiloach–Vishkin shortcut): follow the fresh
+      // label one more hop, l(v) ← l(l(v)). A label is always the id
+      // of a node in the same component and only ever decreases, so
+      // shortcutting preserves both invariants while collapsing label
+      // chains geometrically — rounds become O(log n) instead of
+      // O(component diameter), which is what makes the 25-round cap
+      // safe for adversarially deep duplicate chains (2^25 ≈ 33M).
+      val next = prop
+        .join(prop.select(col("id").as("cluster"), col("cluster").as("jump")),
+          Seq("cluster"), "left")
+        .select(col("id"),
+          coalesce(col("jump"), col("cluster")).as("cluster"), col("old"))
         .localCheckpoint(true)
       changed = next.filter(col("cluster") < col("old")).count() > 0
       labels = next.select(col("id"), col("cluster"))
@@ -399,8 +409,8 @@ object Dedup {
     if (changed)
       System.err.println(
         s"[dupClusters] label propagation hit the $rounds-round cap before " +
-          "converging — labels are partially propagated; a duplicate chain " +
-          "this long needs the large-star/small-star variant")
+          "converging — labels are partially propagated (with pointer " +
+          "jumping this needs a component of ~2^25 nodes; verify the input)")
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
       .orderBy(col("doc_id"))

@@ -127,6 +127,16 @@ object DiscogsQueries {
       .select(col("id_a"), col("name_a"), col("id_b"), col("name_b"), col("dist"))
   }
 
+  /** Duplicate-artist clusters: connected components over the
+    * [[nearDuplicateArtists]] pair set, so chained name variants
+    * ("NM003" ~ "NM008" ~ "nm 003") collapse to one canonical
+    * artist_id — [[Dedup.dupClusters]] reused unchanged on the
+    * discogs star (same pattern as d09 on the documents corpus). */
+  def artistDupClusters(artist: DataFrame, maxDist: Int = 2): DataFrame =
+    Dedup.dupClusters(
+      nearDuplicateArtists(artist, maxDist).select(col("id_a"), col("id_b")))
+      .withColumnRenamed("doc_id", "artist_id")
+
   /** Genre co-occurrence: pairs of genres tagged on the same release,
     * with counts — double explode of the array column, pair order
     * normalized (a < b) so each unordered pair counts once. */

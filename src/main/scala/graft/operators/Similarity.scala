@@ -143,11 +143,38 @@ object Similarity {
         max(col("norm")).as("max_norm"))
       .orderBy(col("label"))
 
+  /** ANN quality self-evaluation: recall@K of each approximate method
+    * (s02 LSH, s03 IVF) against the s01 exact brute-force top-K, per
+    * query then averaged. The eval every ANN deployment runs before
+    * trusting its index — recall is THE knob the probe counts trade
+    * against. One broadcast-join per method (exact top-K is tiny:
+    * |queries|·K rows); no oracle — the approximate sets are
+    * plane/cell dependent — but the metric itself is deterministic
+    * for the fixed seeds, so the driver's rows-only check pins it.
+    */
+  def s05_ann_recall: Q = (s, d) => {
+    val exact = s01_ann_bruteforce(s, d).select(col("q_id"), col("vec_id"))
+    def recallOf(name: String, approx: DataFrame): DataFrame =
+      exact
+        .join(broadcast(approx.select(col("q_id"), col("vec_id"), lit(1).as("hit"))),
+          Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1))).as("recall"))
+        .agg(count(lit(1)).as("n_queries"),
+          round(avg(col("recall")), 4).as("recall_at_k"))
+        .withColumn("method", lit(name))
+        .select(col("method"), col("n_queries"), col("recall_at_k"))
+    recallOf("lsh", s02_ann_lsh(s, d))
+      .unionByName(recallOf("ivf", s03_ann_ivf(s, d)))
+      .orderBy(col("method"))
+  }
+
   val queries: Map[String, Q] = Map(
     "s01_ann_bruteforce" -> s01_ann_bruteforce,
     "s02_ann_lsh" -> s02_ann_lsh,
     "s03_ann_ivf" -> s03_ann_ivf,
     "s04_norm_stats" -> s04_norm_stats,
+    "s05_ann_recall" -> s05_ann_recall,
   )
 
   val oracles: Map[String, String] = Map(

@@ -149,6 +149,17 @@ class DedupSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("d09 pointer jumping converges on a 300-deep chain within the cap") {
+    import spark.implicits._
+    // a path graph of diameter 299: plain min-label propagation needs
+    // 299 rounds (far past the 25-round cap); with pointer jumping the
+    // label chain halves every round (~log2 300 ≈ 9 rounds)
+    val pairs = (0L until 299L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = operators.Dedup.dupClusters(pairs)
+      .as[(Long, Long)].collect().toSet
+    assert(got == (0L to 299L).map(_ -> 0L).toSet)
+  }
+
   test("d09 connected components match union-find on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(7L)

@@ -100,6 +100,18 @@ class DiscogsQueriesSpec extends AnyFunSuite {
     assert(pairs.length == 1 && pairs.head.getAs[Int]("dist") == 1)
   }
 
+  test("artist duplicate clusters collapse chained name variants") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val artists = Seq(
+      (1, "The Persuader"), (2, "The Persuadar"), (3, "The Persuadir"),
+      (7, "Zebra"), (8, "Zebro")).toDF("id", "name")
+    val got = artistDupClusters(artists)
+      .select(col("artist_id").cast("long"), col("cluster_id").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
   test("genre co-occurrence counts unordered pairs once") {
     import spark.implicits._
     val rel = Seq(

@@ -100,7 +100,12 @@ object Bench {
     def d2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qsShort = results.map { case (k, v, _) => "\"" + k.takeWhile(_ != '_') + "\":" + d2(v) }
       .mkString("{", ",", "}")
-    val sfShort = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse(sfDir)
+    // unquoted number only when the dir name yields one; any other
+    // path goes in JSON-quoted, or the line itself would be the next
+    // parsed:null (""sf":/data/full" is not JSON)
+    val sfShort = "/sf([0-9]+(?:\\.[0-9]+)?)(?:/|$)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1))
+      .getOrElse("\"" + sfDir.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
     val compact = s"""{"metric":"total","value":${d2(total)},"unit":"sec","queries":$qsShort,"sf":$sfShort,"ingest_rps":${d0(inRate)},"ingest_rps_4f":${d0(parRate)},"restage_sec":${d2(stageSec)},"staged_rps":${d0(stagedRate)}}"""
     if (compact.length > 1850)
       System.err.println(s"[bench] compact line ${compact.length} chars — may overflow the driver's tail window")

@@ -49,6 +49,9 @@ object GraftExtensions {
       es => functions.DotProduct(es.head, es(1))),
     ("l2_normalize", "l2_normalize(v) - v / ||v||",
       es => functions.L2Normalize(es.head)),
+    ("normalized_dot",
+      "normalized_dot(a, b) - dot(a, b) / (||a|| * ||b||), full-length norms",
+      es => functions.NormalizedDot(es.head, es(1))),
     ("simhash64", "simhash64(tokens) - 64-bit simhash fingerprint",
       es => functions.SimHash64(es.head)),
     ("word_shingles", "word_shingles(tokens[, n]) - n-token shingles",

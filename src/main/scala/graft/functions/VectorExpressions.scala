@@ -90,6 +90,74 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** normalized_dot(a, b) = dot_{min(len)}(a, b) / (‖a‖ · ‖b‖), 0.0 when
+  * either full-length norm is 0 — the ONE-PASS equivalent of
+  * `dot_product(l2_normalize(a), l2_normalize(b))`, which
+  * [[graft.plans.CosineFusionRule]] rewrites to. NOT the same as
+  * [[CosineSimilarity]] for unequal-length inputs: cosine truncates
+  * the norms to min(length) too, while the unfused form (and this)
+  * normalizes each side by its FULL norm — fusing to cosine would
+  * change results materially for mixed-width vectors (e.g. a=[3,4],
+  * b=[1]: cosine = 1.0, this = 0.6). For equal lengths the two agree
+  * to the value (association differs at ulp level from the unfused
+  * per-element divide).
+  */
+case class NormalizedDot(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override def prettyName: String = "normalized_dot"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val fa = elemType(left) == FloatType; val fb = elemType(right) == FloatType
+    val na = a.numElements(); val nb = b.numElements()
+    val n = math.min(na, nb)
+    var dot = 0.0; var sa = 0.0; var sb = 0.0; var i = 0
+    while (i < n) {
+      val x = get(a, i, fa); val y = get(b, i, fb)
+      dot += x * y; sa += x * x; sb += y * y; i += 1
+    }
+    // norm tails beyond the shared prefix
+    while (i < na) { val x = get(a, i, fa); sa += x * x; i += 1 }
+    i = n
+    while (i < nb) { val y = get(b, i, fb); sb += y * y; i += 1 }
+    val denom = math.sqrt(sa) * math.sqrt(sb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val la = ctx.freshName("la"); val lb = ctx.freshName("lb")
+      val dot = ctx.freshName("dot"); val sa = ctx.freshName("sa")
+      val sb = ctx.freshName("sb"); val x = ctx.freshName("x")
+      val y = ctx.freshName("y"); val denom = ctx.freshName("denom")
+      s"""
+         |int $la = $a.numElements(); int $lb = $b.numElements();
+         |int $n = java.lang.Math.min($la, $lb);
+         |double $dot = 0.0; double $sa = 0.0; double $sb = 0.0;
+         |int $i = 0;
+         |for (; $i < $n; $i++) {
+         |  double $x = ${getter(a, i, elemType(left))};
+         |  double $y = ${getter(b, i, elemType(right))};
+         |  $dot += $x * $y; $sa += $x * $x; $sb += $y * $y;
+         |}
+         |for (; $i < $la; $i++) {
+         |  double $x = ${getter(a, i, elemType(left))};
+         |  $sa += $x * $x;
+         |}
+         |for ($i = $n; $i < $lb; $i++) {
+         |  double $y = ${getter(b, i, elemType(right))};
+         |  $sb += $y * $y;
+         |}
+         |double $denom = java.lang.Math.sqrt($sa) * java.lang.Math.sqrt($sb);
+         |${ev.value} = ($denom == 0.0) ? 0.0 : ($dot / $denom);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** Plain dot product (used by the LSH hyperplane signatures). */
 case class DotProduct(left: Expression, right: Expression)
     extends VectorBinaryExpression {
@@ -175,6 +243,8 @@ object VectorFunctions {
   def dot_product(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))
   def l2_normalize(v: Column): Column = column(L2Normalize(expression(v)))
+  def normalized_dot(a: Column, b: Column): Column =
+    column(NormalizedDot(expression(a), expression(b)))
 
   /** SQL registration so `spark.sql("SELECT cosine_similarity(...)")` works. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -184,5 +254,7 @@ object VectorFunctions {
       "dot_product", es => DotProduct(es.head, es(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "l2_normalize", es => L2Normalize(es.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "normalized_dot", es => NormalizedDot(es.head, es(1)), "built-in")
   }
 }

@@ -48,6 +48,10 @@ object Multimodal {
     val name = regexp_extract(col("path"), "([^/]+)$", 1)
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.{jpeg,png,webm}")
+      // object-store media lands under date/shard prefixes; without
+      // this, binaryFile only lists top-level files (plus key=value
+      // partition dirs) and nested media silently disappears
+      .option("recursiveFileLookup", "true")
       .load(dir)
       .select(
         regexp_extract(name, "^(\\d+)_", 1).cast(LongType).as("doc_id"),

@@ -834,8 +834,12 @@ object Relational {
     */
   def q49_stratified_sample: Q = (s, d) =>
     Tables.documents(s, d)
+      // % 2^31 BEFORE the multiply: identity for every realistic key,
+      // and it bounds the product at 2^31·2654435761 ≈ 5.7e18 < 2^63 —
+      // without it a doc_id ≥ ~3.5e9 silently wraps in Spark (non-ANSI
+      // longs) while the DuckDB oracle errors out of range
       .withColumn("keep",
-        col("doc_id") * 2654435761L % 4294967296L % 1000L < 100L)
+        col("doc_id") % 2147483648L * 2654435761L % 4294967296L % 1000L < 100L)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_total"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"))
@@ -947,9 +951,11 @@ object Relational {
     "q49_stratified_sample" ->
       """SELECT source,
         |  COUNT(*) AS n_total,
-        |  CAST(SUM(CASE WHEN doc_id * 2654435761 % 4294967296 % 1000 < 100
+        |  CAST(SUM(CASE WHEN doc_id % 2147483648 * 2654435761
+        |      % 4294967296 % 1000 < 100
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
-        |  round(CAST(SUM(CASE WHEN doc_id * 2654435761 % 4294967296 % 1000 < 100
+        |  round(CAST(SUM(CASE WHEN doc_id % 2147483648 * 2654435761
+        |      % 4294967296 % 1000 < 100
         |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS rate
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q21b_session_window" ->

@@ -277,11 +277,15 @@ object TextAnalysis {
   }
 
   /** Collocation mining by pointwise mutual information over adjacent
-    * bigrams: pmi = ln(p(xy) / (p(x)·p(y))) = ln(c_xy·T / (c_x·c_y)).
+    * bigrams: pmi = ln(p(xy) / (p(x)·p(y))) = ln((c_xy/c_x)·(T/c_y)).
     * Head/tail marginals and the total T all derive from the one
-    * bigram count table (two tiny reaggregations + one broadcast);
-    * every ln argument is a ratio of exact int64 products, so the
-    * rounded value is engine-stable. */
+    * bigram count table (two tiny reaggregations + one broadcast).
+    * Computed as a product of two exact-int ratios, NOT as
+    * (c_xy·T)/(c_x·c_y): the int64 cross-products overflow silently
+    * in Spark (and error in DuckDB) once T reaches web-corpus scale,
+    * while each ratio stays well inside double range; both engines
+    * run the identical division/multiply/ln sequence, so the rounded
+    * value is engine-stable. */
   def t10_pmi: Q = (s, d) => {
     val c = bigramCounts(Tables.documents(s, d))
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
@@ -293,8 +297,8 @@ object TextAnalysis {
       .crossJoin(broadcast(total))
       .filter(col("c_bigram") >= 10)
       .select(col("bigram"), col("c_bigram"),
-        round(log((col("c_bigram") * col("t_bigrams")) /
-          (col("c_x") * col("c_y"))), 4).as("pmi"))
+        round(log((col("c_bigram") / col("c_x")) *
+          (col("t_bigrams") / col("c_y"))), 4).as("pmi"))
       .orderBy(col("bigram"))
   }
 
@@ -410,8 +414,8 @@ object TextAnalysis {
         |  FROM c GROUP BY 1),
         |t AS (SELECT CAST(SUM(c_bigram) AS BIGINT) AS t_bigrams FROM c)
         |SELECT bigram, c_bigram,
-        |  round(ln(CAST(c_bigram * t_bigrams AS DOUBLE) / (c_x * c_y)), 4)
-        |    AS pmi
+        |  round(ln((CAST(c_bigram AS DOUBLE) / c_x)
+        |    * (CAST(t_bigrams AS DOUBLE) / c_y)), 4) AS pmi
         |FROM c
         |JOIN hx ON split_part(c.bigram, ' ', 1) = hx.w1
         |JOIN ty ON split_part(c.bigram, ' ', 2) = ty.w2

@@ -297,13 +297,19 @@ object DiscogsXml {
     // __ord restarts at 0, so cross-dump precedence must go through
     // DiscogsQueries.unionDumps, never a raw union + first-wins.
     // survivor choice must not depend on planning: for a multi-file
-    // path (or a splittable plain .xml) partitions are bin-packed
-    // size-descending, so bare monotonically_increasing_id order is
-    // planning-dependent ACROSS files — order by (file, in-file
-    // position) exactly like firstWinsById. One shuffle total: the
-    // explicit repartition on the id satisfies the window's required
-    // clustering, so the window sorts in place and the writer inherits
-    // the n-way partitioning with no second exchange.
+    // path partitions are bin-packed size-descending, so bare
+    // monotonically_increasing_id order is planning-dependent ACROSS
+    // files — order by (file, in-file position) exactly like
+    // firstWinsById. Caveat shared with firstWinsById: __ord's high
+    // bits are the PARTITION index, so for a SPLITTABLE plain .xml
+    // big enough to get several splits, duplicate ids straddling
+    // splits of the same file still order by partition index, not
+    // byte offset (no offset column exists to do better). Real dumps
+    // are gz — one split per file — where (file, __ord) IS document
+    // order. One shuffle total: the explicit repartition on the id
+    // satisfies the window's required clustering, so the window sorts
+    // in place and the writer inherits the n-way partitioning with no
+    // second exchange.
     val w = Window.partitionBy(col(idCol)).orderBy(col("__file"), col("__ord"))
     parseGood(spark, path, entity)
       .withColumn("__file", input_file_name())

@@ -136,13 +136,22 @@ object Sinks {
                       try ps.setArray(i + 1, conn.createArrayOf("text",
                         seq.map(_.asInstanceOf[AnyRef]).toArray))
                       catch {
-                        // not just SQLFeatureNotSupportedException:
-                        // drivers reject createArrayOf with a plain
-                        // SQLException (older SQLite/H2) or don't
-                        // implement it at all (AbstractMethodError on
-                        // pre-4.0 drivers) — degrade on any of them
-                        case _: java.sql.SQLException | _: LinkageError =>
+                        // definitive capability signals — the driver
+                        // doesn't do arrays (SQLFeatureNotSupported,
+                        // or pre-JDBC-4 classes: AbstractMethodError
+                        // et al.) — flip the flag for the partition
+                        case _: java.sql.SQLFeatureNotSupportedException |
+                            _: IncompatibleClassChangeError =>
                           arraysSupported = false
+                          ps.setString(i + 1, PgCopy.arrayLiteral(seq))
+                        // other SQLExceptions (older SQLite/H2 throw
+                        // plain SQLException here; but so does a dead
+                        // connection): degrade THIS binding only — a
+                        // broken connection still fails the batch, and
+                        // a capability-rejecting driver just lands
+                        // here per row instead of misclassifying a
+                        // transient fault permanently
+                        case _: java.sql.SQLException =>
                           ps.setString(i + 1, PgCopy.arrayLiteral(seq))
                       }
                     } else ps.setString(i + 1, PgCopy.arrayLiteral(seq))

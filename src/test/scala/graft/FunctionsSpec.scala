@@ -200,24 +200,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getAs[scala.collection.Seq[Long]](3).length == 16)
   }
 
-  test("CosineFusionRule fuses dot(l2,l2) into one-pass cosine") {
+  test("CosineFusionRule fuses dot(l2,l2) into one-pass NormalizedDot") {
     val df = Seq(
       (Array(1f, 2f, 2f), Array(2f, 1f, 2f)),
       (Array(0f, 0f, 0f), Array(1f, 0f, 0f)), // zero vector: both forms 0.0
+      (Array(3f, 4f), Array(1f)), // mixed width: full-norm semantics
     ).toDF("a", "b")
       .select(
-        dot_product(l2_normalize($"a"), l2_normalize($"b")).as("fusable"),
-        cosine_similarity($"a", $"b").as("direct"))
+        dot_product(l2_normalize($"a"), l2_normalize($"b")).as("unfused"),
+        graft.functions.VectorFunctions.normalized_dot($"a", $"b").as("fused"))
     // the rewrite itself, applied to the analyzed plan
     val rewritten = graft.plans.CosineFusionRule(df.queryExecution.analyzed)
     val flat = rewritten.expressions.flatMap(_.collect { case e => e })
-    assert(flat.exists(_.isInstanceOf[graft.functions.CosineSimilarity]))
+    assert(flat.exists(_.isInstanceOf[graft.functions.NormalizedDot]))
     assert(!flat.exists(_.isInstanceOf[graft.functions.DotProduct]),
       "dot_product(l2_normalize, l2_normalize) survived the rewrite")
-    // value equivalence: exact for zero vectors, ulp-level otherwise
-    df.as[(Double, Double)].collect().foreach { case (f, c) =>
-      assert(math.abs(f - c) < 1e-12, s"fused $f vs direct $c")
+    // value equivalence: exact for zero vectors, ulp-level otherwise —
+    // including UNEQUAL lengths, where CosineSimilarity (min-length
+    // norms) would give 1.0 but the unfused form gives 0.6
+    df.as[(Double, Double)].collect().foreach { case (u, f) =>
+      assert(math.abs(u - f) < 1e-12, s"unfused $u vs fused $f")
     }
+    val mixed = df.as[(Double, Double)].collect().last
+    assert(math.abs(mixed._1 - 0.6) < 1e-9)
     // end-to-end through an optimizer-rule extension point (over a
     // parquet-backed table: ConvertToLocalRelation would constant-fold
     // the whole projection away on an in-memory Seq relation)
@@ -229,7 +234,7 @@ class FunctionsSpec extends AnyFunSuite {
           l2_normalize(col("embedding"))))
         .queryExecution.optimizedPlan
       val oflat = opt.expressions.flatMap(_.collect { case e => e })
-      assert(oflat.exists(_.isInstanceOf[graft.functions.CosineSimilarity]))
+      assert(oflat.exists(_.isInstanceOf[graft.functions.NormalizedDot]))
     } finally spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations
         .filterNot(_ == graft.plans.CosineFusionRule)

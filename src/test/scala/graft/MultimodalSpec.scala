@@ -53,8 +53,11 @@ class MultimodalSpec extends AnyFunSuite {
       java.nio.file.Files.write(dir.resolve(name), bytes)
     put("7_64x48x4.jpeg", Array.tabulate(96)(_.toByte))
     put("12_320x240x1.png", Array.tabulate(128)(i => (i * 3).toByte))
-    put("9_100x80x8.webm", Array.tabulate(64)(i => (i ^ 7).toByte))
     put("README.txt", "not media".getBytes("UTF-8")) // must be pruned
+    // nested under a date prefix, like an object store lays media out
+    java.nio.file.Files.createDirectories(dir.resolve("2024/01"))
+    java.nio.file.Files.write(dir.resolve("2024/01/9_100x80x8.webm"),
+      Array.tabulate(64)(i => (i ^ 7).toByte))
     val m = Multimodal.readMediaDir(spark, dir.toString)
     val rows = m.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
     assert(rows.keySet == Set(7L, 12L, 9L))

@@ -846,6 +846,28 @@ object Relational {
       .withColumn("rate", round(col("n_sampled") / col("n_total"), 4))
       .orderBy(col("source"))
 
+  /** Correlated LATERAL join — per-customer top-2 orders as a lateral
+    * subquery (the SQL-standard form of "top-k per key"). Catalyst
+    * decorrelates the correlated ORDER BY … LIMIT into a partitioned
+    * window under the hood, so this plans like q07 rather than a
+    * per-row re-execution — exercising the modern SQL surface end to
+    * end (DuckDB runs the identical text natively).
+    */
+  def q50_lateral: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("customer_q50")
+    Tables.orders(s, d).createOrReplaceTempView("orders_q50")
+    s.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer_q50 c,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders_q50 o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        |) t
+        |WHERE c.c_custkey % 100 = 0
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+  }
+
   /** Native session-window aggregation — the declarative twin of the
     * hand-rolled gap-and-cumsum [[q21_sessionize]]: Spark's
     * `session_window` plans a single UpdatingSessionsExec-style
@@ -870,6 +892,7 @@ object Relational {
   val queries: Map[String, Q] = Map(
     "q48_hof_arrays" -> q48_hof_arrays,
     "q49_stratified_sample" -> q49_stratified_sample,
+    "q50_lateral" -> q50_lateral,
     "q21b_session_window" -> q21b_session_window,
     "q47_salted_join" -> q47_salted_join,
     "q46_salted_agg" -> q46_salted_agg,
@@ -958,6 +981,16 @@ object Relational {
         |      % 4294967296 % 1000 < 100
         |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS rate
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q50_lateral" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        |) t
+        |WHERE c.c_custkey % 100 = 0
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin,
     "q21b_session_window" ->
       s"""WITH e AS (
          |  SELECT user_id, epoch_us(ts) AS ts_us, value FROM events

@@ -56,6 +56,36 @@ object Sinks {
     clustered.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$table")
   }
 
+  /** Small-file compaction — the maintenance op every long-running
+    * ingest needs: micro-batches and per-task writers leave thousands
+    * of KB-sized parquet files, and at 100 TB the NameNode/listing and
+    * per-file task overhead dominate scans long before the bytes do.
+    * Rewrites `dir` into ceil(bytes / targetMB) files (one read, one
+    * round-robin shuffle, one write), then swaps atomically-enough via
+    * write-to-sibling + delete + rename so a concurrent reader sees
+    * either the old or the new layout, never a partial mix.
+    * Returns (filesBefore, filesAfter).
+    */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetMB: Int = 128): (Int, Int) = {
+    require(targetMB > 0, s"targetMB must be positive, got $targetMB")
+    val hPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(hPath).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val bytes = dataFiles.map(_.getLen).sum
+    val n = math.max(1L, (bytes + targetMB * (1L << 20) - 1) / (targetMB * (1L << 20))).toInt
+    val tmp = new org.apache.hadoop.fs.Path(dir + "._compact_tmp")
+    fs.delete(tmp, true)
+    spark.read.parquet(dir).repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(hPath, true)
+    if (!fs.rename(tmp, hPath))
+      throw new java.io.IOException(
+        s"compactParquet: rename $tmp -> $hPath failed; data is intact at $tmp")
+    (dataFiles.size, n)
+  }
+
   /** Hive-style partitioned parquet layout: one directory per value of
     * the partition column(s). Queries filtering on those columns prune
     * whole directories at planning time (`PartitionFilters` in the

@@ -31,4 +31,23 @@ class PartitionPruningSpec extends AnyFunSuite {
     assert(plan.contains(s"PartitionFilters: [isnotnull(event_date"),
       s"partition filter not pushed:\n$plan")
   }
+
+  test("compactParquet collapses small files and preserves every row") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact")
+      .toString + "/t"
+    (1 to 5000).toDF("v").repartition(40).write.parquet(dir)
+    def parquetFiles() = new java.io.File(dir).listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles() == 40)
+    val (before, after) = Sinks.compactParquet(spark, dir, targetMB = 128)
+    assert(before == 40 && after == 1, s"($before, $after)")
+    assert(parquetFiles() == 1)
+    assert(spark.read.parquet(dir).as[Int].collect().sorted.toSeq
+      == (1 to 5000))
+    // idempotent on an already-compact table
+    val (b2, a2) = Sinks.compactParquet(spark, dir, targetMB = 128)
+    assert(b2 == 1 && a2 == 1)
+    assert(spark.read.parquet(dir).count() == 5000)
+  }
 }

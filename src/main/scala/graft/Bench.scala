@@ -103,7 +103,7 @@ object Bench {
     // unquoted number only when the dir name yields one; any other
     // path goes in JSON-quoted, or the line itself would be the next
     // parsed:null (""sf":/data/full" is not JSON)
-    val sfShort = "/sf([0-9]+(?:\\.[0-9]+)?)(?:/|$)".r.findFirstMatchIn(sfDir)
+    val sfShort = "(?:^|/)sf([0-9]+(?:\\.[0-9]+)?)(?:/|$)".r.findFirstMatchIn(sfDir)
       .map(_.group(1))
       .getOrElse("\"" + sfDir.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
     val compact = s"""{"metric":"total","value":${d2(total)},"unit":"sec","queries":$qsShort,"sf":$sfShort,"ingest_rps":${d0(inRate)},"ingest_rps_4f":${d0(parRate)},"restage_sec":${d2(stageSec)},"staged_rps":${d0(stagedRate)}}"""

@@ -396,6 +396,9 @@ object Dedup {
       // chains geometrically — rounds become O(log n) instead of
       // O(component diameter), which is what makes the 25-round cap
       // safe for adversarially deep duplicate chains (2^25 ≈ 33M).
+      // prop appears on both sides of the self-join; ReuseExchange
+      // dedups its shuffle, the (cheap) aggregation above it runs once
+      // per side — acceptable vs a second eager checkpoint per round
       val next = prop
         .join(prop.select(col("id").as("cluster"), col("cluster").as("jump")),
           Seq("cluster"), "left")
@@ -403,6 +406,13 @@ object Dedup {
           coalesce(col("jump"), col("cluster")).as("cluster"), col("old"))
         .localCheckpoint(true)
       changed = next.filter(col("cluster") < col("old")).count() > 0
+      // free the PREVIOUS round's checkpoint blocks explicitly —
+      // clearCache() only evicts SQL InMemoryRelations, not these RDD
+      // blocks, and waiting on ContextCleaner GC lets up to 25 rounds
+      // of label tables pile up in a long session
+      labels.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.foreach { r => r.unpersist(false); () }
       labels = next.select(col("id"), col("cluster"))
       rounds += 1
     }

@@ -47,7 +47,11 @@ object Multimodal {
   def readMediaDir(spark: SparkSession, dir: String): DataFrame = {
     val name = regexp_extract(col("path"), "([^/]+)$", 1)
     spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.{jpeg,png,webm}")
+      // globs are case-sensitive and can't express case folding —
+      // enumerate the realistic spellings (incl. .jpg) or real files
+      // silently vanish at LISTING time with no error to notice
+      .option("pathGlobFilter",
+        "*.{jpeg,jpg,png,webm,JPEG,JPG,PNG,WEBM,Jpeg,Jpg,Png,Webm}")
       // object-store media lands under date/shard prefixes; without
       // this, binaryFile only lists top-level files (plus key=value
       // partition dirs) and nested media silently disappears
@@ -56,7 +60,12 @@ object Multimodal {
       .select(
         regexp_extract(name, "^(\\d+)_", 1).cast(LongType).as("doc_id"),
         col("content").as("media"),
-        regexp_extract(name, "\\.([a-z0-9]+)$", 1).as("format"),
+        // normalized: 'jpg'→'jpeg' alias, lowercased — downstream
+        // format dispatch keys on the canonical spelling
+        when(lower(regexp_extract(name, "\\.([A-Za-z0-9]+)$", 1)) === "jpg",
+          lit("jpeg"))
+          .otherwise(lower(regexp_extract(name, "\\.([A-Za-z0-9]+)$", 1)))
+          .as("format"),
         regexp_extract(name, "_(\\d+)x", 1).cast(IntegerType).as("width"),
         regexp_extract(name, "x(\\d+)x", 1).cast(IntegerType).as("height"),
         regexp_extract(name, "x(\\d+)\\.", 1).cast(IntegerType).as("n_frames"))

@@ -153,7 +153,13 @@ object Similarity {
     * for the fixed seeds, so the driver's rows-only check pins it.
     */
   def s05_ann_recall: Q = (s, d) => {
+    // persisted: the exact top-K is embedded in BOTH union branches
+    // below — without it the brute-force subtree runs once per method
+    // (exchange reuse dedups the shuffle but not the rank/join above
+    // it). Tiny (|queries|·K rows); freed by the session clearCache
+    // contract like the Dedup persists.
     val exact = s01_ann_bruteforce(s, d).select(col("q_id"), col("vec_id"))
+      .persist()
     def recallOf(name: String, approx: DataFrame): DataFrame =
       exact
         .join(broadcast(approx.select(col("q_id"), col("vec_id"), lit(1).as("hit"))),

@@ -61,24 +61,48 @@ object Sinks {
     * of KB-sized parquet files, and at 100 TB the NameNode/listing and
     * per-file task overhead dominate scans long before the bytes do.
     * Rewrites `dir` into ceil(bytes / targetMB) files (one read, one
-    * round-robin shuffle, one write), then swaps atomically-enough via
-    * write-to-sibling + delete + rename so a concurrent reader sees
-    * either the old or the new layout, never a partial mix.
+    * shuffle, one write), then swaps via write-to-sibling + delete +
+    * rename. The swap is NOT atomic: readers racing it can observe a
+    * missing directory for the delete→rename window, and a crash in
+    * that window leaves the new data at `<dir>._compact_tmp` — run it
+    * in the table's maintenance window. FLAT dirs only: a Hive-
+    * partitioned layout is refused (rewriting it here would flatten
+    * the partition columns into data and break pruning).
+    *
+    * `clusterBy` preserves a [[writeParquet]]-style layout: repartition
+    * on the keys + sort within partitions, so row-group min/max
+    * skipping survives compaction. The default round-robin spread
+    * maximizes write parallelism but scatters any pre-existing
+    * clustering — pass the table's index keys when it has them.
     * Returns (filesBefore, filesAfter).
     */
   def compactParquet(spark: org.apache.spark.sql.SparkSession, dir: String,
-      targetMB: Int = 128): (Int, Int) = {
+      targetMB: Int = 128, clusterBy: Seq[String] = Nil): (Int, Int) = {
     require(targetMB > 0, s"targetMB must be positive, got $targetMB")
-    val hPath = new org.apache.hadoop.fs.Path(dir)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dataFiles = fs.listStatus(hPath).toSeq
+    val raw = new org.apache.hadoop.fs.Path(dir)
+    val fs = raw.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // normalize BEFORE deriving the sibling: string-concat on a
+    // trailing-slash dir would nest tmp INSIDE the target, and the
+    // swap's recursive delete would then destroy both copies
+    val hPath = fs.makeQualified(raw)
+    val tmp = new org.apache.hadoop.fs.Path(
+      hPath.getParent, hPath.getName + "._compact_tmp")
+    val entries = fs.listStatus(hPath).toSeq
+    val dataFiles = entries
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    require(dataFiles.nonEmpty,
+      s"compactParquet: no top-level *.parquet in $hPath — " +
+        "partitioned/nested layouts must be compacted per leaf directory")
     val bytes = dataFiles.map(_.getLen).sum
-    val n = math.max(1L, (bytes + targetMB * (1L << 20) - 1) / (targetMB * (1L << 20))).toInt
-    val tmp = new org.apache.hadoop.fs.Path(dir + "._compact_tmp")
+    val n = math.max(1L,
+      (bytes + targetMB * (1L << 20) - 1) / (targetMB * (1L << 20))).toInt
     fs.delete(tmp, true)
-    spark.read.parquet(dir).repartition(n)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val df = spark.read.parquet(hPath.toString)
+    val shaped =
+      if (clusterBy.isEmpty) df.repartition(n)
+      else df.repartition(n, clusterBy.map(org.apache.spark.sql.functions.col): _*)
+        .sortWithinPartitions(clusterBy.map(org.apache.spark.sql.functions.col): _*)
+    shaped.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     fs.delete(hPath, true)
     if (!fs.rename(tmp, hPath))
       throw new java.io.IOException(
@@ -167,11 +191,14 @@ object Sinks {
                         seq.map(_.asInstanceOf[AnyRef]).toArray))
                       catch {
                         // definitive capability signals — the driver
-                        // doesn't do arrays (SQLFeatureNotSupported,
-                        // or pre-JDBC-4 classes: AbstractMethodError
-                        // et al.) — flip the flag for the partition
+                        // doesn't do arrays (SQLFeatureNotSupported)
+                        // or can't even link the call (LinkageError:
+                        // AbstractMethodError on pre-JDBC-4 drivers,
+                        // NoClassDefFound on broken jars — permanent
+                        // for this JVM) — flip the flag for the
+                        // partition
                         case _: java.sql.SQLFeatureNotSupportedException |
-                            _: IncompatibleClassChangeError =>
+                            _: LinkageError =>
                           arraysSupported = false
                           ps.setString(i + 1, PgCopy.arrayLiteral(seq))
                         // other SQLExceptions (older SQLite/H2 throw

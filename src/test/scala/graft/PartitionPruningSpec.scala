@@ -45,9 +45,19 @@ class PartitionPruningSpec extends AnyFunSuite {
     assert(parquetFiles() == 1)
     assert(spark.read.parquet(dir).as[Int].collect().sorted.toSeq
       == (1 to 5000))
-    // idempotent on an already-compact table
-    val (b2, a2) = Sinks.compactParquet(spark, dir, targetMB = 128)
+    // idempotent on an already-compact table; clusterBy preserves rows
+    val (b2, a2) = Sinks.compactParquet(spark, dir, targetMB = 128,
+      clusterBy = Seq("v"))
     assert(b2 == 1 && a2 == 1)
-    assert(spark.read.parquet(dir).count() == 5000)
+    assert(spark.read.parquet(dir).as[Int].collect().sorted.toSeq
+      == (1 to 5000))
+    // partitioned layouts are refused, not silently flattened
+    val pdir = java.nio.file.Files.createTempDirectory("graft-compact-p")
+      .toString + "/p"
+    (1 to 100).toDF("v").withColumn("k", col("v") % 2)
+      .write.partitionBy("k").parquet(pdir)
+    intercept[IllegalArgumentException] {
+      Sinks.compactParquet(spark, pdir)
+    }
   }
 }

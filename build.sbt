@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output goes through sbt's logger by default, which
+// decorates every line with "[info] " — that prefix is exactly what
+// made the driver's per-line JSON parse of the bench tail fail in
+// rounds 1-3 (the complete compact JSON line sat inside the 2000-char
+// tail window but never parsed). StdoutOutput passes the child's
+// stdout through verbatim, so Bench's final JSON line reaches the
+// driver bare.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

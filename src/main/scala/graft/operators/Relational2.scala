@@ -1,0 +1,376 @@
+package graft.operators
+
+import graft.Tables
+import graft.Tables.{dsum, davg}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Round-4 extension of the relational surface ([[Relational]]):
+  * reshaping (unpivot), statistical aggregates, distribution windows,
+  * full-outer alignment, map columns, conditional/argmax/bitwise
+  * aggregation, null-safe arithmetic, multi-distinct, and median.
+  *
+  * Same contract as [[Relational]]: every query here is
+  * deterministic (total ORDER BY with tie-breaks, decimal-exact
+  * double sums via [[Tables.dsum]]) and hash-checked against the
+  * DuckDB oracle in [[oracles]].
+  */
+object Relational2 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Wide→long reshape with the native `unpivot` (SQL UNPIVOT /
+    * melt): aggregate once, then rotate the measure columns into
+    * (measure, val) rows. Unpivot is a zero-shuffle projection — each
+    * input row expands locally — so the reshape adds nothing to the
+    * aggregation's cost at any scale. All measures are cast to double
+    * (unpivot requires a common value type; the count would otherwise
+    * widen to the sums' type nondeterministically).
+    */
+  def q51_unpivot: Q = (s, d) => {
+    val wide = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).cast(DoubleType).as("n_rows"))
+    wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("n_rows")),
+        "measure", "val")
+      .orderBy(col("l_returnflag"), col("measure"))
+  }
+
+  /** Statistical aggregates (corr / covariance / stddev) computed
+    * from decimal-exact power sums rather than the built-in
+    * `corr`/`covar_pop` — the builtins accumulate doubles in
+    * partition order, so their last bits drift run-to-run under
+    * parallelism; the five exact sums reduce deterministically and
+    * the closed-form combination below is one fixed IEEE sequence,
+    * identical in Spark and DuckDB. Single partial-agg pass over the
+    * fact table, five decimal accumulators per group — the same cost
+    * profile as q01 at any scale.
+    */
+  def q52_corr_stats: Q = (s, d) => {
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    val agg = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        dsum(x).as("sx"), dsum(y).as("sy"),
+        dsum(x * x).as("sxx"), dsum(y * y).as("syy"),
+        dsum(x * y).as("sxy"))
+    agg.select(
+        col("l_returnflag"),
+        col("n").cast(LongType).as("n_rows"),
+        round((col("sxy") - col("sx") * col("sy") / col("n")) / col("n"), 6)
+          .as("covar_pop"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr"),
+        round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / col("n")), 6)
+          .as("stddev_pop_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Distribution windows: percent_rank + cume_dist of every customer
+    * within their nation's balance order. Both are exact ratios of
+    * ranks ((rk−1)/(n−1), rows≤current/n) over a tie-broken total
+    * order, so the doubles are bit-identical on any engine. One
+    * shuffle on the partition key, same shape as q07/q35.
+    */
+  def q53_dist_window: Q = (s, d) => {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, d)
+      .select(
+        col("c_custkey"), col("c_nationkey"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Full-outer alignment of two independently aggregated daily
+    * series (orders vs events) — the calendar-join shape behind every
+    * "activity vs sales" dashboard. Aggregate BEFORE the join (one
+    * row per day per side), so the full-outer join moves only
+    * day-level rows regardless of fact scale; unmatched days keep
+    * NULL counts (not 0 — absence and zero are different facts).
+    * The day key is a 'yyyy-MM-dd' STRING: a computed DATE column
+    * surfaces as datetime.date from Spark parquet but datetime64 from
+    * DuckDB, and the driver's stringified hash sees those differently.
+    */
+  def q54_full_outer: Q = (s, d) => {
+    val od = Tables.orders(s, d)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_orders"))
+    val ed = Tables.events(s, d)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    od.join(ed, Seq("day"), "full_outer")
+      .select(col("day"), col("n_orders"), col("n_events"))
+      .orderBy(col("day"))
+  }
+
+  /** Map-typed columns end to end: build a status→count map per order
+    * priority (map_from_entries over entries sorted by key — map
+    * iteration order is entry order, so sorting makes every derived
+    * value deterministic), then consume it with element_at /
+    * map_keys / transform_values. Maps stay inside Tungsten rows
+    * (no shuffle amplification); the group-by is two tiny aggregates.
+    */
+  def q55_map_funcs: Q = (s, d) => {
+    val m = map_from_entries(
+      array_sort(collect_list(struct(col("o_orderstatus"), col("cnt")))))
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(m.as("m"))
+      .select(
+        col("o_orderpriority"),
+        size(col("m")).as("n_statuses"),
+        array_join(map_keys(col("m")), ",").as("statuses"),
+        coalesce(element_at(col("m"), "F"), lit(0L)).as("n_finished"),
+        coalesce(element_at(
+          transform_values(col("m"), (_, v) => v * 2), "O"), lit(0L))
+          .as("n_open_x2"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Conditional aggregation: count_if / bool_and / bool_or — the
+    * FILTER-clause family. All three fold map-side like any other
+    * partial aggregate; the share is an exact int ratio. */
+  def q56_conditional_agg: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        count_if(col("c_acctbal") < 0).as("n_negative"),
+        bool_and(col("c_acctbal") > -1000).as("all_above_floor"),
+        bool_or(col("c_acctbal") > 9000).as("any_rich"))
+      .withColumn("neg_share",
+        round(col("n_negative") / col("n_customers"), 4))
+      .orderBy(col("n_name"))
+  }
+
+  /** Argmax/argmin aggregation (max_by/min_by): the order carrying
+    * the extreme price per return flag, without a window pass. The
+    * ordering value packs (price, orderkey) into one exact long —
+    * price has 2 decimals so ·100 is integral, ·10^7 leaves the
+    * orderkey as the tie-break in the low digits (exact while
+    * price·100 < 9.2e11 and orderkey < 10^7 — both orders of
+    * magnitude above this dataset; a composite struct ordering would
+    * be the general form, but DuckDB 1.0's arg_max can't take one).
+    * max_by folds map-side — one partial-agg pass, no shuffle of raw
+    * rows, which is why argmax-by-aggregation beats argmax-by-window
+    * at 100 TB when only the extreme row is wanted.
+    */
+  def q57_argmax: Q = (s, d) => {
+    val packed = round(col("l_extendedprice") * 100).cast(LongType) *
+      10000000L + col("l_orderkey")
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        max_by(col("l_orderkey"), packed).as("max_price_order"),
+        min_by(col("l_orderkey"), packed).as("min_price_order"),
+        max(col("l_extendedprice")).as("max_price"),
+        min(col("l_extendedprice")).as("min_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Null-safe arithmetic (`try_divide`): ANSI-style
+    * divide-by-zero → NULL instead of a job-killing exception — what
+    * a 100 TB pipeline wants when one group in a trillion has an
+    * empty denominator. Mirrors DuckDB's x / NULLIF(y, 0). */
+  def q58_try_arith: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count_if(col("l_quantity") > 49).as("n_maxed"),
+        count_if(col("l_quantity") < 2).as("n_single"))
+      .withColumn("maxed_per_single",
+        round(try_divide(col("n_maxed"), col("n_single")), 6))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Several COUNT(DISTINCT …) in one aggregate — Catalyst plans this
+    * as one Expand (row replicated per distinct column) + two-phase
+    * aggregate, NOT separate scans+joins. At scale the Expand
+    * multiplies shuffle volume by the number of distinct columns;
+    * that (visible, linear) cost is the right trade against N
+    * self-joins. */
+  def q59_multi_distinct: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** Exact median (interpolating percentile 0.5) next to the
+    * decimal-exact mean — the robust-vs-classical center pair. Exact
+    * median materializes each group's values once (Spark collects
+    * per-group into the percentile buffer); at true 100 TB prefer
+    * q23b's approx_percentile sketch — this is the exact-answer
+    * variant for when the group count is bounded. */
+  def q60_median: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        median(col("l_quantity")).as("median_qty"),
+        davg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("n_rows"))
+      .withColumn("skew_gap", round(col("avg_qty") - col("median_qty"), 6))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Bitwise aggregation (bit_and / bit_or / bit_xor) — flag-mask
+    * folding (capability intersections, parity checks) as partial
+    * aggregates. All three are associative+commutative so they fold
+    * map-side; xor additionally makes a cheap order-independent
+    * content checksum of a key set. */
+  def q61_bitwise: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        bit_and(col("l_partkey")).as("mask_and"),
+        bit_or(col("l_partkey")).as("mask_or"),
+        bit_xor(col("l_partkey")).as("mask_xor"),
+        bit_xor(col("l_orderkey") * 2654435761L % 4294967296L)
+          .as("orderset_checksum"))
+      .orderBy(col("l_returnflag"))
+
+  val queries: Map[String, Q] = Map(
+    "q51_unpivot" -> q51_unpivot,
+    "q52_corr_stats" -> q52_corr_stats,
+    "q53_dist_window" -> q53_dist_window,
+    "q54_full_outer" -> q54_full_outer,
+    "q55_map_funcs" -> q55_map_funcs,
+    "q56_conditional_agg" -> q56_conditional_agg,
+    "q57_argmax" -> q57_argmax,
+    "q58_try_arith" -> q58_try_arith,
+    "q59_multi_distinct" -> q59_multi_distinct,
+    "q60_median" -> q60_median,
+    "q61_bitwise" -> q61_bitwise,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q51_unpivot" ->
+      """WITH w AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price,
+        |    CAST(COUNT(*) AS DOUBLE) AS n_rows
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, measure, val
+        |FROM w UNPIVOT (val FOR measure IN (sum_qty, sum_price, n_rows))
+        |ORDER BY l_returnflag, measure""".stripMargin,
+    "q52_corr_stats" ->
+      """WITH a AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  CAST(n AS BIGINT) AS n_rows,
+        |  round((sxy - sx*sy/n)/n, 6) AS covar_pop,
+        |  round((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx)*(n*syy - sy*sy)), 6) AS corr,
+        |  round(sqrt((sxx - sx*sx/n)/n), 6) AS stddev_pop_qty
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+    "q53_dist_window" ->
+      """SELECT c_custkey, c_nationkey,
+        |  round(percent_rank() OVER (PARTITION BY c_nationkey
+        |    ORDER BY c_acctbal, c_custkey), 6) AS pct_rank,
+        |  round(cume_dist() OVER (PARTITION BY c_nationkey
+        |    ORDER BY c_acctbal, c_custkey), 6) AS cume
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q54_full_outer" ->
+      """WITH od AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |ed AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1)
+        |SELECT COALESCE(od.day, ed.day) AS day, n_orders, n_events
+        |FROM od FULL OUTER JOIN ed ON od.day = ed.day
+        |ORDER BY day""".stripMargin,
+    "q55_map_funcs" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority, o_orderstatus,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderpriority,
+        |  CAST(COUNT(*) AS INT) AS n_statuses,
+        |  string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+        |  CAST(COALESCE(SUM(cnt) FILTER (WHERE o_orderstatus = 'F'), 0)
+        |    AS BIGINT) AS n_finished,
+        |  CAST(COALESCE(SUM(cnt * 2) FILTER (WHERE o_orderstatus = 'O'), 0)
+        |    AS BIGINT) AS n_open_x2
+        |FROM c GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q56_conditional_agg" ->
+      """SELECT n_name,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(count_if(c_acctbal < 0) AS BIGINT) AS n_negative,
+        |  bool_and(c_acctbal > -1000) AS all_above_floor,
+        |  bool_or(c_acctbal > 9000) AS any_rich,
+        |  round(count_if(c_acctbal < 0) / COUNT(*), 4) AS neg_share
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q57_argmax" ->
+      """SELECT l_returnflag,
+        |  arg_max(l_orderkey,
+        |    CAST(round(l_extendedprice*100) AS BIGINT)*10000000 + l_orderkey)
+        |    AS max_price_order,
+        |  arg_min(l_orderkey,
+        |    CAST(round(l_extendedprice*100) AS BIGINT)*10000000 + l_orderkey)
+        |    AS min_price_order,
+        |  MAX(l_extendedprice) AS max_price,
+        |  MIN(l_extendedprice) AS min_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q58_try_arith" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(count_if(l_quantity > 49) AS BIGINT) AS n_maxed,
+        |  CAST(count_if(l_quantity < 2) AS BIGINT) AS n_single,
+        |  round(count_if(l_quantity > 49) /
+        |    NULLIF(count_if(l_quantity < 2), 0), 6) AS maxed_per_single
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q59_multi_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+        |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q60_median" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  median(l_quantity) AS median_qty,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_quantity)
+        |    AS avg_qty,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_quantity)
+        |    - median(l_quantity), 6) AS skew_gap
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q61_bitwise" ->
+      """SELECT l_returnflag,
+        |  CAST(bit_and(l_partkey) AS BIGINT) AS mask_and,
+        |  CAST(bit_or(l_partkey) AS BIGINT) AS mask_or,
+        |  CAST(bit_xor(l_partkey) AS BIGINT) AS mask_xor,
+        |  CAST(bit_xor(l_orderkey * 2654435761 % 4294967296) AS BIGINT)
+        |    AS orderset_checksum
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+  )
+}

@@ -1,0 +1,283 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Training-corpus curation operators beyond d08's gate pipeline:
+  * benchmark decontamination, repetition screening, PII scrubbing,
+  * and temperature-based mixture rebalancing. These are the four
+  * standard pre-training passes that run AFTER dedup (d01-d06) and
+  * BEFORE sampling into the final mixture.
+  *
+  * Scale notes are per-operator; the common theme is that every pass
+  * is map-side over the corpus with at most one bounded-cardinality
+  * shuffle (per-doc or per-stratum), so each scans 100 TB at IO
+  * speed. Every formula is mirrored exactly in the DuckDB oracle
+  * (integer counts, single double division, round-6).
+  */
+object Curation {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact-split tokens: the corpus is single-space separated, and the
+    * DuckDB mirror is string_split(text, ' ') — a \s+ split would
+    * diverge on multi-space runs, so both sides split on the literal.
+    */
+  private def toks = split(col("text"), " ")
+
+  /** d10 — benchmark decontamination: score every corpus document by
+    * its distinct word-5-gram overlap against a benchmark set (here
+    * the deterministic doc_id % 31 == 0 slice stands in for an eval
+    * suite), flagging documents above the overlap threshold. This is
+    * the n-gram test-set-contamination check every pre-training run
+    * performs before training on scraped data.
+    *
+    * Scale: the benchmark side is an eval suite — thousands of docs,
+    * not the corpus — so its distinct-n-gram set broadcasts; the
+    * corpus side is one map pass (shingle + explode) into a broadcast
+    * left join and a per-doc aggregate. The corpus never shuffles by
+    * content, only by doc_id, and the per-doc n-gram count is bounded
+    * by document length. At 100 TB this is a single IO-bound scan.
+    */
+  def d10_decontam: Q = (s, d) => {
+    import graft.functions.TextHashFunctions.word_shingles
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        array_distinct(word_shingles(toks, 5)).as("grams"))
+    val bench = docs.filter(col("doc_id") % 31 === 0)
+      .select(explode(col("grams")).as("g")).distinct()
+      .withColumn("__hit", lit(1))
+    docs.filter(col("doc_id") % 31 =!= 0)
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+      .join(broadcast(bench), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hits"))
+      .withColumn("overlap", round(col("n_hits") / col("n_grams"), 6))
+      .withColumn("contaminated", col("overlap") >= 0.05)
+      .orderBy(col("doc_id"))
+  }
+
+  /** t11 — repetition screening (the Gopher-rule family): per-doc
+    * type-token ratio, duplicated-3-gram fraction, and the share of
+    * 2-grams taken by the single most frequent 2-gram. Degenerate
+    * machine-generated or boilerplate text scores high on dup3/top2
+    * and low on TTR; the flag is the standard "drop if dominated by
+    * repetition" gate.
+    *
+    * Scale: TTR and dup3 are pure per-row array expressions (no
+    * shuffle). top2 needs one explode + groupBy(doc_id, gram) — the
+    * key includes doc_id, so cardinality is rows×doc-length with
+    * near-uniform distribution: no hot keys, one well-behaved
+    * shuffle. (Docs here have ≥10 tokens; the <n short-shingle
+    * fallback never fires at any SF — see TESTDATA.md.)
+    */
+  def t11_repetition: Q = (s, d) => {
+    import graft.functions.TextHashFunctions.word_shingles
+    val base = Tables.documents(s, d).select(
+      col("doc_id"),
+      toks.as("toks"),
+      word_shingles(toks, 2).as("g2"),
+      word_shingles(toks, 3).as("g3"))
+    val top2 = base.select(col("doc_id"), explode(col("g2")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top2_cnt"))
+    base.join(top2, Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        round(size(array_distinct(col("toks"))) / size(col("toks")), 6)
+          .as("ttr"),
+        round(lit(1.0) - size(array_distinct(col("g3"))) / size(col("g3")), 6)
+          .as("dup3_frac"),
+        round(col("top2_cnt") / size(col("g2")), 6).as("top2_frac"))
+      .withColumn("repetitive",
+        col("dup3_frac") > 0.05 || col("top2_frac") > 0.1)
+      .orderBy(col("doc_id"))
+  }
+
+  /** t12 — PII scrubbing: redact emails, phone numbers, and IPv4
+    * addresses with typed placeholders, counting each redaction. The
+    * corpus text carries no PII, so the query injects a deterministic
+    * doc_id-derived contact line first — the oracle mirrors the
+    * injection, making the scrub itself (three regexes, Java and RE2
+    * compatible: no backreferences or lookarounds) the thing under
+    * test. Output pins the scrubbed text by md5 so a single missed or
+    * extra replacement anywhere fails the hash.
+    *
+    * Scale: map-only — three regexp_replace + three regexp_extract_all
+    * per row inside whole-stage codegen; nothing shuffles but the
+    * final per-doc projection.
+    */
+  def t12_pii_scrub: Q = (s, d) => {
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phonePat = "\\b555-[0-9]{4}\\b"
+    val ipPat = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    val injected = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast(StringType),
+      lit("@example.com or call 555-"),
+      lpad((col("doc_id") % 10000).cast(StringType), 4, "0"),
+      lit(" ip 10.0."), (col("doc_id") % 256).cast(StringType), lit(".1"))
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(injected, emailPat, "<EMAIL>"),
+        ipPat, "<IP>"),
+      phonePat, "<PHONE>")
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(injected, lit(emailPat), lit(0)))
+          .as("n_emails"),
+        size(regexp_extract_all(injected, lit(ipPat), lit(0))).as("n_ips"),
+        size(regexp_extract_all(injected, lit(phonePat), lit(0)))
+          .as("n_phones"),
+        length(scrubbed).as("n_chars_clean"),
+        md5(scrubbed).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** d11 — mixture rebalancing (temperature sampling): downsample each
+    * language stratum toward the smallest one at temperature α=0.5 —
+    * keep rate √(n_min/n_lang) — via the same deterministic Knuth-hash
+    * coin as q44/q49, so the sample is reproducible on any engine and
+    * any partitioning. This is the "flatten the language distribution"
+    * step of multilingual pre-training (upweight low-resource
+    * strata); α=0.5 is the standard compromise between natural (α=1)
+    * and uniform (α=0).
+    *
+    * Determinism: the threshold is round(√(n_min/n_l)·10⁶) — one
+    * integer division, one IEEE sqrt, one round; no cross-row double
+    * accumulation anywhere, so Spark and DuckDB agree bit-for-bit.
+    * The membership test is pure integer arithmetic (% 2³¹ bounds the
+    * product below 2⁶³ — Spark wraps silently, DuckDB would error).
+    *
+    * Scale: stratum stats are one tiny aggregate (5 rows) broadcast
+    * back; membership is map-side integer math; the output aggregate
+    * is per-stratum. One shuffle of stratum-count size — nothing
+    * grows with the corpus but the IO-bound scan.
+    */
+  def d11_mixture_sample: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    // 5-row aggregate; the unpartitioned window min runs on one task
+    // over those 5 rows, not on the corpus
+    val rates = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_min", min(col("n_docs")).over(Window.partitionBy()))
+      .withColumn("keep_thresh",
+        round(sqrt(col("n_min") / col("n_docs")) * 1000000).cast(LongType))
+      .drop("n_min")
+    docs.join(broadcast(rates), Seq("lang"))
+      .withColumn("keep",
+        col("doc_id") % 2147483648L * 2654435761L % 4294967296L
+          % 1000000L < col("keep_thresh"))
+      .groupBy(col("lang"), col("n_docs"), col("keep_thresh"))
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("realized_rate", round(col("n_kept") / col("n_docs"), 6))
+      .orderBy(col("lang"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "d10_decontam" -> d10_decontam,
+    "t11_repetition" -> t11_repetition,
+    "t12_pii_scrub" -> t12_pii_scrub,
+    "d11_mixture_sample" -> d11_mixture_sample,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d10_decontam" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(l) < 5 THEN [array_to_string(l, ' ')]
+        |    ELSE list_transform(
+        |      list_zip(l[1:len(l)-4], l[2:len(l)-3], l[3:len(l)-2],
+        |               l[4:len(l)-1], l[5:len(l)]),
+        |      p -> p[1]||' '||p[2]||' '||p[3]||' '||p[4]||' '||p[5])
+        |    END)) AS gram
+        |  FROM t),
+        |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 31 = 0)
+        |SELECT g.doc_id,
+        |  COUNT(*) AS n_grams,
+        |  COUNT(b.gram) AS n_hits,
+        |  round(COUNT(b.gram) / COUNT(*), 6) AS overlap,
+        |  round(COUNT(b.gram) / COUNT(*), 6) >= 0.05 AS contaminated
+        |FROM g LEFT JOIN b ON g.gram = b.gram
+        |WHERE g.doc_id % 31 <> 0
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    "t11_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |s AS (
+        |  SELECT doc_id, l,
+        |    list_transform(list_zip(l[1:len(l)-1], l[2:len(l)]),
+        |      p -> p[1]||' '||p[2]) AS g2,
+        |    list_transform(list_zip(l[1:len(l)-2], l[2:len(l)-1], l[3:len(l)]),
+        |      p -> p[1]||' '||p[2]||' '||p[3]) AS g3
+        |  FROM t),
+        |top2 AS (
+        |  SELECT doc_id, MAX(c) AS top2_cnt FROM (
+        |    SELECT doc_id, g, COUNT(*) AS c
+        |    FROM (SELECT doc_id, unnest(g2) AS g FROM s)
+        |    GROUP BY doc_id, g)
+        |  GROUP BY doc_id)
+        |SELECT s.doc_id,
+        |  CAST(len(l) AS INT) AS n_tokens,
+        |  round(len(list_distinct(l)) / len(l), 6) AS ttr,
+        |  round(1.0 - len(list_distinct(g3)) / len(g3), 6) AS dup3_frac,
+        |  round(top2_cnt / len(g2), 6) AS top2_frac,
+        |  round(1.0 - len(list_distinct(g3)) / len(g3), 6) > 0.05
+        |    OR round(top2_cnt / len(g2), 6) > 0.1 AS repetitive
+        |FROM s JOIN top2 ON s.doc_id = top2.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
+    "t12_pii_scrub" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com or call 555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+        |      AS injected
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, injected,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(injected,
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |          '<EMAIL>', 'g'),
+        |        '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        |      '\b555-[0-9]{4}\b', '<PHONE>', 'g') AS scrubbed
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(injected,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(injected,
+        |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INT) AS n_ips,
+        |  CAST(len(regexp_extract_all(injected,
+        |    '\b555-[0-9]{4}\b')) AS INT) AS n_phones,
+        |  CAST(len(scrubbed) AS INT) AS n_chars_clean,
+        |  md5(scrubbed) AS clean_md5
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "d11_mixture_sample" ->
+      """WITH c AS (
+        |  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+        |r AS (
+        |  SELECT lang, n_docs,
+        |    CAST(round(sqrt(MIN(n_docs) OVER () / n_docs) * 1000000)
+        |      AS BIGINT) AS keep_thresh
+        |  FROM c)
+        |SELECT r.lang, r.n_docs, r.keep_thresh,
+        |  CAST(SUM(CASE WHEN d.doc_id % 2147483648 * 2654435761
+        |      % 4294967296 % 1000000 < r.keep_thresh
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  round(CAST(SUM(CASE WHEN d.doc_id % 2147483648 * 2654435761
+        |      % 4294967296 % 1000000 < r.keep_thresh
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / r.n_docs, 6) AS realized_rate
+        |FROM documents d JOIN r ON d.lang = r.lang
+        |GROUP BY r.lang, r.n_docs, r.keep_thresh
+        |ORDER BY r.lang""".stripMargin,
+  )
+}

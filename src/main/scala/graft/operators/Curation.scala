@@ -3,7 +3,6 @@ package graft.operators
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
 /** Training-corpus curation operators beyond d08's gate pipeline:
@@ -160,10 +159,12 @@ object Curation {
     */
   def d11_mixture_sample: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    // 5-row aggregate; the unpartitioned window min runs on one task
-    // over those 5 rows, not on the corpus
-    val rates = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-      .withColumn("n_min", min(col("n_docs")).over(Window.partitionBy()))
+    // stratum stats are tiny (one row per lang); the global min joins
+    // back as a broadcast scalar (BNLJ over 1 row), not an
+    // unpartitioned window that would force a single-partition sort
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("n_docs")).as("n_min"))))
       .withColumn("keep_thresh",
         round(sqrt(col("n_min") / col("n_docs")) * 1000000).cast(LongType))
       .drop("n_min")

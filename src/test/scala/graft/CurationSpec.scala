@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral tests for operators.Curation on handcrafted corpora —
+  * the oracle gate proves engine-vs-DuckDB agreement; these prove the
+  * operators do the right thing on inputs built to trip them.
+  */
+class CurationSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  private def corpus(rows: (Long, String)*): org.apache.spark.sql.DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map { case (id, t) =>
+        Row(id, t, "en", "src0", t.length.toLong)
+      }: _*),
+      docSchema)
+
+  // ---- d10 decontamination ------------------------------------------
+
+  test("d10 flags a verbatim copy of a benchmark doc and clears disjoint text") {
+    // doc 31 is benchmark (31 % 31 == 0); doc 1 copies it verbatim;
+    // doc 2 shares no 5-gram with it
+    val bench = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    withTempView(corpus(
+      31L -> bench,
+      1L -> bench,
+      2L -> "one two three four five six seven eight nine ten")) { dir =>
+      val out = operators.Curation.d10_decontam(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+      assert(out(1L) === true)   // exact copy => overlap 1.0
+      assert(out(2L) === false)  // disjoint => overlap 0.0
+      assert(!out.contains(31L)) // benchmark docs are not scored
+    }
+  }
+
+  test("d10 benchmark side is broadcast (corpus never shuffles by n-gram)") {
+    val p = SparkEntry.queries("d10_decontam")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  // ---- t11 repetition ----------------------------------------------
+
+  test("t11 scores a degenerate one-token loop as repetitive, varied text as clean") {
+    val loop = Seq.fill(40)("spam").mkString(" ")
+    val varied = (1 to 40).map(i => s"w$i").mkString(" ")
+    withTempView(corpus(1L -> loop, 2L -> varied)) { dir =>
+      val rows = operators.Curation.t11_repetition(spark, dir)
+        .collect().map(r => r.getLong(0) ->
+          (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toMap
+      val (ttrLoop, dup3Loop, top2Loop, flagLoop) = rows(1L)
+      assert(ttrLoop === 0.025) // 1 distinct / 40 tokens
+      assert(dup3Loop > 0.9 && top2Loop === 1.0 && flagLoop)
+      val (ttrVar, dup3Var, _, flagVar) = rows(2L)
+      assert(ttrVar === 1.0 && dup3Var === 0.0 && !flagVar)
+    }
+  }
+
+  // ---- t12 PII scrub ------------------------------------------------
+
+  test("t12 redacts every injected PII token exactly once") {
+    val body = "hello world foo bar baz qux quux corge grault garply"
+    withTempView(corpus(7L -> body)) { dir =>
+      val r = operators.Curation.t12_pii_scrub(spark, dir).collect().head
+      assert(r.getInt(1) === 1 && r.getInt(2) === 1 && r.getInt(3) === 1)
+      // placeholders are shorter than what they replace, so the clean
+      // length must land below the injected length deterministically:
+      // body + injected tail with all three PII tokens swapped out
+      val injected = body + " contact user7@example.com or call 555-0007 ip 10.0.7.1"
+      val expected = injected
+        .replace("user7@example.com", "<EMAIL>")
+        .replace("555-0007", "<PHONE>")
+        .replace("10.0.7.1", "<IP>")
+      assert(r.getInt(4) === expected.length)
+    }
+  }
+
+  test("t12 scrub removes emails/phones/IPs already present in text") {
+    // PII in the body, not just the injected tail
+    val text = "reach me at bob.smith+x@corp.example.org or 555-1234 " +
+      "from 192.168.0.1 thanks"
+    withTempView(corpus(3L -> text)) { dir =>
+      val r = operators.Curation.t12_pii_scrub(spark, dir).collect().head
+      // 1 body + 1 injected of each kind
+      assert(r.getInt(1) === 2, "emails")
+      assert(r.getInt(2) === 2, "ips")
+      assert(r.getInt(3) === 2, "phones")
+    }
+  }
+
+  // ---- d11 mixture sampling ----------------------------------------
+
+  test("d11 keeps the smallest stratum whole and downsamples others at sqrt rate") {
+    val rows = (0L until 400L).map { i =>
+      val lang = if (i < 100) "small" else "big"
+      Row(i, ("tok " * 10).trim, lang, "src0", 40L)
+    }
+    val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*), docSchema)
+    withTempDf(df) { dir =>
+      val out = operators.Curation.d11_mixture_sample(spark, dir)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val (nBig, threshBig, keptBig) = out("big")
+      val (nSmall, threshSmall, keptSmall) = out("small")
+      assert(nSmall === 100L && threshSmall === 1000000L && keptSmall === 100L)
+      assert(nBig === 300L && threshBig === 577350L)
+      // hash coin realizes close to the sqrt(100/300) ≈ 0.577 target
+      assert(keptBig > 120L && keptBig < 230L)
+    }
+  }
+
+  // ---- helpers ------------------------------------------------------
+
+  /** Writes the frame as the `documents` table of a temp sf dir. */
+  private def withTempDf(df: org.apache.spark.sql.DataFrame)(
+      f: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("curation_test").toString
+    try {
+      df.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      f(dir)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  private def withTempView(df: org.apache.spark.sql.DataFrame)(
+      f: String => Unit): Unit = withTempDf(df)(f)
+}

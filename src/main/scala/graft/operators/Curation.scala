@@ -178,11 +178,105 @@ object Curation {
       .orderBy(col("lang"))
   }
 
+  /** t13 — sequence packing: greedily pack documents into fixed-size
+    * (2048-token) training sequences in deterministic (doc_id) order,
+    * reporting per-bin document count and fill. Packing is what turns
+    * a curated corpus into actual pre-training batches; the bin
+    * assignment floor(start_offset / 2048) reproduces the standard
+    * greedy concat-and-slice packer (a doc belongs to the bin where
+    * it starts).
+    *
+    * Scale: the running offset is a window cumsum partitioned by
+    * (source, doc_id % 16) — the shard term exists purely to keep the
+    * window keys numerous and uniform at cluster scale; a bare
+    * per-source window would serialize each source's 100 TB slice
+    * through one task. One shuffle for the window, one bounded
+    * aggregate after. All arithmetic is exact integers (token counts
+    * < 2^52, so the /2048.0 floor is exact in ieee754 on both
+    * engines).
+    */
+  def t13_seq_pack: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        (col("doc_id") % 16).as("shard"),
+        size(toks).cast(LongType).as("n_toks"))
+      .withColumn("cum", sum(col("n_toks")).over(w))
+      .withColumn("bin",
+        floor((col("cum") - col("n_toks")) / lit(2048.0)).cast(LongType))
+      .groupBy(col("source"), col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .withColumn("fill", round(col("n_tokens") / lit(2048.0), 6))
+      .orderBy(col("source"), col("shard"), col("bin"))
+  }
+
+  /** t14 — LM-novelty quality score: rate each document by the share
+    * of its bigrams that are globally rare (corpus count ≤ 2) — the
+    * integer-exact stand-in for perplexity-based quality filtering
+    * (a doc made of bigrams the corpus LM has barely seen is exactly
+    * a doc the LM finds surprising). Integer counts and one division
+    * keep it bit-identical cross-engine, where a log-prob sum would
+    * drift in the last ulp between libm implementations.
+    *
+    * Scale: same profile as t08's TF-IDF — one bigram-count shuffle
+    * (uniform key space), one join of doc-bigrams to counts (same
+    * key), one per-doc aggregate. No hot keys: the count table is
+    * per-bigram, not per-token-prefix.
+    */
+  def t14_lm_quality: Q = (s, d) => {
+    import graft.functions.TextHashFunctions.word_shingles
+    val bigrams = Tables.documents(s, d)
+      .select(col("doc_id"), explode(word_shingles(toks, 2)).as("bg"))
+    val counts = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("n"))
+    bigrams.join(counts, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("n") <= 2, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("rare_rate", round(col("n_rare") / col("n_bigrams"), 6))
+      .withColumn("novel", col("rare_rate") > 0.5)
+      .orderBy(col("doc_id"))
+  }
+
+  /** d12 — incremental-delivery dedup: accept or reject a new delivery
+    * (the deterministic doc_id % 10 == 7 slice stands in for today's
+    * crawl) against the existing corpus by exact content fingerprint.
+    * This is the day-2 shape of d01: the corpus is already deduped,
+    * and each new delivery must be screened against it without
+    * re-deduping the world.
+    *
+    * Scale: the corpus side reduces to DISTINCT fingerprints (one
+    * md5 per doc — 16 bytes/row, not the text); the left join
+    * shuffles both sides by fingerprint, a uniform key. At a real
+    * 100 TB corpus the fingerprint set is persisted once (bucketed by
+    * fp) and each daily delivery joins against it shuffle-free on the
+    * corpus side.
+    */
+  def d12_incremental_dedup: Q = (s, d) => {
+    val docs = Tables.documents(s, d).withColumn("fp", md5(col("text")))
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+      .select(col("fp")).distinct().withColumn("__seen", lit(1))
+    docs.filter(col("doc_id") % 10 === 7)
+      .join(corpus, Seq("fp"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_new"),
+        sum(when(col("__seen").isNotNull, 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_accepted"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
     "d10_decontam" -> d10_decontam,
     "t11_repetition" -> t11_repetition,
     "t12_pii_scrub" -> t12_pii_scrub,
     "d11_mixture_sample" -> d11_mixture_sample,
+    "t13_seq_pack" -> t13_seq_pack,
+    "t14_lm_quality" -> t14_lm_quality,
+    "d12_incremental_dedup" -> d12_incremental_dedup,
   )
 
   val oracles: Map[String, String] = Map(
@@ -280,5 +374,56 @@ object Curation {
         |FROM documents d JOIN r ON d.lang = r.lang
         |GROUP BY r.lang, r.n_docs, r.keep_thresh
         |ORDER BY r.lang""".stripMargin,
+    "t13_seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, doc_id % 16 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, SUM(n_toks) OVER (PARTITION BY source, shard
+        |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t),
+        |b AS (
+        |  SELECT source, shard, n_toks,
+        |    CAST(floor((cum - n_toks) / 2048.0) AS BIGINT) AS bin
+        |  FROM c)
+        |SELECT source, shard, bin,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+        |  round(CAST(SUM(n_toks) AS DOUBLE) / 2048.0, 6) AS fill
+        |FROM b GROUP BY source, shard, bin
+        |ORDER BY source, shard, bin""".stripMargin,
+    "t14_lm_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(l) < 2 THEN [array_to_string(l, ' ')]
+        |    ELSE list_transform(list_zip(l[1:len(l)-1], l[2:len(l)]),
+        |      p -> p[1]||' '||p[2]) END) AS bg
+        |  FROM t),
+        |c AS (SELECT bg, COUNT(*) AS n FROM g GROUP BY bg)
+        |SELECT g.doc_id,
+        |  COUNT(*) AS n_bigrams,
+        |  CAST(SUM(CASE WHEN c.n <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        |  round(SUM(CASE WHEN c.n <= 2 THEN 1 ELSE 0 END) / COUNT(*), 6)
+        |    AS rare_rate,
+        |  round(SUM(CASE WHEN c.n <= 2 THEN 1 ELSE 0 END) / COUNT(*), 6) > 0.5
+        |    AS novel
+        |FROM g JOIN c ON g.bg = c.bg
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    "d12_incremental_dedup" ->
+      """WITH d AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
+        |corp AS (
+        |  SELECT DISTINCT fp FROM d WHERE doc_id % 10 <> 7),
+        |newd AS (SELECT * FROM d WHERE doc_id % 10 = 7)
+        |SELECT n.source,
+        |  COUNT(*) AS n_new,
+        |  CAST(SUM(CASE WHEN c.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup,
+        |  CAST(SUM(CASE WHEN c.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_accepted
+        |FROM newd n LEFT JOIN corp c ON n.fp = c.fp
+        |GROUP BY n.source ORDER BY n.source""".stripMargin,
   )
 }

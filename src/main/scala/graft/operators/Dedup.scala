@@ -426,7 +426,52 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** d13 — LSH recall evaluation: how much of the exact near-duplicate
+    * truth does d02's banded MinHash actually find? The dedup-side
+    * twin of s05's ANN recall gate: an index (LSH bands here) is only
+    * trustworthy with a measured recall number next to it.
+    *
+    * Ground truth is brute-force Jaccard over a deterministic sample
+    * (doc_id % 5 == 0) — eval cost is O(sample²) and independent of
+    * corpus size, which is the only way an exact-recall measurement
+    * scales: the full corpus is what the sketch exists to avoid
+    * enumerating. The sample side broadcasts; rows-only (recall of a
+    * randomized sketch has no cross-engine oracle).
+    */
+  def d13_lsh_recall: Q = (s, d) => {
+    import graft.functions.TextHashFunctions.array_jaccard
+    val sample = Tables.documents(s, d)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
+      .withColumn("sz", size(col("sh")))
+    // cheap exact prefilters run before the per-pair set intersection:
+    // J(A,B) ≥ 0.5 forces |A|/|B| ∈ [0.5, 2] (|∩| ≤ min, |∪| ≥ max),
+    // so the integer size test discards most of the O(sample²) pairs
+    // without ever touching the arrays — lossless by construction
+    val truth = sample.select(col("doc_id").as("id_a"),
+        col("sh").as("sh_a"), col("sz").as("sz_a"))
+      .crossJoin(broadcast(sample.select(col("doc_id").as("id_b"),
+        col("sh").as("sh_b"), col("sz").as("sz_b"))))
+      .filter(col("id_a") < col("id_b") &&
+        col("sz_a") <= col("sz_b") * 2 && col("sz_b") <= col("sz_a") * 2)
+      .filter(array_jaccard(col("sh_a"), col("sh_b")) >= 0.5)
+      .select(col("id_a"), col("id_b"))
+    val found = d02_minhash_lsh(s, d).select(
+      col("id_a"), col("id_b"), lit(1).as("__found"))
+    truth.join(found, Seq("id_a", "id_b"), "left")
+      .agg(
+        count(lit(1)).as("n_true_pairs"),
+        // sum over zero rows is NULL, not 0 — the empty-truth row
+        // should read (0, 0, 1.0)
+        coalesce(sum(when(col("__found").isNotNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_found"))
+      .withColumn("recall",
+        when(col("n_true_pairs") === 0, lit(1.0))
+          .otherwise(round(col("n_found") / col("n_true_pairs"), 4)))
+  }
+
   val queries: Map[String, Q] = Map(
+    "d13_lsh_recall" -> d13_lsh_recall,
     "d07_snapshot_diff" -> d07_snapshot_diff,
     "d01_dedup_exact" -> d01_dedup_exact,
     "d06_source_similarity" -> d06_source_similarity,

@@ -246,7 +246,90 @@ object Relational2 {
           .as("orderset_checksum"))
       .orderBy(col("l_returnflag"))
 
+  /** Deterministic mode (most frequent value) per group. The builtin
+    * `mode()` exists on both engines but leaves ties unspecified, so
+    * the explicit count + row_number form pins the tie-break (highest
+    * count, then highest value) — the only way a mode is
+    * reproducible across engines, partitionings, and versions. Cost:
+    * one partial-agg shuffle on (group, value) + a window over the
+    * tiny per-group count table.
+    */
+  def q62_mode: Q = (s, d) => {
+    val counts = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("n_occurrences").desc, col("l_quantity").desc)
+    counts.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+        col("n_occurrences"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Hopping (sliding) window aggregation: 2-hour windows advancing
+    * every hour, so each event lands in exactly two overlapping
+    * windows — the batch twin of the streaming hop that backs every
+    * "active users in the trailing 2h, refreshed hourly" panel.
+    * Spark's `window(ts, size, slide)` expands each row to its
+    * windows before a normal aggregate; the DuckDB mirror builds the
+    * same two starts per event (hour-trunc minus k hours, k ∈ {0,1}).
+    * Row expansion is the slide ratio (2×) — visible, linear, and
+    * map-side; the aggregate shuffles only (window, type) keys.
+    */
+  def q63_hopping_window: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n_events"))
+      .orderBy(col("w_start"), col("event_type"))
+
+  /** Array set algebra on grouped sets: per-order part sets by line
+    * status, then intersect/union/except cardinalities — the
+    * "overlap between two collected sets" shape (e.g. returned-vs-
+    * kept SKUs). Only SIZES are emitted: collect_set order is
+    * partition-dependent, set cardinalities are not. The filtered
+    * keyset keeps output bounded; the one shuffle is the per-order
+    * collect.
+    */
+  def q64_array_setops: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") % 50 === 0)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        collect_set(when(col("l_linestatus") === "F", col("l_partkey")))
+          .as("parts_f"),
+        collect_set(when(col("l_linestatus") === "O", col("l_partkey")))
+          .as("parts_o"))
+      .select(col("l_orderkey"),
+        size(col("parts_f")).as("n_f"),
+        size(col("parts_o")).as("n_o"),
+        size(array_intersect(col("parts_f"), col("parts_o"))).as("n_both"),
+        size(array_union(col("parts_f"), col("parts_o"))).as("n_any"),
+        size(array_except(col("parts_f"), col("parts_o"))).as("n_f_only"))
+      .orderBy(col("l_orderkey"))
+
+  /** Positional explode (UNNEST WITH ORDINALITY): token positions per
+    * document — first occurrence and count per distinct token. Spark's
+    * posexplode is 0-based, the SQL-standard ordinality is 1-based,
+    * so the position is shifted at the source. Generator + aggregate;
+    * the doc_id filter bounds output for the gate, the shape itself
+    * is a linear map-side expansion.
+    */
+  def q65_posexplode: Q = (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(min(col("pos") + 1).as("first_pos"), count(lit(1)).as("n_occ"))
+      .orderBy(col("doc_id"), col("tok"))
+
   val queries: Map[String, Q] = Map(
+    "q62_mode" -> q62_mode,
+    "q63_hopping_window" -> q63_hopping_window,
+    "q64_array_setops" -> q64_array_setops,
+    "q65_posexplode" -> q65_posexplode,
     "q51_unpivot" -> q51_unpivot,
     "q52_corr_stats" -> q52_corr_stats,
     "q53_dist_window" -> q53_dist_window,
@@ -261,6 +344,56 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q62_mode" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_quantity, COUNT(*) AS n_occurrences
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY n_occurrences DESC, l_quantity DESC) AS rk
+        |  FROM c)
+        |SELECT l_returnflag, l_quantity AS mode_qty, n_occurrences
+        |FROM r WHERE rk = 1 ORDER BY l_returnflag""".stripMargin,
+    "q63_hopping_window" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    date_trunc('hour', ts) - INTERVAL 1 HOUR * k AS w_start
+        |  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k))
+        |SELECT w_start, w_start + INTERVAL 2 HOUR AS w_end, event_type,
+        |  COUNT(*) AS n_events
+        |FROM h GROUP BY w_start, event_type
+        |ORDER BY w_start, event_type""".stripMargin,
+    "q64_array_setops" ->
+      """WITH s AS (
+        |  SELECT l_orderkey,
+        |    coalesce(list(DISTINCT l_partkey)
+        |      FILTER (WHERE l_linestatus = 'F'), []) AS pf,
+        |    coalesce(list(DISTINCT l_partkey)
+        |      FILTER (WHERE l_linestatus = 'O'), []) AS po
+        |  FROM lineitem WHERE l_orderkey % 50 = 0 GROUP BY l_orderkey)
+        |SELECT l_orderkey,
+        |  CAST(len(pf) AS INT) AS n_f,
+        |  CAST(len(po) AS INT) AS n_o,
+        |  CAST(len(list_filter(pf, x -> list_contains(po, x))) AS INT)
+        |    AS n_both,
+        |  CAST(len(pf) + len(po)
+        |    - len(list_filter(pf, x -> list_contains(po, x))) AS INT)
+        |    AS n_any,
+        |  CAST(len(pf)
+        |    - len(list_filter(pf, x -> list_contains(po, x))) AS INT)
+        |    AS n_f_only
+        |FROM s ORDER BY l_orderkey""".stripMargin,
+    "q65_posexplode" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l
+        |  FROM documents WHERE doc_id < 20),
+        |u AS (
+        |  SELECT doc_id, unnest(l) AS tok,
+        |    unnest(range(1, len(l) + 1)) AS pos
+        |  FROM t)
+        |SELECT doc_id, tok, CAST(MIN(pos) AS INT) AS first_pos,
+        |  COUNT(*) AS n_occ
+        |FROM u GROUP BY doc_id, tok ORDER BY doc_id, tok""".stripMargin,
     "q51_unpivot" ->
       """WITH w AS (
         |  SELECT l_returnflag,

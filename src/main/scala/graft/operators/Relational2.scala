@@ -325,7 +325,31 @@ object Relational2 {
       .agg(min(col("pos") + 1).as("first_pos"), count(lit(1)).as("n_occ"))
       .orderBy(col("doc_id"), col("tok"))
 
+  /** Time-interval RANGE window: per-user trailing-1-hour event count
+    * and value sum at every event — the rolling-rate shape behind
+    * throttling, anomaly and velocity checks. Spark's rangeBetween is
+    * numeric-only, so the frame runs over epoch-microseconds (exactly
+    * the µs the timestamps are stored at; DuckDB mirrors with
+    * epoch_us(ts)) — both engines evaluate the identical integer
+    * frame, no interval-type semantics to disagree on. One shuffle on
+    * user_id; the frame is evaluated by a running two-pointer pass
+    * per partition, not a per-row rescan.
+    */
+  def q66_rolling_range: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"))
+      .rangeBetween(-3600000000L, 0L)
+    Tables.events(s, d)
+      .withColumn("ts_us", call_function("div", col("ts_ns"), lit(1000L)))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("value").cast(DecimalType(28, 6))).over(w)
+          .cast(DoubleType).as("sum_1h"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q66_rolling_range" -> q66_rolling_range,
     "q62_mode" -> q62_mode,
     "q63_hopping_window" -> q63_hopping_window,
     "q64_array_setops" -> q64_array_setops,
@@ -344,6 +368,14 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q66_rolling_range" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  COUNT(*) OVER w AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q62_mode" ->
       """WITH c AS (
         |  SELECT l_returnflag, l_quantity, COUNT(*) AS n_occurrences

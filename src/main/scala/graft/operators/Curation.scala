@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -269,7 +270,36 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** d14 — SCD2 history build: compress the events change feed into
+    * type-2 slowly-changing-dimension rows — per user, one row per
+    * STATE RUN (consecutive events with the same event_type), with
+    * [valid_from, valid_to) microsecond validity intervals, a version
+    * sequence, and an is_current flag on the open row. This is the
+    * merge/upsert shape every warehouse dimension load runs; built
+    * declaratively it is change-detect (lag) → filter → interval
+    * close (lead), and both windows share one (user_id)-clustered
+    * sort, so the whole history build costs a single shuffle at any
+    * scale. The oracle mirrors the two windows verbatim.
+    */
+  def d14_scd2: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val changes = Tables.events(s, d)
+      .withColumn("ts_us", call_function("div", col("ts_ns"), lit(1000L)))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull ||
+        col("prev_type") =!= col("event_type"))
+    changes
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts_us").as("valid_from"),
+        lead(col("ts_us"), 1).over(w).as("valid_to"),
+        row_number().over(w).as("version"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy(col("user_id"), col("version"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "d14_scd2" -> d14_scd2,
     "d10_decontam" -> d10_decontam,
     "t11_repetition" -> t11_repetition,
     "t12_pii_scrub" -> t12_pii_scrub,
@@ -280,6 +310,22 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "d14_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev_type
+        |  FROM events),
+        |c AS (
+        |  SELECT * FROM e
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type AS state, ts_us AS valid_from,
+        |  lead(ts_us) OVER w AS valid_to,
+        |  CAST(row_number() OVER w AS INT) AS version,
+        |  (lead(ts_us) OVER w IS NULL) AS is_current
+        |FROM c
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |ORDER BY user_id, version""".stripMargin,
     "d10_decontam" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),

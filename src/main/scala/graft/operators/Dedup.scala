@@ -337,29 +337,104 @@ object Dedup {
     * curation pipeline runs after pair generation, since keeping "one
     * of each pair" over-deletes when chains overlap.
     *
-    * Implementation: min-label propagation with Shiloach–Vishkin
-    * pointer jumping — labels start as own id; each round every node
-    * takes the min of its own and its neighbors' labels, then follows
-    * the result one more hop (l(v) ← l(l(v))). The neighbor step
-    * spreads the minimum locally, the jump collapses label chains
-    * geometrically, so rounds are O(log n) — not O(component
-    * diameter) — and the hard cap of 25 covers components of ~2^25
-    * nodes. Each round is two joins + one aggregation, all shuffled
-    * on the node id, ended by an eager localCheckpoint so nothing is
-    * ever recomputed across rounds (see the inline note).
+    * Implementation, two-tier by edge count (known for free from the
+    * cache-materializing count):
+    *
+    *   - ≤ [[LocalCCMaxEdges]] edges: single-task union-find
+    *     (path-halving) over one coalesced partition. Near-duplicate
+    *     graphs are SPARSE by construction — pairs that survived a
+    *     0.8-Jaccard verify are a sliver of the corpus even at 100 TB
+    *     (the pair list is what d04 bounds), so this is the common
+    *     case, and it replaces ~4 distributed rounds × 3 shuffle
+    *     stages with ONE linear pass. The graph that fits this path
+    *     always fits one executor: 5M edges ≈ 80 MB of longs.
+    *
+    *   - larger graphs: min-label propagation with Shiloach–Vishkin
+    *     pointer jumping — labels start as own id; each round every
+    *     node takes the min of its own and its neighbors' labels, then
+    *     follows the result one more hop (l(v) ← l(l(v))). The
+    *     neighbor step spreads the minimum locally, the jump collapses
+    *     label chains geometrically, so rounds are O(log n) — not
+    *     O(component diameter) — and the hard cap of 25 covers
+    *     components of ~2^25 nodes. Each round is two joins + one
+    *     aggregation, all shuffled on the node id, ended by an eager
+    *     localCheckpoint so nothing is ever recomputed across rounds
+    *     (see the inline note).
+    *
+    * Both tiers emit the identical labeling (cluster_id = min doc_id
+    * of the component), so the oracle and every caller are
+    * path-agnostic; DedupSpec checks them against each other.
     */
   def d09_dup_clusters: Q = (s, d) =>
     dupClusters(
       ngramJaccardPairs(Tables.documents(s, d)).select(col("id_a"), col("id_b")))
 
-  private[graft] def dupClusters(pairs: DataFrame): DataFrame = {
+  /** Edge-count ceiling for the partition-local union-find tier of
+    * [[dupClusters]]. 5M symmetrized edges ≈ 80 MB on one task —
+    * far under executor memory, far over any plausible post-verify
+    * near-duplicate pair list short of a pathological corpus. */
+  private[graft] val LocalCCMaxEdges = 5000000L
+
+  private[graft] def dupClusters(pairs: DataFrame): DataFrame =
+    dupClusters(pairs, LocalCCMaxEdges)
+
+  private[graft] def dupClusters(pairs: DataFrame, localMaxEdges: Long): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
     // materialize the edge cache in its own job: round 1 scans edges
     // twice (label init + neighbor join), and two concurrent scans of
     // an unmaterialized cache would each run the pair pipeline
-    edges.count()
+    val edgeCount = edges.count()
+    if (edgeCount <= localMaxEdges) {
+      // Tier 1: the whole (sparse) graph on one task. coalesce is a
+      // narrow dep over the cached blocks — no shuffle to get here.
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val labeled = edges.select(col("src"), col("dst")).as[(Long, Long)]
+        .coalesce(1)
+        .mapPartitions { it =>
+          // union-find with path halving; roots relabeled to the
+          // component minimum afterwards so the output labeling is
+          // identical to the propagation tier's
+          val parent = scala.collection.mutable.LongMap.empty[Long]
+          def find(x0: Long): Long = {
+            var x = x0
+            var p = parent.getOrElse(x, x)
+            while (p != x) {
+              val gp = parent.getOrElse(p, p)
+              parent.update(x, gp) // path halving
+              x = gp
+              p = parent.getOrElse(x, x)
+            }
+            x
+          }
+          it.foreach { case (a, b) =>
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) {
+              // union by min keeps roots = component minimum as we go
+              if (ra < rb) parent.update(rb, ra) else parent.update(ra, rb)
+            } else if (!parent.contains(a)) parent.update(a, a)
+          }
+          // every node that appeared in an edge gets (node, min-root).
+          // Snapshot keys∪values BEFORE labeling: find() path-halves
+          // (mutates parent), and mutating a LongMap mid-iteration is
+          // undefined. Every edge endpoint is a key or a value: the
+          // losing root of its first union becomes a key, the winning
+          // root a value, and the ra==rb branch self-inserts.
+          val all = scala.collection.mutable.ArrayBuffer.empty[Long]
+          parent.foreachKey { k => all += k; () }
+          parent.foreachValue { v => all += v; () }
+          val nodes = scala.collection.mutable.LongMap.empty[Long]
+          all.foreach { k => if (!nodes.contains(k)) nodes.update(k, find(k)) }
+          nodes.iterator
+        }
+        .toDF("doc_id", "cluster_id")
+      // materialize before dropping the edge cache the plan reads from
+      val out = labeled.localCheckpoint(true)
+      edges.unpersist()
+      return out.orderBy(col("doc_id"))
+    }
     // Iterative loop discipline: every round ends in an EAGER
     // localCheckpoint, not persist(). A persisted round would keep the
     // previous round in its lineage, and both paths through the cache

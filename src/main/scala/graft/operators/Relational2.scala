@@ -348,7 +348,82 @@ object Relational2 {
       .orderBy(col("event_id"))
   }
 
+  /** The join under [[q67_bloom_join]], built plain so PlanSpec can
+    * assert the injected runtime filter under the same conf window. */
+  private[graft] def bloomSemiJoin(s: SparkSession, d: String): DataFrame = {
+    val hi = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 450000.0)
+      .select(col("o_orderkey"))
+    Tables.lineitem(s, d)
+      .join(hi, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** q67 — runtime-bloom-filtered semi-join: lineitem semi-joined to
+    * the high-value slice of orders with Catalyst's
+    * InjectRuntimeFilter rule active, so a bloom filter built on the
+    * (selectively filtered) orders keys is pushed into the lineitem
+    * side BEFORE its shuffle. This is the 100 TB shape for a
+    * dim-too-big-to-broadcast join: the fact side's shuffle writes
+    * only rows whose key might match (bloom false-positive rate ~1%),
+    * instead of the full table, and the exact join after the filter
+    * keeps the result identical — the oracle is the plain semi-join.
+    *
+    * The conf window (bloom on, application-side threshold 0 so the
+    * local-scale scan qualifies, broadcast off so the join actually
+    * shuffles — exactly the regime where bloom pays) applies at PLAN
+    * time, so the result is materialized inside the window with an
+    * eager localCheckpoint and every conf restored after; session
+    * state leaks into no other query.
+    */
+  def q67_bloom_join: Q = (s, d) => {
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "64MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try bloomSemiJoin(s, d).localCheckpoint(true)
+    finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  /** q68 — LOCF forward-fill (last observation carried forward): the
+    * imputation pass every feature/training pipeline runs over gappy
+    * per-entity series. Rows whose reading is invalid (here: 'error'
+    * events) take the most recent valid value of the same user;
+    * leading gaps stay NULL. Spark's `last(..., ignoreNulls)` over a
+    * running row frame is the native form — one shuffle on user_id,
+    * one sort, the fill itself is a single sequential pass per
+    * partition. The oracle mirrors it with the portable
+    * gaps-and-islands form (running COUNT of non-nulls defines the
+    * fill group; each group holds exactly one non-null, its first
+    * row, so MAX over the group recovers it) — value is carried
+    * VERBATIM (no arithmetic), so floats hash bit-identically.
+    */
+  def q68_locf: Q = (s, d) => {
+    val order = Seq(col("ts_us"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("ts_us", call_function("div", col("ts_ns"), lit(1000L)))
+      .withColumn("v_valid",
+        when(col("event_type") =!= "error", col("value")))
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("v_valid"),
+        last(col("v_valid"), ignoreNulls = true).over(w).as("v_filled"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q67_bloom_join" -> q67_bloom_join,
+    "q68_locf" -> q68_locf,
     "q66_rolling_range" -> q66_rolling_range,
     "q62_mode" -> q62_mode,
     "q63_hopping_window" -> q63_hopping_window,
@@ -368,6 +443,26 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q67_bloom_join" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q68_locf" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN event_type <> 'error' THEN value END AS v_valid
+        |  FROM events),
+        |g AS (
+        |  SELECT *, COUNT(v_valid) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM e)
+        |SELECT event_id, user_id, ts_us, v_valid,
+        |  MAX(v_valid) OVER (PARTITION BY user_id, grp) AS v_filled
+        |FROM g ORDER BY event_id""".stripMargin,
     "q66_rolling_range" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         |  COUNT(*) OVER w AS n_1h,

@@ -302,7 +302,36 @@ object TextAnalysis {
       .orderBy(col("bigram"))
   }
 
+  /** t15 — token-entropy quality signal: per-document Shannon entropy
+    * of the token distribution, the information-density counterpart to
+    * t11's repetition ratios (a doc looping one phrase scores near 0
+    * bits; diverse text approaches log2 of its distinct-token count).
+    * Computed via H = log2(n) − (Σ c·log2 c)/n so each engine runs ONE
+    * log per distinct token and one final combine — fewer float ops to
+    * disagree on than the Σ p·log2(p) form, and round-4 absorbs the
+    * summation-order ulps (same discipline as t08/t10). Shape: one
+    * map-side explode + two partial aggregates keyed by doc — scans the
+    * corpus once at any scale.
+    */
+  def t15_entropy: Q = (s, d) => {
+    val cnt = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    cnt.groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * log2(col("c"))).as("slc"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(log2(col("n_tokens")) - col("slc") / col("n_tokens"), 4)
+          .as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t15_entropy" -> t15_entropy,
     "d08_curation" -> d08_curation,
     "t08_tfidf" -> t08_tfidf,
     "t09_bigram_lm" -> t09_bigram_lm,
@@ -349,6 +378,21 @@ object TextAnalysis {
       |), c AS (SELECT bigram, COUNT(*) AS c_bigram FROM bg GROUP BY bigram)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "t15_entropy" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, tok, COUNT(*) AS c FROM t
+        |  WHERE tok <> '' GROUP BY doc_id, tok),
+        |a AS (
+        |  SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct,
+        |    SUM(c * log2(c)) AS slc
+        |  FROM c GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct,
+        |  round(log2(n_tokens) - slc / n_tokens, 4) AS entropy
+        |FROM a ORDER BY doc_id""".stripMargin,
     "d08_curation" -> {
       val (scores, pred) = langOracleSql
       s"""WITH scored AS (

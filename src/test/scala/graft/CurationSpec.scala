@@ -123,6 +123,29 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("d14 SCD2 intervals tile each user's timeline with alternating states") {
+    val rows = operators.Curation.d14_scd2(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getInt(4),
+        r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (user, hist0) =>
+      val hist = hist0.sortBy(_._5)
+      // versions are 1..k with exactly one open (is_current) row
+      assert(hist.map(_._5).toSeq == (1 to hist.length))
+      assert(hist.count(_._6) == 1 && hist.last._6)
+      hist.sliding(2).foreach {
+        case Array(a, b) =>
+          // adjacent intervals touch exactly and states actually change
+          assert(a._4.contains(b._3), s"user $user: gap or overlap")
+          assert(a._2 != b._2, s"user $user: run not compressed")
+        case _ => ()
+      }
+      assert(hist.last._4.isEmpty)
+    }
+  }
+
   // ---- helpers ------------------------------------------------------
 
   /** Writes the frame as the `documents` table of a temp sf dir. */

@@ -140,13 +140,18 @@ class DedupSpec extends AnyFunSuite {
       (10L, 11L), (11L, 12L), (10L, 12L),
       (20L, 21L),
     ).toDF("id_a", "id_b")
-    val got = operators.Dedup.dupClusters(pairs)
-      .as[(Long, Long)].collect().toSet
     val want = Set(
       1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L,
       20L -> 20L, 21L -> 20L)
-    assert(got == want)
+    // both tiers must emit the identical labeling: the union-find
+    // fast path (default threshold) and the distributed propagation
+    // loop (threshold 0 forces it)
+    for (localMax <- Seq(operators.Dedup.LocalCCMaxEdges, 0L)) {
+      val got = operators.Dedup.dupClusters(pairs, localMax)
+        .as[(Long, Long)].collect().toSet
+      assert(got == want, s"localMaxEdges=$localMax")
+    }
   }
 
   test("d09 pointer jumping converges on a 300-deep chain within the cap") {
@@ -155,7 +160,10 @@ class DedupSpec extends AnyFunSuite {
     // 299 rounds (far past the 25-round cap); with pointer jumping the
     // label chain halves every round (~log2 300 ≈ 9 rounds)
     val pairs = (0L until 299L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = operators.Dedup.dupClusters(pairs)
+    // threshold 0 forces the distributed tier — this test exists to
+    // pin the pointer-jumping round bound, which the union-find fast
+    // path would otherwise bypass
+    val got = operators.Dedup.dupClusters(pairs, 0L)
       .as[(Long, Long)].collect().toSet
     assert(got == (0L to 299L).map(_ -> 0L).toSet)
   }
@@ -169,8 +177,11 @@ class DedupSpec extends AnyFunSuite {
         val a = rnd.nextInt(30).toLong; val b = rnd.nextInt(30).toLong
         if (a < b) (a, b) else (b, a + 1) // no self loops
       }.distinct
-      val got = operators.Dedup.dupClusters(edges.toDF("id_a", "id_b"))
+      val gotLocal = operators.Dedup.dupClusters(edges.toDF("id_a", "id_b"))
         .as[(Long, Long)].collect().toMap
+      val got = operators.Dedup.dupClusters(edges.toDF("id_a", "id_b"), 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(gotLocal == got)
       // reference: plain union-find over the same edges
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {

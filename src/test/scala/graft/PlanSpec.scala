@@ -150,4 +150,29 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("s01_ann_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
+
+  test("q67 injects a runtime bloom filter into the fact side") {
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "64MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val qe = operators.Relational2.bloomSemiJoin(spark, sfDir).queryExecution
+      val opt = qe.optimizedPlan.toString
+      // InjectRuntimeFilter rewrites the probe side to
+      // might_contain(<bloom_filter_agg subquery>, xxhash64(key))
+      assert(opt.contains("might_contain"), opt.take(2000))
+      assert(opt.contains("bloom_filter_agg"), opt.take(2000))
+      // and with broadcast off the join must actually be a shuffle
+      // join — the regime where the bloom prunes shuffle volume
+      assert(qe.executedPlan.toString.contains("SortMergeJoin"))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }

@@ -34,6 +34,7 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      CacheScope.releaseAll()
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -41,6 +42,9 @@ object Bench {
       val t0 = System.nanoTime()
       val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
+      // post-consumption release of the query's persists + RDD-level
+      // checkpoint blocks (clearCache above cannot evict the latter)
+      CacheScope.releaseAll()
       (name, sec, n)
     }
     // Locale.ROOT: the f-interpolator honors the default locale, and a

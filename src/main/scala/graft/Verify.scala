@@ -21,8 +21,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // queries may persist() intermediates for intra-query reuse;
-      // don't let those accumulate across the whole run
+      // queries may persist()/checkpoint intermediates for intra-query
+      // reuse; release them after the terminal write above. CacheScope
+      // also frees RDD-level checkpoint blocks that clearCache cannot.
+      CacheScope.releaseAll()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

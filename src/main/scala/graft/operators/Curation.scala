@@ -42,14 +42,37 @@ object Curation {
     * content, only by doc_id, and the per-doc n-gram count is bounded
     * by document length. At 100 TB this is a single IO-bound scan.
     */
-  def d10_decontam: Q = (s, d) => {
+  def d10_decontam: Q = (s, d) =>
+    decontamOf(Tables.documents(s, d), D10MaxBenchGrams)
+
+  /** Ceiling on the broadcast benchmark n-gram set of
+    * [[d10_decontam]]. The design assumes the benchmark side is a
+    * FIXED-SIZE eval suite (thousands of docs), not a corpus slice —
+    * 2M distinct 5-grams ≈ 100 MB broadcast, comfortably under
+    * executor memory but far over any real eval suite. The guard
+    * makes the assumption checkable: if the benchmark set outgrows
+    * it, the right fix is a smaller suite (or a bloom sketch of the
+    * grams), not a silently bigger broadcast that OOMs executors. */
+  private[graft] val D10MaxBenchGrams = 2000000L
+
+  private[graft] def decontamOf(documents: DataFrame, maxBenchGrams: Long): DataFrame = {
     import graft.functions.TextHashFunctions.word_shingles
-    val docs = Tables.documents(s, d)
+    val docs = documents
       .select(col("doc_id"),
         array_distinct(word_shingles(toks, 5)).as("grams"))
     val bench = docs.filter(col("doc_id") % 31 === 0)
       .select(explode(col("grams")).as("g")).distinct()
       .withColumn("__hit", lit(1))
+    // provably-bounded broadcast: count the benchmark gram set before
+    // planning the join (one count-only job; the set itself is small).
+    // Failing loudly here beats the alternative — an oversized
+    // explicit broadcast bypasses autoBroadcastJoinThreshold and
+    // surfaces only as an executor OOM mid-join.
+    val nBench = bench.count()
+    require(nBench <= maxBenchGrams,
+      s"d10 benchmark n-gram set has $nBench distinct grams > cap " +
+        s"$maxBenchGrams — the fixed-size eval-suite assumption broke; " +
+        "shrink the benchmark or sketch it before broadcasting")
     docs.filter(col("doc_id") % 31 =!= 0)
       .select(col("doc_id"), explode(col("grams")).as("g"))
       .join(broadcast(bench), Seq("g"), "left")

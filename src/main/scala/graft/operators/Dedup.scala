@@ -19,12 +19,12 @@ import org.apache.spark.sql.types._
   * Caching note: d02/d04/d06 (and TextAnalysis t05) persist() an
   * intermediate referenced by several downstream joins. persist() is
   * MEMORY_AND_DISK, so an over-large intermediate degrades to disk
-  * rather than OOM — but the blocks are NOT unpersisted here (the
-  * builders return an unexecuted plan that still references them), so
-  * the cache lives until the session evicts it. A long-lived session
-  * running these repeatedly MUST call `spark.catalog.clearCache()`
-  * (or `df.unpersist()` on its own handles) between pipelines, as
-  * Verify and Bench both do between queries.
+  * rather than OOM. Builders cannot unpersist their own intermediate
+  * (the plan they return still references it lazily), so every
+  * persist/checkpoint registers with [[graft.CacheScope]]; the
+  * harness (Verify, Bench, specs) calls `CacheScope.releaseAll()`
+  * after each query's terminal action, which also frees the RDD-level
+  * checkpoint blocks that `spark.catalog.clearCache()` cannot evict.
   */
 object Dedup {
 
@@ -66,10 +66,11 @@ object Dedup {
     // table arrives as one partition, which would serialize the whole
     // (CPU-heavy) shingle+minhash map work onto a single core — at
     // cluster scale this is the "parallelize the signature scan" knob
-    val docs = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
-      .persist() // referenced 3× (banding + both verify joins)
+    val docs = graft.CacheScope.persisted(
+      Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
+    ) // referenced 3× (banding + both verify joins)
     val banded = docs
       .select(col("doc_id"),
         explode(array_distinct(minhash_bands(col("sh"), 16, 4))).as("bh"))
@@ -149,11 +150,12 @@ object Dedup {
     import graft.functions.TextHashFunctions.array_jaccard
     // per-doc DISTINCT token sets are a map-side array_distinct — no
     // shuffle spent deduping the exploded token stream
-    val base = documents
-      .select(col("doc_id"), col("source"), col("lang"),
-        sort_array(array_remove(array_distinct(tokens(col("text"))), ""))
-          .as("toks"))
-      .persist() // token explode + both verify joins
+    val base = graft.CacheScope.persisted(
+      documents
+        .select(col("doc_id"), col("source"), col("lang"),
+          sort_array(array_remove(array_distinct(tokens(col("text"))), ""))
+            .as("toks"))
+    ) // token explode + both verify joins
     val tok = base.select(col("doc_id"), col("source"), col("lang"),
       explode(col("toks")).as("tok"))
     // document frequency per block: the prefix ordering key
@@ -285,13 +287,14 @@ object Dedup {
   def d06_source_similarity: Q = (s, d) => {
     import graft.functions.TextHashFunctions.minhash_signature
     import graft.functions.MinHashUnionAgg.{minhash_union, estimated_jaccard}
-    val sigs = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("source"),
-        minhash_signature(shingles(tokens(col("text"))), 64).as("sig"))
-      .groupBy(col("source"))
-      .agg(minhash_union(col("sig"), 64).as("usig"))
-      .persist() // both sides of the source×source matrix
+    val sigs = graft.CacheScope.persisted(
+      Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("source"),
+          minhash_signature(shingles(tokens(col("text"))), 64).as("sig"))
+        .groupBy(col("source"))
+        .agg(minhash_union(col("sig"), 64).as("usig"))
+    ) // both sides of the source×source matrix
     val a = sigs.select(col("source").as("src_a"), col("usig").as("sig_a"))
     val b = sigs.select(col("source").as("src_b"), col("usig").as("sig_b"))
     a.join(b, col("src_a") < col("src_b"))
@@ -370,9 +373,13 @@ object Dedup {
       ngramJaccardPairs(Tables.documents(s, d)).select(col("id_a"), col("id_b")))
 
   /** Edge-count ceiling for the partition-local union-find tier of
-    * [[dupClusters]]. 5M symmetrized edges ≈ 80 MB on one task —
-    * far under executor memory, far over any plausible post-verify
-    * near-duplicate pair list short of a pathological corpus. */
+    * [[dupClusters]]. Counted over SYMMETRIZED edges (each input pair
+    * contributes two directed rows), so the effective input-pair
+    * ceiling is 2.5M. 5M symmetrized edges ≈ 80 MB on one task (the
+    * transient node snapshot in the union-find pass can double that —
+    * still far under executor memory), far over any plausible
+    * post-verify near-duplicate pair list short of a pathological
+    * corpus. */
   private[graft] val LocalCCMaxEdges = 5000000L
 
   private[graft] def dupClusters(pairs: DataFrame): DataFrame =
@@ -430,8 +437,10 @@ object Dedup {
           nodes.iterator
         }
         .toDF("doc_id", "cluster_id")
-      // materialize before dropping the edge cache the plan reads from
-      val out = labeled.localCheckpoint(true)
+      // materialize before dropping the edge cache the plan reads from;
+      // CacheScope tracks the checkpoint blocks for post-consumption
+      // release (clearCache cannot evict RDD-level blocks)
+      val out = graft.CacheScope.checkpointed(labeled)
       edges.unpersist()
       return out.orderBy(col("doc_id"))
     }
@@ -504,8 +513,31 @@ object Dedup {
           "converging — labels are partially propagated (with pointer " +
           "jumping this needs a component of ~2^25 nodes; verify the input)")
     edges.unpersist()
+    // the surviving final-round checkpoint blocks are released by the
+    // harness after it consumes the result (intermediate rounds were
+    // unpersisted eagerly inside the loop)
+    graft.CacheScope.trackRddsOf(labels)
     labels.select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Target ground-truth sample size for [[d13_lsh_recall]]. ~2k docs
+    * ⇒ ≤ ~2M candidate pairs before the size-ratio prefilter — a
+    * constant eval cost at ANY corpus size. */
+  private[graft] val D13TargetSample = 2000L
+
+  /** Fixed-size deterministic corpus sample: keep doc_ids whose
+    * xxhash64 lands in bucket 0 of k = max(1, n/target) buckets.
+    * Expected sample size is in [target, 2·target) regardless of
+    * corpus size (xxhash64 scatters ids uniformly across buckets), and
+    * the choice is a pure function of the doc_id set — reproducible,
+    * unlike rand()-based sampling. Costs one count() of the input at
+    * plan-build time (metadata-cheap on parquet).
+    */
+  private[graft] def d13Sample(docs: DataFrame, target: Long): DataFrame = {
+    val n = docs.count()
+    val k = math.max(1L, n / math.max(1L, target))
+    docs.filter(pmod(xxhash64(col("doc_id")), lit(k)) === 0)
   }
 
   /** d13 — LSH recall evaluation: how much of the exact near-duplicate
@@ -513,17 +545,21 @@ object Dedup {
     * twin of s05's ANN recall gate: an index (LSH bands here) is only
     * trustworthy with a measured recall number next to it.
     *
-    * Ground truth is brute-force Jaccard over a deterministic sample
-    * (doc_id % 5 == 0) — eval cost is O(sample²) and independent of
-    * corpus size, which is the only way an exact-recall measurement
-    * scales: the full corpus is what the sketch exists to avoid
-    * enumerating. The sample side broadcasts; rows-only (recall of a
-    * randomized sketch has no cross-engine oracle).
+    * Ground truth is brute-force Jaccard over a FIXED-SIZE
+    * deterministic sample ([[d13Sample]], ~[[D13TargetSample]] docs at
+    * any SF) — so both the broadcast (sample shingle arrays) and the
+    * pair count O(target²) are constants, genuinely independent of
+    * corpus size. (A proportional sample — e.g. doc_id % 5 — would
+    * grow the broadcast linearly and the pair count quadratically with
+    * the corpus: exactly the blowup the sketch exists to avoid.) The
+    * d02 side still runs over the full corpus, as it must — recall is
+    * measured against what the production pipeline actually emits.
+    * Rows-only (recall of a randomized sketch has no cross-engine
+    * oracle).
     */
   def d13_lsh_recall: Q = (s, d) => {
     import graft.functions.TextHashFunctions.array_jaccard
-    val sample = Tables.documents(s, d)
-      .filter(col("doc_id") % 5 === 0)
+    val sample = d13Sample(Tables.documents(s, d), D13TargetSample)
       .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
       .withColumn("sz", size(col("sh")))
     // cheap exact prefilters run before the per-pair set intersection:

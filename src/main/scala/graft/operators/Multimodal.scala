@@ -9,11 +9,12 @@ import org.apache.spark.sql.types._
   * opaque BINARY columns with typed metadata, decode / feature-extract
   * / resize / frame-sample as per-partition batch transforms.
   *
-  * The actual codec calls are STUBS (no image/audio libraries in this
-  * environment): [[MediaCodec.decodeStub]] produces a deterministic
-  * fake decode so the Spark-side contract — schema, partitioning,
-  * batch shape, feature vector layout — is real and tested, and a
-  * production codec drops in behind the same signature.
+  * Image decode is REAL for the formats the JDK ships codecs for
+  * (PNG/BMP/GIF/JPEG via `javax.imageio` — see [[MediaCodec]]);
+  * payloads no JDK codec accepts (video containers, synthetic test
+  * bytes) fall back to the deterministic [[MediaCodec.Codec.decodeStub]]
+  * so the Spark-side contract — schema, partitioning, batch shape,
+  * feature vector layout — holds for every record.
   *
   * Scale notes: media rows are wide (MBs at production size), so every
   * transform here is `mapPartitions`-shaped (one codec init per
@@ -101,7 +102,7 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { rows =>
       val codec = MediaCodec.open() // once per partition, not per row
       rows.map { r =>
-        val d = codec.decodeStub(r.media, r.width, r.height)
+        val d = codec.decode(r.media, r.width, r.height)
         MediaFeatures(r.doc_id, r.format, d.width, d.height, d.features)
       }
     }.toDF()
@@ -225,9 +226,14 @@ object Multimodal {
   )
 }
 
-/** The codec seam. Everything in here is a deterministic STUB standing
-  * in for a real image/audio library (none ships in this container);
-  * the function signatures and batch usage are the production shape.
+/** The codec seam. Image formats the JDK decodes natively (PNG, BMP,
+  * GIF, JPEG via `javax.imageio` — pure JDK, no external library) go
+  * through a REAL decode: pixels → 8-bin luminance histogram.
+  * Undecodable payloads (video containers, synthetic test bytes,
+  * truncated files) fall back to [[Codec.decodeStub]], a deterministic
+  * byte-histogram fake, so the pipeline never throws on a bad record —
+  * the per-partition batch shape and feature layout are identical on
+  * both paths, and a production video codec drops in at the same seam.
   */
 object MediaCodec {
   import org.apache.spark.sql.Column
@@ -235,10 +241,44 @@ object MediaCodec {
   final case class Decoded(width: Int, height: Int, features: Array[Float])
 
   final class Codec private[MediaCodec] () {
-    /** STUB — a real implementation would decode the container/frame
-      * here (e.g. via a JNI codec). The fake derives an 8-dim byte
-      * histogram so downstream feature plumbing is exercised with
-      * stable values. */
+    /** Real decode via `javax.imageio` when the bytes are a supported
+      * image; stub fallback otherwise. Feature layout is an 8-bin
+      * normalized histogram on both paths (luminance bins for real
+      * pixels, raw-byte bins for the fallback), so downstream schema
+      * and consumers are path-agnostic. */
+    def decode(bytes: Array[Byte], width: Int, height: Int): Decoded = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Throwable => null } // corrupt header/payload → fallback
+      if (img == null) decodeStub(bytes, width, height)
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val hist = new Array[Float](8)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            // integer Rec.601 luma (0..255), binned into 8 buckets
+            val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+              (rgb & 0xFF) * 114) / 1000
+            hist(lum >> 5) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val n = math.max(w * h, 1).toFloat
+        var j = 0
+        while (j < 8) { hist(j) /= n; j += 1 }
+        Decoded(w, h, hist)
+      }
+    }
+
+    /** Fallback for payloads `javax.imageio` cannot decode (video
+      * containers need a real codec library; a JNI decoder would slot
+      * in here). Derives an 8-dim byte histogram so downstream feature
+      * plumbing is exercised with stable values. */
     def decodeStub(bytes: Array[Byte], width: Int, height: Int): Decoded = {
       val hist = new Array[Float](8)
       var i = 0

@@ -374,25 +374,28 @@ object Relational2 {
     *
     * The conf window (bloom on, application-side threshold 0 so the
     * local-scale scan qualifies, broadcast off so the join actually
-    * shuffles — exactly the regime where bloom pays) applies at PLAN
-    * time, so the result is materialized inside the window with an
-    * eager localCheckpoint and every conf restored after; session
-    * state leaks into no other query.
+    * shuffles — exactly the regime where bloom pays) is applied to a
+    * CLONED session (`newSession`: same SparkContext and cached data,
+    * fresh SessionState), so the caller's session conf is never
+    * touched — a query planning concurrently on the same session can
+    * no longer observe bloom-on/broadcast-off state. The result is
+    * materialized inside the window with an eager localCheckpoint
+    * (tracked by CacheScope for post-consumption release) and is
+    * session-independent thereafter.
     */
   def q67_bloom_join: Q = (s, d) => {
-    val confs = Seq(
+    val s2 = s.newSession()
+    // newSession initializes SQLConf from the SparkContext conf, so
+    // builder-level settings (shuffle.partitions, AQE, timezone)
+    // carry over; only the bloom window below is session-local
+    Seq(
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
       "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "64MB",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
-    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
-    confs.foreach { case (k, v) => s.conf.set(k, v) }
-    try bloomSemiJoin(s, d).localCheckpoint(true)
-    finally saved.foreach {
-      case (k, Some(v)) => s.conf.set(k, v)
-      case (k, None)    => s.conf.unset(k)
-    }
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1"
+    ).foreach { case (k, v) => s2.conf.set(k, v) }
+    graft.CacheScope.checkpointed(bloomSemiJoin(s2, d))
   }
 
   /** q68 — LOCF forward-fill (last observation carried forward): the

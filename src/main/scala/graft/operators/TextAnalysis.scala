@@ -101,10 +101,11 @@ object TextAnalysis {
     */
   def t05_winnow_neardup: Q = (s, d) => {
     import graft.functions.TextHashFunctions.winnow_fingerprints
-    val docs = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), explode(winnow_fingerprints(col("text"), 8, 4)).as("fp"))
-      .persist()
+    val docs = graft.CacheScope.persisted(
+      Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          explode(winnow_fingerprints(col("text"), 8, 4)).as("fp")))
     val maxDf = 20
     // df-count FIRST (count-only aggregate — no posting-list buffers),
     // THEN keep postings of surviving fingerprints: a boilerplate

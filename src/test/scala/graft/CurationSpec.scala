@@ -148,6 +148,22 @@ class CurationSpec extends AnyFunSuite {
 
   // ---- helpers ------------------------------------------------------
 
+  test("d10 benchmark gram cap: bounded broadcast, loud failure above cap") {
+    // 62 docs → ids 0 and 31 form the benchmark slice; every doc has
+    // enough tokens for several distinct 5-grams
+    val docs = corpus((0L until 62L).map(i =>
+      i -> s"alpha bravo charlie delta echo fox$i golf hotel india"): _*)
+    // generous cap: runs, and scores the 60 non-benchmark docs
+    val ok = operators.Curation.decontamOf(docs, operators.Curation.D10MaxBenchGrams)
+    assert(ok.count() == 60)
+    // cap below the benchmark's distinct-gram count: refuse loudly at
+    // plan-build time instead of OOMing an executor mid-broadcast
+    val ex = intercept[IllegalArgumentException] {
+      operators.Curation.decontamOf(docs, 1L)
+    }
+    assert(ex.getMessage.contains("eval-suite assumption"))
+  }
+
   /** Writes the frame as the `documents` table of a temp sf dir. */
   private def withTempDf(df: org.apache.spark.sql.DataFrame)(
       f: String => Unit): Unit = {

@@ -130,6 +130,84 @@ class DedupSpec extends AnyFunSuite {
     assert(verify.filter(col("cos") =!= col("true_cos")).count() == 0)
   }
 
+  test("d13 truth sample is fixed-size: bounded at any corpus size") {
+    import spark.implicits._
+    val target = operators.Dedup.D13TargetSample
+    // corpus far above the target: the hash-bucket modulus must keep
+    // the sample near the target, NOT proportional to the corpus
+    val big = spark.range(0L, 50000L).toDF("doc_id")
+    val n = operators.Dedup.d13Sample(big, target).count()
+    assert(n >= target / 2 && n <= 3 * target,
+      s"sample $n outside [${target / 2}, ${3 * target}] for corpus 50k")
+    // ten times the corpus again: the sample must NOT grow 10×
+    val bigger = spark.range(0L, 500000L).toDF("doc_id")
+    val n10 = operators.Dedup.d13Sample(bigger, target).count()
+    assert(n10 >= target / 2 && n10 <= 3 * target,
+      s"sample $n10 grew with the corpus — the proportional-sample bug is back")
+    // corpus under the target: keep everything (k = 1)
+    val small = spark.range(0L, 500L).toDF("doc_id")
+    assert(operators.Dedup.d13Sample(small, target).count() == 500L)
+  }
+
+  test("d13 recall gate: banded MinHash finds >= 0.7 of exact truth") {
+    val row = operators.Dedup.d13_lsh_recall(spark, sfDir).collect().head
+    val nTrue = row.getAs[Long]("n_true_pairs")
+    val recall = row.getAs[Double]("recall")
+    assert(nTrue > 0, "no true near-dup pairs in fixture — gate is vacuous")
+    // a deliberate nerf of the band parameters (e.g. 4 bands × 16 rows)
+    // must fail here: this is a GATE on index quality, not a report
+    assert(recall >= 0.7, s"LSH recall $recall below floor 0.7 ($nTrue truth pairs)")
+    CacheScope.releaseAll()
+  }
+
+  test("d02 verified pairs are a subset of brute-force shingle-Jaccard truth") {
+    import graft.functions.TextHashFunctions.{word_shingles, array_jaccard}
+    import spark.implicits._
+    val got = operators.Dedup.d02_minhash_lsh(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    CacheScope.releaseAll()
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        word_shingles(split(lower(col("text")), "\\s+"), 3).as("sh"))
+    val want = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      .crossJoin(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", round(array_jaccard(col("sh_a"), col("sh_b")), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(want.nonEmpty, "fixture has no 0.5-Jaccard shingle pairs — vacuous")
+    assert(got.nonEmpty, "d02 found nothing")
+    // every d02 output pair is exact-verified, so it MUST appear in the
+    // brute-force truth with the identical jaccard (LSH may miss pairs —
+    // that loss is what the d13 recall gate bounds — but can never
+    // invent or mis-score one)
+    assert(got.subsetOf(want),
+      s"d02 emitted pairs outside truth: ${got.diff(want).take(5)}")
+  }
+
+  test("d03 output equals brute-force hamming<=3 truth (pigeonhole is lossless)") {
+    import graft.functions.TextHashFunctions.simhash64
+    import spark.implicits._
+    val got = operators.Dedup.d03_simhash(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSet
+    val sigs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        simhash64(split(lower(col("text")), "\\s+")).as("fp"))
+      .as[(Long, Long)].collect()
+    val want = (for {
+      (ida, fa) <- sigs; (idb, fb) <- sigs
+      if ida < idb
+      h = java.lang.Long.bitCount(fa ^ fb)
+      if h <= 3
+    } yield (ida, idb, h.toLong)).toSet
+    assert(want.nonEmpty, "fixture has no hamming<=3 simhash pairs — vacuous")
+    // 4 chunks of 16 bits and hamming <= 3 ⇒ at least one chunk is
+    // identical (pigeonhole), so chunk-blocking loses nothing and the
+    // verify filter removes every false candidate: exact equality
+    assert(got == want)
+  }
+
   test("d09 connected components: chain, triangle, isolated pair") {
     import spark.implicits._
     // chain 1-2-3-4-5: diameter 4, so min-label propagation needs

@@ -47,6 +47,61 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.m02_frame_sample(spark, sfDir).count() == 500)
   }
 
+  /** PNG bytes of an 8×1 gradient where pixel i is gray i·32+16 —
+    * every pixel's Rec.601 luma equals its gray value (R=G=B), so the
+    * 8-bin histogram is exactly uniform. */
+  private def gradientPng(): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(8, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (i <- 0 until 8) {
+      val v = i * 32 + 16
+      img.setRGB(i, 0, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("codec really decodes PNG/BMP pixels via javax.imageio") {
+    val codec = operators.MediaCodec.open()
+    // 8×1 gray gradient: one pixel per luma bin → uniform histogram
+    val png = codec.decode(gradientPng(), -1, -1)
+    assert(png.width == 8 && png.height == 1,
+      "dimensions must come from the decoded image, not the metadata args")
+    assert(png.features.toSeq == Seq.fill(8)(0.125f))
+    // 2×1 BMP, black + white: luma 0 → bin 0, luma 255 → bin 7
+    val bimg = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    bimg.setRGB(0, 0, 0x000000); bimg.setRGB(1, 0, 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bimg, "bmp", bos)
+    val bmp = codec.decode(bos.toByteArray, -1, -1)
+    assert(bmp.width == 2 && bmp.height == 1)
+    assert(bmp.features.toSeq == Seq(0.5f, 0f, 0f, 0f, 0f, 0f, 0f, 0.5f))
+    // undecodable bytes fall back to the stub byte histogram with the
+    // caller-provided dimensions
+    val junk = Array.tabulate[Byte](64)(i => (i * 4).toByte)
+    val fb = codec.decode(junk, 33, 44)
+    assert(fb.width == 33 && fb.height == 44)
+    assert(fb.features.toSeq == codec.decodeStub(junk, 33, 44).features.toSeq)
+  }
+
+  test("decodeFeatures reports real dimensions for decodable payloads") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, gradientPng(), "png", 999, 999, 1),
+      Multimodal.MediaRow(2L, Array.tabulate[Byte](32)(_.toByte), "webm", 30, 20, 2))
+    val out = Multimodal.decodeFeatures(rows.toDF())
+      .orderBy("doc_id").collect()
+    // real decode overrides the (wrong) metadata dims; fallback keeps them
+    assert(out(0).getAs[Int]("decoded_width") == 8 &&
+      out(0).getAs[Int]("decoded_height") == 1)
+    assert(out(0).getAs[scala.collection.Seq[Float]]("features").toSeq ==
+      Seq.fill(8)(0.125f))
+    assert(out(1).getAs[Int]("decoded_width") == 30 &&
+      out(1).getAs[Int]("decoded_height") == 20)
+  }
+
   test("binaryFile media dir reads payloads + metadata, prunes non-media") {
     val dir = java.nio.file.Files.createTempDirectory("graft-media")
     def put(name: String, bytes: Array[Byte]): Unit =

@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Index-quality GATES for the approximate-nearest-neighbor methods:
+  * s05 measures recall@K of s02 (multi-table LSH) and s03 (IVF)
+  * against the exact brute-force top-K; these tests put a floor under
+  * the measurement so a parameter nerf (fewer tables, narrower
+  * probes) fails the suite instead of silently shipping a worse
+  * index. An eval that cannot fail is a report, not a gate.
+  */
+class SimilaritySpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("s05 recall gate: LSH >= 0.8, IVF >= 0.4 at test SF") {
+    val rows = operators.Similarity.s05_ann_recall(spark, sfDir).collect()
+      .map(r => r.getAs[String]("method") ->
+        (r.getAs[Long]("n_queries"), r.getAs[Double]("recall_at_k"))).toMap
+    CacheScope.releaseAll()
+    assert(rows.keySet == Set("lsh", "ivf"))
+    val (lshQ, lshR) = rows("lsh")
+    val (ivfQ, ivfR) = rows("ivf")
+    assert(lshQ > 0 && ivfQ > 0, "no queries evaluated — gate is vacuous")
+    // measured 0.9667 (lsh) / 0.4667 (ivf) on this fixture; floors set
+    // with headroom for the measurement, none for a real regression —
+    // the round-4 single-table LSH measured 0.0 and must never return
+    assert(lshR >= 0.8, s"LSH recall@5 $lshR below floor 0.8")
+    assert(ivfR >= 0.4, s"IVF recall@5 $ivfR below floor 0.4")
+  }
+}

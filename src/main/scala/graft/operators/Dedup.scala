@@ -521,10 +521,53 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** Target ground-truth sample size for [[d13_lsh_recall]]. ~2k docs
-    * ⇒ ≤ ~2M candidate pairs before the size-ratio prefilter — a
-    * constant eval cost at ANY corpus size. */
-  private[graft] val D13TargetSample = 2000L
+  /** Cosine threshold for [[d15_semantic_dedup]]. Production SemDeDup
+    * uses ~0.95 on real text embeddings; the synthetic testdata
+    * vectors are near-orthogonal (top-1 cosine ≈ 0.13-0.48), so 0.35
+    * is chosen to exercise both the kept and dominated branches at
+    * every SF. The threshold is the one free parameter of the op. */
+  private[graft] val D15Tau = 0.35
+
+  /** d15 — semantic deduplication (SemDeDup, Abbas et al. 2023): drop
+    * every embedding "dominated" by a LOWER-id vector in the same
+    * cluster with cosine ≥ τ. Clusters here are the `label` blocks
+    * (production: k-means cell ids — s03's layout); the keep-lowest-id
+    * rule replaces the paper's keep-farthest-from-centroid so the
+    * survivor set is order-independent and SQL-expressible (a greedy
+    * chain would need sequential evaluation; domination by ANY lower
+    * id needs only one pair join and one aggregate, and DuckDB mirrors
+    * it exactly).
+    *
+    * Scale shape: identical to [[d05_embedding_neardup]] — within-
+    * block pair join, O(B²) per block, so the same `D05MaxExactBlock`
+    * ceiling argument applies (blocks beyond it take the hyperplane-
+    * LSH route in production; the oracle-checked SFs stay under the
+    * ceiling). One shuffle on label, one aggregate on vec_id.
+    */
+  def d15_semantic_dedup: Q = (s, d) =>
+    semanticDedup(Tables.embeddings(s, d), D15Tau)
+
+  private[graft] def semanticDedup(e: DataFrame, tau: Double): DataFrame = {
+    val a = e.select(col("label"), col("vec_id").as("dom_id"),
+      col("embedding").as("emb_a"))
+    val b = e.select(col("label"), col("vec_id"), col("embedding").as("emb_b"))
+    val dom = a.join(b, Seq("label"))
+      .filter(col("dom_id") < col("vec_id"))
+      .filter(round(cosine_similarity(col("emb_a"), col("emb_b")), 4) >= tau)
+      .groupBy(col("vec_id"))
+      .agg(min(col("dom_id")).as("dominated_by"))
+    e.select(col("vec_id"), col("label"))
+      .join(dom, Seq("vec_id"), "left")
+      .withColumn("kept", col("dominated_by").isNull)
+      .orderBy(col("vec_id"))
+  }
+
+  /** Target ground-truth sample size for [[d13_lsh_recall]]. ~1k docs
+    * ⇒ ≤ ~1M candidate pairs (most removed by the size-ratio
+    * prefilter before any array touch) — a constant eval cost at ANY
+    * corpus size, sized so the recall CI stays tight while the eval
+    * never dominates a bench run. */
+  private[graft] val D13TargetSample = 1000L
 
   /** Fixed-size deterministic corpus sample: keep doc_ids whose
     * xxhash64 lands in bucket 0 of k = max(1, n/target) buckets.
@@ -598,6 +641,7 @@ object Dedup {
     "d04_ngram_jaccard" -> d04_ngram_jaccard,
     "d05_embedding_neardup" -> d05_embedding_neardup,
     "d09_dup_clusters" -> d09_dup_clusters,
+    "d15_semantic_dedup" -> d15_semantic_dedup,
   )
 
   /** The d04 pair query without its final ORDER BY — one source for
@@ -663,6 +707,19 @@ object Dedup {
          |)
          |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach
          |GROUP BY id ORDER BY doc_id""".stripMargin,
+    "d15_semantic_dedup" ->
+      s"""WITH dom AS (
+         |  SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS dominated_by
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE round(list_cosine_similarity(
+         |      CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4)
+         |    >= $D15Tau
+         |  GROUP BY b.vec_id)
+         |SELECT e.vec_id, e.label, dom.dominated_by,
+         |  dom.dominated_by IS NULL AS kept
+         |FROM embeddings e LEFT JOIN dom USING (vec_id)
+         |ORDER BY e.vec_id""".stripMargin,
     "d05_embedding_neardup" ->
       """SELECT vec_id, nn_id, cos FROM (
         |  SELECT a.vec_id, b.vec_id AS nn_id,

@@ -115,23 +115,31 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"), col("vec_id"))
   }
 
-  /** IVF-style ANN: partition the corpus into cells around fixed
-    * centroids (here: the 16 lowest-id vectors as a deterministic
-    * stand-in for a k-means "training" step), assign each vector to
-    * its nearest centroid map-side (centroids broadcast), and have each
-    * query probe only its `nprobe` nearest cells.
+  /** IVF-style ANN: partition the corpus into cells around k-means
+    * centroids, assign each vector to its nearest centroid map-side
+    * (centroids broadcast), and have each query probe only its
+    * `nprobe` nearest cells.
     *
-    * Scale shape: the cell assignment is a map-only pass; the corpus
-    * can be written partitioned by cell so a query touches nprobe/
+    * The centroids are trained with [[IvfKmeansIters]] Lloyd
+    * iterations seeded from the 16 lowest-id vectors (deterministic).
+    * Per-dimension means accumulate in DECIMAL, so the centroids are
+    * partition-order-independent — the cell layout is reproducible
+    * bit-for-bit, which the s05 recall gate depends on. Each
+    * iteration's 16-row centroid table is eagerly checkpointed
+    * (CacheScope-tracked) so the final plan doesn't re-run the
+    * training lineage once per consumer.
+    *
+    * Scale shape: training touches the corpus `IvfKmeansIters` times
+    * map-only (broadcast centroids, tiny aggregate); the corpus is
+    * then written partitioned by cell so a query touches nprobe/
     * ncells of the data — the standard billion-vector layout.
-    * No oracle (cell layout is engine-specific); rows-only check.
+    * No oracle (cell layout is engine-specific); rows-only check +
+    * recall floor in SimilaritySpec.
     */
   def s03_ann_ivf: Q = (s, d) => {
     val nCells = 16; val nProbe = 4
     val e = Tables.embeddings(s, d)
-    val centroids = e.orderBy(col("vec_id")).limit(nCells)
-      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
-    def nearestCells(emb: Column, n: Int): DataFrame => DataFrame = df => {
+    def nearestCells(centroids: DataFrame, emb: Column, n: Int): DataFrame => DataFrame = df => {
       val w = Window.partitionBy(col("__vid")).orderBy(col("__cos").desc, col("cell"))
       df.join(broadcast(centroids), lit(true))
         .withColumn("__cos", cosine_similarity(emb, col("c_emb")))
@@ -139,9 +147,27 @@ object Similarity {
         .filter(col("__rk") <= n)
         .drop("c_emb", "__cos", "__rk")
     }
-    val corpus = nearestCells(col("embedding"), 1)(
+    var centroids = e.orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+    for (_ <- 1 to IvfKmeansIters) {
+      val assigned = nearestCells(centroids, col("embedding"), 1)(
+        e.withColumn("__vid", col("vec_id"))).drop("__vid")
+      // elementwise mean per cell: posexplode → exact decimal sums →
+      // rebuild the array in dimension order (struct sort is
+      // field-lexicographic on (pos, m))
+      centroids = graft.CacheScope.checkpointed(
+        assigned
+          .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy(col("cell"), col("pos"))
+          .agg((sum(col("x").cast(DecimalType(28, 12))) / count(lit(1)))
+            .cast(DoubleType).as("m"))
+          .groupBy(col("cell"))
+          .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+            el => el.getField("m")).as("c_emb")))
+    }
+    val corpus = nearestCells(centroids, col("embedding"), 1)(
       e.withColumn("__vid", col("vec_id"))).drop("__vid")
-    val q = nearestCells(col("q_emb"), nProbe)(
+    val q = nearestCells(centroids, col("q_emb"), nProbe)(
       queriesOf(e).withColumn("__vid", col("q_id"))).drop("__vid")
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     corpus.join(broadcast(q), Seq("cell"))
@@ -151,6 +177,54 @@ object Similarity {
       .filter(col("rk") <= K)
       .select(col("q_id"), col("vec_id"), col("cos"), col("rk"))
       .orderBy(col("q_id"), col("rk"), col("vec_id"))
+  }
+
+  /** Lloyd iterations for [[s03_ann_ivf]]'s centroid training. Two
+    * rounds move the seed centroids most of the way to convergence at
+    * a cost of two map-only corpus passes; production IVF trains on a
+    * sample, not the corpus. */
+  private[graft] val IvfKmeansIters = 2
+
+  /** s06 — int8 scalar quantization of the embedding column with an
+    * exact error report: the compression step a billion-vector ANN
+    * deployment runs before indexing (4× smaller, SIMD-friendly).
+    * Per vector: scale = max|x|/127, q_i = floor(x_i/scale + 0.5)
+    * (explicit floor, NOT round() — Spark rounds half-up, DuckDB
+    * half-even; floor of the shifted value is bit-identical in both),
+    * reconstruction error |q_i·scale − x_i| accumulated in NANOS via
+    * floor(err·1e9): every addend is an integer-valued double < 2^53,
+    * so the sum is EXACT regardless of accumulation order and the
+    * DuckDB mirror hashes identically. Per-label stats roll up with
+    * the same decimal-exact [[graft.Tables.dsum]] pattern as s04.
+    *
+    * Scale: map-only per-row expression work inside whole-stage
+    * codegen + one bounded-cardinality (label) aggregate — an IO-bound
+    * scan at 100 TB.
+    */
+  def s06_quantize_int8: Q = (s, d) =>
+    quantizeInt8(Tables.embeddings(s, d))
+
+  private[graft] def quantizeInt8(e: DataFrame): DataFrame = {
+    val xd = transform(col("embedding"), x => x.cast(DoubleType))
+    val scaleC = aggregate(xd, lit(0.0),
+      (acc, x) => greatest(acc, abs(x))) / 127.0
+    // err_nanos: Σ floor(|dequant − x|·1e9) — exact integer arithmetic
+    val errNanos = aggregate(xd, lit(0.0), (acc, x) =>
+      acc + floor(abs(floor(x / col("scale") + 0.5) * col("scale") - x) * 1e9))
+    e
+      .withColumn("dim", size(col("embedding")))
+      .withColumn("scale", scaleC)
+      .withColumn("err_mean",
+        when(col("scale") === 0.0, lit(0.0))
+          .otherwise(round(errNanos / (col("dim") * 1e9), 6)))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(graft.Tables.dsum(col("err_mean")) / count(lit(1)), 6)
+          .as("avg_err"),
+        max(col("err_mean")).as("max_err"),
+        round(graft.Tables.dsum(round(col("scale"), 6)) / count(lit(1)), 6)
+          .as("avg_scale"))
+      .orderBy(col("label"))
   }
 
   /** Per-label embedding L2-norm statistics — the sanity screen a
@@ -211,9 +285,33 @@ object Similarity {
     "s03_ann_ivf" -> s03_ann_ivf,
     "s04_norm_stats" -> s04_norm_stats,
     "s05_ann_recall" -> s05_ann_recall,
+    "s06_quantize_int8" -> s06_quantize_int8,
   )
 
   val oracles: Map[String, String] = Map(
+    "s06_quantize_int8" ->
+      """WITH p AS (
+        |  SELECT label,
+        |    CAST(embedding AS DOUBLE[]) AS xd,
+        |    len(embedding) AS dim,
+        |    list_max(list_transform(CAST(embedding AS DOUBLE[]),
+        |      v -> abs(v))) / 127.0 AS scale
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT label, scale,
+        |    CASE WHEN scale = 0 THEN 0.0 ELSE
+        |      round(list_sum(list_transform(xd,
+        |        v -> floor(abs(floor(v / scale + 0.5) * scale - v) * 1e9)))
+        |        / (dim * 1e9), 6)
+        |    END AS err_mean
+        |  FROM p)
+        |SELECT label, COUNT(*) AS n_vectors,
+        |  round(CAST(SUM(CAST(err_mean AS DECIMAL(28,6))) AS DOUBLE)
+        |    / COUNT(*), 6) AS avg_err,
+        |  MAX(err_mean) AS max_err,
+        |  round(CAST(SUM(CAST(round(scale, 6) AS DECIMAL(28,6))) AS DOUBLE)
+        |    / COUNT(*), 6) AS avg_scale
+        |FROM e GROUP BY label ORDER BY label""".stripMargin,
     "s04_norm_stats" ->
       """WITH n AS (
         |  SELECT label,

@@ -208,6 +208,30 @@ class DedupSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("d15 semantic dedup: domination by ANY lower-id same-cluster near-twin") {
+    import spark.implicits._
+    val e = Seq(
+      // label a: v1≡v2 (cos 1 → v2 dominated by v1); v3 orthogonal (kept)
+      (1L, "a", Array(1f, 0f, 0f)),
+      (2L, "a", Array(2f, 0f, 0f)),
+      (3L, "a", Array(0f, 1f, 0f)),
+      // label b: identical to v1 but a DIFFERENT cluster — kept (SemDeDup
+      // only compares within a cluster)
+      (4L, "b", Array(1f, 0f, 0f)),
+      // label b: near-twin of v4 above the 0.9 test threshold
+      (5L, "b", Array(1f, 0.1f, 0f)),
+    ).toDF("vec_id", "label", "embedding")
+    val got = operators.Dedup.semanticDedup(e, 0.9)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Boolean]("kept"), Option(r.getAs[Any]("dominated_by")))).toMap
+    assert(got(1L) == (true, None))
+    assert(got(2L) == (false, Some(1L)))
+    assert(got(3L) == (true, None))
+    assert(got(4L) == (true, None))
+    assert(got(5L) == (false, Some(4L)))
+  }
+
   test("d09 connected components: chain, triangle, isolated pair") {
     import spark.implicits._
     // chain 1-2-3-4-5: diameter 4, so min-label propagation needs

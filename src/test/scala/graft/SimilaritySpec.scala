@@ -29,4 +29,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lshR >= 0.8, s"LSH recall@5 $lshR below floor 0.8")
     assert(ivfR >= 0.4, s"IVF recall@5 $ivfR below floor 0.4")
   }
+
+  test("s06 int8 quantization: exact zero error on lattice vectors, bounded otherwise") {
+    import spark.implicits._
+    // scale = 127/127 = 1.0 and every component is an integer →
+    // dequantization is exact, error must be exactly 0
+    val lattice = Seq((1L, "a", Array(127f, -64f, 3f, 0f)))
+      .toDF("vec_id", "label", "embedding")
+    val r0 = operators.Similarity.quantizeInt8(lattice).collect().head
+    assert(r0.getAs[Double]("avg_err") == 0.0)
+    assert(r0.getAs[Double]("max_err") == 0.0)
+    assert(r0.getAs[Double]("avg_scale") == 1.0)
+    // all-zero vector: the scale-0 guard must yield 0 error, not NaN
+    val zero = Seq((1L, "z", Array(0f, 0f))).toDF("vec_id", "label", "embedding")
+    val rz = operators.Similarity.quantizeInt8(zero).collect().head
+    assert(rz.getAs[Double]("avg_err") == 0.0)
+    // real embeddings: per-element error is bounded by scale/2, and
+    // scale ≈ max|x|/127 is small — a loose absolute ceiling catches
+    // a broken quantizer without pinning float noise
+    val stats = operators.Similarity.quantizeInt8(
+      Tables.embeddings(spark, sfDir)).collect()
+    assert(stats.nonEmpty)
+    stats.foreach { r =>
+      val avg = r.getAs[Double]("avg_err"); val mx = r.getAs[Double]("max_err")
+      assert(avg > 0.0, "zero avg error on random floats means nothing was measured")
+      assert(mx < 0.05, s"max_err $mx exceeds any plausible scale/2 bound")
+      assert(avg <= mx)
+    }
+  }
 }

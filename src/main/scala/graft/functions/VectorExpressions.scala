@@ -215,7 +215,86 @@ case class L2Normalize(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** hyperplane_sigs(v) → ARRAY<INT> of length `nTables`: for each of
+  * the L hash tables, the b-bit random-hyperplane signature of the
+  * vector (bit j set iff dot(v, plane[t][j]) ≥ 0). One static call
+  * evaluates all L·b planes in a tight loop over a cached plane
+  * matrix — replacing L·b literal plane arrays (L·b·dim literals)
+  * that bloat the Catalyst tree, slow every planning pass, and
+  * resist constant folding. Planes are a pure function of
+  * (seed, nTables, bits, dim): drawn from one seeded gaussian stream
+  * in [table][bit][dim] order, so signatures are deterministic
+  * across executors, sessions, and restarts. Dot products truncate
+  * to min(row length, dim) — a narrower vector hashes with the same
+  * plane prefix, never a different plane set.
+  */
+case class HyperplaneSigs(child: Expression, nTables: Int, bits: Int,
+    dim: Int, seed: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(bits > 0 && bits <= 30, "bits must be in [1, 30]")
+  override def prettyName: String = "hyperplane_sigs"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hyperplane_sigs requires ARRAY<FLOAT|DOUBLE>, got ${other.catalogString}")
+    }
+  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def nullSafeEval(v: Any): Any =
+    VectorOps.hyperplaneSigs(v.asInstanceOf[ArrayData], isFloat,
+      nTables, bits, dim, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorOps.hyperplaneSigs($c, $isFloat, $nTables, $bits, $dim, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object VectorOps {
+
+  /** Plane matrices keyed by (seed, nTables, bits, dim) — computed
+    * once per executor JVM, shared by every task. Flattened
+    * [table][bit][dim]; a few hundred KB at typical sizes. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int, Int), Array[Double]]()
+
+  def planesFor(seed: Long, nTables: Int, bits: Int, dim: Int): Array[Double] =
+    planeCache.computeIfAbsent((seed, nTables, bits, dim), _ => {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(nTables * bits * dim)(rnd.nextGaussian())
+    })
+
+  def hyperplaneSigs(a: ArrayData, isFloat: Boolean, nTables: Int,
+      bits: Int, dim: Int, seed: Long): ArrayData = {
+    val planes = planesFor(seed, nTables, bits, dim)
+    val n = math.min(a.numElements(), dim)
+    val x = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      x(i) = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      i += 1
+    }
+    val out = new Array[Int](nTables)
+    var t = 0
+    while (t < nTables) {
+      var sig = 0
+      var b = 0
+      while (b < bits) {
+        val off = (t * bits + b) * dim
+        var dot = 0.0
+        var d = 0
+        while (d < n) { dot += x(d) * planes(off + d); d += 1 }
+        if (dot >= 0.0) sig |= (1 << b)
+        b += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def l2Normalize(a: ArrayData, isFloat: Boolean): ArrayData = {
     val n = a.numElements()
     val out = new Array[Double](n)
@@ -245,6 +324,9 @@ object VectorFunctions {
   def l2_normalize(v: Column): Column = column(L2Normalize(expression(v)))
   def normalized_dot(a: Column, b: Column): Column =
     column(NormalizedDot(expression(a), expression(b)))
+  def hyperplane_sigs(v: Column, nTables: Int, bits: Int, dim: Int,
+      seed: Long): Column =
+    column(HyperplaneSigs(expression(v), nTables, bits, dim, seed))
 
   /** SQL registration so `spark.sql("SELECT cosine_similarity(...)")` works. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

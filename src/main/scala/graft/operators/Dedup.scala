@@ -243,28 +243,26 @@ object Dedup {
           col("embedding").as("emb_b")), Seq("label")))
 
     val big = sized.filter(col("__bn") > maxBlock)
-    // hyperplanes must span the FULL embedding width — dot_product
-    // truncates to min(length), so a hardcoded 64 would silently hash
-    // only the first 64 components of wider embeddings. MAX over the
-    // whole column (not a limit() sample: that's a nondeterministic
-    // subset, and a wider embedding outside it would get its tail
-    // ignored by every plane) — a single-column scan, the price of
-    // sizing literal plane vectors correctly.
+    // hyperplanes must span the FULL embedding width — the dot inside
+    // hyperplane_sigs truncates to min(row length, dim), so a
+    // hardcoded 64 would silently hash only the first 64 components
+    // of wider embeddings. MAX over the whole column (not a limit()
+    // sample: that's a nondeterministic subset, and a wider embedding
+    // outside it would get its tail ignored by every plane) — a
+    // single-column scan, the price of sizing the plane matrix
+    // correctly. Signatures come from the codegen'd
+    // [[graft.functions.HyperplaneSigs]] (1 table × 16 bits; cached
+    // plane matrix drawn from the same seeded stream as the former
+    // literal-plane formulation, so bucket values are identical).
     val planes = 16
     val dim = e.select(size(col("embedding")).as("s"))
       .filter(col("s").isNotNull)
       .agg(max(col("s"))).collect()
       .headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
       .getOrElse(64) // empty input: LSH branch has no rows anyway
-    val rnd = new scala.util.Random(42L)
-    val planeCols = (0 until planes).map { _ =>
-      array((0 until dim).map(_ => lit(rnd.nextGaussian())): _*)
-    }
+    import graft.functions.VectorFunctions.hyperplane_sigs
     def signature(emb: Column): Column =
-      (0 until planes).map { p =>
-        when(dot_product(emb, planeCols(p)) >= 0.0, shiftleft(lit(1), p))
-          .otherwise(lit(0))
-      }.reduce((x, y) => x.bitwiseOR(y))
+      element_at(hyperplane_sigs(emb, 1, planes, dim, 42L), 1)
     val corpus = big.select(col("label"), col("vec_id").as("nn_id"),
       col("embedding").as("emb_b"), signature(col("embedding")).as("bucket"))
     val probes = big.select(col("label"), col("vec_id"),

@@ -73,27 +73,21 @@ object Similarity {
     */
   def s02_ann_lsh: Q = (s, d) => {
     val nTables = 16; val bits = 8; val dim = 64
-    val rnd = new scala.util.Random(42L)
-    // literal plane matrices — constant-folded into the plan
-    val planes: IndexedSeq[IndexedSeq[Column]] =
-      IndexedSeq.fill(nTables)(IndexedSeq.fill(bits)(
-        array((0 until dim).map(_ => lit(rnd.nextGaussian())): _*)))
-    def sig(emb: Column, t: Int): Column =
-      (0 until bits).map { b =>
-        when(dot_product(emb, planes(t)(b)) >= 0.0, shiftleft(lit(1), b))
-          .otherwise(lit(0))
-      }.reduce((a, b) => a.bitwiseOR(b))
-
+    // all L·b signatures in ONE codegen'd static call over a cached
+    // plane matrix ([[graft.functions.HyperplaneSigs]]) — the literal-
+    // plane-array formulation carried L·b·dim = 8192 literals through
+    // every planning pass of this query
+    import graft.functions.VectorFunctions.hyperplane_sigs
     val e = Tables.embeddings(s, d)
     // one (tbl, bucket) row per table per vector — the L-fold index
     val corpus = e.select(col("vec_id"),
-      posexplode(array((0 until nTables).map(t => sig(col("embedding"), t)): _*))
+      posexplode(hyperplane_sigs(col("embedding"), nTables, bits, dim, 42L))
         .as(Seq("tbl", "bucket")))
     val q = queriesOf(e)
     // per-table query signature, then multi-probe: exact bucket + all
     // hamming-1 buckets of that table
     val probes = q.select(col("q_id"),
-        posexplode(array((0 until nTables).map(t => sig(col("q_emb"), t)): _*))
+        posexplode(hyperplane_sigs(col("q_emb"), nTables, bits, dim, 42L))
           .as(Seq("tbl", "qsig")))
       .select(col("q_id"), col("tbl"),
         explode(array(col("qsig") +: (0 until bits).map(b =>

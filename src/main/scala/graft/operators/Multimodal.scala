@@ -182,11 +182,34 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** m05 — perceptual-hash media dedup groups: every media payload
+    * gets a 64-bit average-hash ([[MediaCodec.Codec.aHash64]] — real
+    * 8×8 block-luma aHash for decodable images, content-derived
+    * FNV-1a for everything else), then payloads group by hash — the
+    * image-dedup primitive (re-encoded copies of the same picture
+    * collide; the synthetic corpus exercises the fallback path, and
+    * MultimodalSpec proves the real-image path on generated PNG/BMP
+    * fixtures). Map-only decode + one uniform-key shuffle; rows-only
+    * (hash values are engine-specific).
+    */
+  def m05_phash_groups: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val hashed = synthesizeMedia(s, d).as[MediaRow].mapPartitions { rows =>
+      val codec = MediaCodec.open()
+      rows.map(r => (r.doc_id, codec.aHash64(r.media)))
+    }.toDF("doc_id", "phash")
+    hashed.groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_media"), min(col("doc_id")).as("keep_id"))
+      .orderBy(col("keep_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "m01_media_features" -> m01_media_features,
     "m02_frame_sample" -> m02_frame_sample,
     "m03_media_stats" -> m03_media_stats,
     "m04_sample_assembly" -> m04_sample_assembly,
+    "m05_phash_groups" -> m05_phash_groups,
   )
 
   val oracles: Map[String, String] = Map(
@@ -273,6 +296,68 @@ object MediaCodec {
         while (j < 8) { hist(j) /= n; j += 1 }
         Decoded(w, h, hist)
       }
+    }
+
+    /** 64-bit average-hash (aHash): decode the image, partition it
+      * into an 8×8 grid of pixel blocks, bit g set iff block-mean
+      * luma ≥ whole-image mean luma. The classic perceptual hash:
+      * the same picture re-encoded (PNG↔BMP, quality changes)
+      * decodes to the same pixels and collides exactly; small edits
+      * land within a few hamming bits. The comparison is exact
+      * integer cross-multiplication (sum_g·totalCnt ≥ totalSum·cnt_g)
+      * — no float mean, so the hash is bit-stable everywhere.
+      * Undecodable payloads fall back to FNV-1a over the raw bytes
+      * (content-derived: identical payloads still collide). */
+    def aHash64(bytes: Array[Byte]): Long = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Throwable => null }
+      if (img == null) fnv1a64(bytes)
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val sum = new Array[Long](64)
+        val cnt = new Array[Long](64)
+        var y = 0
+        while (y < h) {
+          val gy = (y.toLong * 8 / h).toInt
+          var x = 0
+          while (x < w) {
+            val gx = (x.toLong * 8 / w).toInt
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+              (rgb & 0xFF) * 114) / 1000
+            val g = gy * 8 + gx
+            sum(g) += lum
+            cnt(g) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var tSum = 0L; var tCnt = 0L
+        var g = 0
+        while (g < 64) { tSum += sum(g); tCnt += cnt(g); g += 1 }
+        var hash = 0L
+        g = 0
+        while (g < 64) {
+          // mean_g >= overall mean, exactly; empty cells (image
+          // narrower than 8px) contribute a 0 bit
+          if (cnt(g) > 0 && sum(g) * tCnt >= tSum * cnt(g)) hash |= (1L << g)
+          g += 1
+        }
+        hash
+      }
+    }
+
+    private def fnv1a64(bytes: Array[Byte]): Long = {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < bytes.length) {
+        h ^= (bytes(i) & 0xFFL)
+        h *= 0x100000001b3L
+        i += 1
+      }
+      h
     }
 
     /** Fallback for payloads `javax.imageio` cannot decode (video

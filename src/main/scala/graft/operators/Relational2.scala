@@ -424,7 +424,50 @@ object Relational2 {
       .orderBy(col("event_id"))
   }
 
+  /** q69 — ordered funnel attribution: per user, the furthest stage
+    * of the view → click → purchase funnel reached IN ORDER: a click
+    * counts only at-or-after the user's first view, a purchase only
+    * at-or-after the first qualifying click. The standard
+    * product-analytics shape (strict-order funnels are what
+    * sessionization feeds).
+    *
+    * Three per-user aggregates chained by inequality joins on the
+    * previous stage's first-hit time. Each aggregate is one shuffle
+    * on user_id; the chaining tables are one row per user, so at
+    * scale they broadcast and the event table is scanned three times
+    * filtered to one event type each — never materializing per-user
+    * event arrays (the collect_list formulation OOMs on power users).
+    * Times are epoch-µs (exactly the stored precision; DuckDB mirrors
+    * with epoch_us).
+    */
+  def q69_funnel: Q = (s, d) => {
+    val e = Tables.events(s, d)
+      .withColumn("ts_us", call_function("div", col("ts_ns"), lit(1000L)))
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_view"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("ts_us") >= col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_click"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("ts_us") >= col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_purchase"))
+    e.select(col("user_id")).distinct()
+      .join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .withColumn("stage",
+        when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2)
+          .when(col("t_view").isNotNull, 1)
+          .otherwise(0))
+      .select(col("user_id"), col("stage"),
+        col("t_view"), col("t_click"), col("t_purchase"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q69_funnel" -> q69_funnel,
     "q67_bloom_join" -> q67_bloom_join,
     "q68_locf" -> q68_locf,
     "q66_rolling_range" -> q66_rolling_range,
@@ -454,6 +497,32 @@ object Relational2 {
         |WHERE l_orderkey IN (
         |  SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q69_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |v AS (
+        |  SELECT user_id, MIN(ts_us) AS t_view FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, MIN(ts_us) AS t_click FROM e
+        |  JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND ts_us >= t_view
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(ts_us) AS t_purchase FROM e
+        |  JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts_us >= t_click
+        |  GROUP BY e.user_id)
+        |SELECT u.user_id,
+        |  CASE WHEN p.user_id IS NOT NULL THEN 3
+        |       WHEN c.user_id IS NOT NULL THEN 2
+        |       WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage,
+        |  v.t_view, c.t_click, p.t_purchase
+        |FROM (SELECT DISTINCT user_id FROM e) u
+        |LEFT JOIN v USING (user_id)
+        |LEFT JOIN c USING (user_id)
+        |LEFT JOIN p USING (user_id)
+        |ORDER BY u.user_id""".stripMargin,
     "q68_locf" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,

@@ -102,6 +102,49 @@ class MultimodalSpec extends AnyFunSuite {
       out(1).getAs[Int]("decoded_height") == 20)
   }
 
+  test("aHash64: container-invariant on real images, content-derived fallback") {
+    val codec = operators.MediaCodec.open()
+    def img64(f: (Int, Int) => Int): java.awt.image.BufferedImage = {
+      val im = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) im.setRGB(x, y, f(x, y))
+      im
+    }
+    def enc(im: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, fmt, bos); bos.toByteArray
+    }
+    def gray(v: Int) = (v << 16) | (v << 8) | v
+    val grad = img64((x, _) => gray(x * 4))
+    // the SAME pixels in two containers must collide exactly — that
+    // is the point of a perceptual hash vs a byte hash
+    val hPng = codec.aHash64(enc(grad, "png"))
+    val hBmp = codec.aHash64(enc(grad, "bmp"))
+    assert(hPng == hBmp)
+    // a visually different image (inverted gradient) must not collide
+    val inv = img64((x, _) => gray(255 - x * 4))
+    assert(codec.aHash64(enc(inv, "png")) != hPng)
+    // a one-pixel edit moves the hash at most a few hamming bits
+    val edited = img64((x, _) => gray(x * 4))
+    edited.setRGB(0, 0, 0xFFFFFF)
+    val hEdit = codec.aHash64(enc(edited, "png"))
+    assert(java.lang.Long.bitCount(hPng ^ hEdit) <= 8)
+    // undecodable payloads: identical bytes collide, different differ
+    val junkA = Array.tabulate[Byte](50)(i => (i * 7).toByte)
+    val junkB = Array.tabulate[Byte](50)(i => (i * 7 + 1).toByte)
+    assert(codec.aHash64(junkA) == codec.aHash64(junkA.clone()))
+    assert(codec.aHash64(junkA) != codec.aHash64(junkB))
+  }
+
+  test("m05 groups every synthetic payload by its content hash") {
+    val rows = Multimodal.m05_phash_groups(spark, sfDir).collect()
+    // all 500 synthetic payloads are distinct (md5(text)||md5(doc_id))
+    // → one group per doc; the query shape still proves the hash +
+    // group plumbing (real collisions are spec'd above)
+    assert(rows.length == 500)
+    assert(rows.forall(_.getAs[Long]("n_media") == 1L))
+  }
+
   test("binaryFile media dir reads payloads + metadata, prunes non-media") {
     val dir = java.nio.file.Files.createTempDirectory("graft-media")
     def put(name: String, bytes: Array[Byte]): Unit =

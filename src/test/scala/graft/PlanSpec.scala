@@ -151,6 +151,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("s02 multi-table LSH broadcasts probes; corpus index never shuffles to meet them") {
+    val p = plan("s02_ann_lsh")
+    // the (tbl, bucket) probe table is tiny (|queries|·L·(b+1) rows) —
+    // it must broadcast so the L-fold corpus index is scanned in place
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
   test("q67 injects a runtime bloom filter into the fact side") {
     val confs = Seq(
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",

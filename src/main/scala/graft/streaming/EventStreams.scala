@@ -119,6 +119,68 @@ object EventStreams {
   final case class Session(user_id: Long, start_ns: Long, end_ns: Long,
       n_events: Long)
 
+  final case class FunnelState(t_view: Option[Long], t_click: Option[Long],
+      t_purchase: Option[Long])
+  final case class FunnelUpdate(user_id: Long, stage: Int,
+      t_view: Option[Long], t_click: Option[Long], t_purchase: Option[Long])
+
+  /** Streaming funnel attribution — the incremental twin of the batch
+    * [[graft.operators.Relational2.q69_funnel]]: per user, the
+    * furthest view → click → purchase stage reached IN ORDER, as a
+    * state machine over the event stream. A click arms only
+    * at-or-after the first view, a purchase only at-or-after the
+    * first qualifying click; an Append-mode row is emitted whenever a
+    * user's state advances (stage is monotone, so the LAST emission
+    * per user is their current funnel position).
+    *
+    * Scale: state is three optional longs per user (~24 bytes) —
+    * O(users), not O(events); the batch form re-scans the event table
+    * per stage, this form touches each event once. Production adds a
+    * state TTL (timeout eviction like [[sessionize]]) to bound the
+    * user set on unbounded streams; omitted here so the parity spec
+    * is deterministic.
+    *
+    * Ordering caveat (inherent to streaming): events are applied in
+    * (ts, event_id) order WITHIN a micro-batch; a stage event that
+    * arrives in a LATER batch than a logically-later event it should
+    * precede (e.g. a late view older than an already-processed click)
+    * is applied against the already-advanced state. The batch q69 is
+    * the ground truth for out-of-order replays.
+    */
+  def funnelStream(events: Dataset[Event]): Dataset[FunnelUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          val before = state.getOption.getOrElse(FunnelState(None, None, None))
+          var st = before
+          rows.toSeq.sortBy(e => (e.ts_ns, e.event_id)).foreach { e =>
+            e.event_type match {
+              case "view" if st.t_view.isEmpty =>
+                st = st.copy(t_view = Some(e.ts_ns))
+              case "click" if st.t_click.isEmpty &&
+                  st.t_view.exists(_ <= e.ts_ns) =>
+                st = st.copy(t_click = Some(e.ts_ns))
+              case "purchase" if st.t_purchase.isEmpty &&
+                  st.t_click.exists(_ <= e.ts_ns) =>
+                st = st.copy(t_purchase = Some(e.ts_ns))
+              case _ => ()
+            }
+          }
+          if (st != before || state.getOption.isEmpty) {
+            state.update(st)
+            val stage =
+              if (st.t_purchase.nonEmpty) 3
+              else if (st.t_click.nonEmpty) 2
+              else if (st.t_view.nonEmpty) 1
+              else 0
+            Iterator.single(FunnelUpdate(userId, stage,
+              st.t_view, st.t_click, st.t_purchase))
+          } else Iterator.empty
+      }
+  }
+
   /** Stateful sessionization: events within `gap` of each other belong
     * to one session per user; a session closes when the processing-time
     * timeout fires with no new events. Demonstrates

@@ -124,6 +124,70 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel state machine agrees with batch q69 stages") {
+    import spark.implicits._
+    val dir = stageDir()
+    val events = EventStreams.readEventStream(spark, dir)
+      .select(col("event_id"), col("ts_ns"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[EventStreams.Event]
+    val q = EventStreams.funnelStream(events)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_out").start()
+    try {
+      q.processAllAvailable()
+      val n1 = spark.table("funnel_out").count()
+      // stage is monotone per user: the max emitted stage IS the
+      // user's final funnel position
+      val streamed = spark.table("funnel_out")
+        .groupBy(col("user_id")).agg(max(col("stage")).as("stage"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val batch = operators.Relational2.q69_funnel(spark, sfDir)
+        .select(col("user_id"), col("stage"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(streamed == batch)
+      assert(batch.values.exists(_ == 3), "vacuous: no user completed the funnel")
+      // replaying the identical events must not advance any state —
+      // first-hit times are idempotent under duplicate delivery
+      Files.copy(Paths.get(s"$sfDir/events.parquet"),
+        Paths.get(s"$dir/events2.parquet"))
+      q.processAllAvailable()
+      assert(spark.table("funnel_out").count() == n1,
+        "duplicate replay emitted new funnel updates")
+    } finally q.stop()
+  }
+
+  test("streaming funnel advances across micro-batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-funnel").toString
+    def write(name: String, rows: Seq[(Long, Long, Long, String, Double, String)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(s"$dir/$name")
+    // all three stages for one user, split across two files so the
+    // click/purchase arrive in a LATER micro-batch than the view
+    val ns = 1000000000L
+    write("f", Seq((1L, 1L * ns, 7L, "view", 0.0, "")))
+    val events = spark.readStream.schema(EventStreams.eventSchema)
+      .parquet(s"$dir/f")
+      .withColumn("ts_ns", col("ts"))
+      .select(col("event_id"), col("ts_ns"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[EventStreams.Event]
+    val q = EventStreams.funnelStream(events)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel2_out").start()
+    try {
+      q.processAllAvailable()
+      write("f", Seq((2L, 2L * ns, 7L, "click", 0.0, ""),
+        (3L, 3L * ns, 7L, "purchase", 0.0, "")))
+      q.processAllAvailable()
+      val stages = spark.table("funnel2_out")
+        .select(col("stage")).collect().map(_.getInt(0)).sorted.toSeq
+      // batch 1 emitted stage 1; batch 2 advanced the SAME state to 3
+      assert(stages == Seq(1, 3))
+    } finally q.stop()
+  }
+
   test("streaming sessionization emits exactly the closed batch sessions") {
     import spark.implicits._
     val dir = stageDir()

@@ -7,8 +7,9 @@ import org.apache.spark.sql.SparkSessionExtensions
   *   `spark.sql.extensions=graft.GraftExtensions` or
   *   `SparkSession.builder().withExtensions(new GraftExtensions)`.
   *
-  * Injected functions: cosine_similarity, dot_product, simhash64,
-  * word_shingles, minhash_signature, minhash_bands, array_jaccard.
+  * Injected functions: cosine_similarity, dot_product, l2_normalize,
+  * normalized_dot, simhash64, word_shingles, minhash_signature,
+  * minhash_bands, array_jaccard, winnow_fingerprints, hyperplane_sigs.
   * Injected optimizer rules: [[graft.plans.CosineFusionRule]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -66,6 +67,10 @@ object GraftExtensions {
       "winnow_fingerprints(text[, k, w]) - MOSS winnowing fingerprints",
       es => functions.WinnowFingerprints(es.head,
         intArg(es, 1, 8), intArg(es, 2, 4))),
+    ("hyperplane_sigs",
+      "hyperplane_sigs(v[, nTables, bits, dim, seed]) - multi-table LSH signatures",
+      es => functions.HyperplaneSigs(es.head, intArg(es, 1, 16),
+        intArg(es, 2, 8), intArg(es, 3, 64), intArg(es, 4, 42).toLong)),
   )
 
   /** Register the same functions on an already-built session (e.g. one

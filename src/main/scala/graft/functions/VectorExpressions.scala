@@ -338,5 +338,11 @@ object VectorFunctions {
       "l2_normalize", es => L2Normalize(es.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "normalized_dot", es => NormalizedDot(es.head, es(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hyperplane_sigs", es => HyperplaneSigs(es.head,
+        es(1).eval().asInstanceOf[Number].intValue(),
+        es(2).eval().asInstanceOf[Number].intValue(),
+        es(3).eval().asInstanceOf[Number].intValue(),
+        es(4).eval().asInstanceOf[Number].longValue()), "built-in")
   }
 }

@@ -231,12 +231,14 @@ class FunctionsSpec extends AnyFunSuite {
       """SELECT simhash64(array('a','b')) AS h,
         |  array_jaccard(array('a','b'), array('b','c')) AS j,
         |  cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
-        |  minhash_bands(word_shingles(array('a','b','c','d'))) AS mb
+        |  minhash_bands(word_shingles(array('a','b','c','d'))) AS mb,
+        |  hyperplane_sigs(array(1.0D, 2.0D), 3, 5, 8, 42) AS hs
         |""".stripMargin).first()
     assert(!r.isNullAt(0))
     assert(math.abs(r.getDouble(1) - 1.0 / 3.0) < 1e-9)
     assert(r.getDouble(2) === 1.0)
     assert(r.getAs[scala.collection.Seq[Long]](3).length == 16)
+    assert(r.getAs[scala.collection.Seq[Int]](4).length == 3)
   }
 
   test("CosineFusionRule fuses dot(l2,l2) into one-pass NormalizedDot") {

@@ -444,11 +444,18 @@ object Relational2 {
     val e = Tables.events(s, d)
       .withColumn("ts_us", call_function("div", col("ts_ns"), lit(1000L)))
       .select(col("user_id"), col("event_type"), col("ts_us"))
-    val v = e.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_view"))
-    val c = e.filter(col("event_type") === "click")
-      .join(v, Seq("user_id")).filter(col("ts_us") >= col("t_view"))
-      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_click"))
+    // v and c each feed TWO consumers (the next stage's inequality
+    // join and the final left-join) — persisted so the pruned event
+    // scan under each runs once, not twice (ReuseExchange only dedups
+    // under AQE; the persist is explicit and the tables are one row
+    // per user)
+    val v = graft.CacheScope.persisted(
+      e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_view")))
+    val c = graft.CacheScope.persisted(
+      e.filter(col("event_type") === "click")
+        .join(v, Seq("user_id")).filter(col("ts_us") >= col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_click")))
     val p = e.filter(col("event_type") === "purchase")
       .join(c, Seq("user_id")).filter(col("ts_us") >= col("t_click"))
       .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_purchase"))

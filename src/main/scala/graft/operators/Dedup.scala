@@ -519,6 +519,52 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** d16 — incremental NEAR-duplicate screening: the near-dup
+    * extension of d12's exact incremental dedup. The standing corpus
+    * keeps a banded-MinHash signature INDEX (here derived on the fly;
+    * in production written once to parquet bucketed by band hash and
+    * only appended to); a new delivery is screened by banding only
+    * ITS documents and joining against the index — the corpus text is
+    * touched only for the exact-Jaccard verify of collided candidates,
+    * never re-scanned wholesale. Per delivery doc: how many corpus
+    * near-dups it collides with, and the accept/reject decision.
+    *
+    * Scale: delivery-side work ∝ delivery size; index join cost ∝
+    * band collisions (16×4 banding, the d02 s-curve); verify cost ∝
+    * candidates. A 100 TB corpus with a 1 GB daily delivery does
+    * delivery-sized work, which is the entire point. Rows-only (LSH
+    * banding is engine-specific); DedupSpec proves matches ⊆
+    * brute-force shingle-Jaccard truth.
+    */
+  def d16_incremental_neardup: Q = (s, d) => {
+    import graft.functions.TextHashFunctions.{minhash_bands, array_jaccard}
+    val all = Tables.documents(s, d)
+      .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
+    val corpus = graft.CacheScope.persisted(
+      all.filter(col("doc_id") % 17 =!= 0)) // standing corpus
+    val delivery = graft.CacheScope.persisted(
+      all.filter(col("doc_id") % 17 === 0)) // new delivery
+    // the persistent index: (band hash, doc_id) per corpus doc
+    val index = corpus.select(col("doc_id").as("corpus_id"),
+      explode(array_distinct(minhash_bands(col("sh"), 16, 4))).as("bh"))
+    val probes = delivery.select(col("doc_id"),
+      explode(array_distinct(minhash_bands(col("sh"), 16, 4))).as("bh"))
+    val candidates = probes.join(index, Seq("bh"))
+      .select(col("doc_id"), col("corpus_id")).distinct()
+    val verified = candidates
+      .join(delivery.select(col("doc_id"), col("sh").as("sh_d")), Seq("doc_id"))
+      .join(corpus.select(col("doc_id").as("corpus_id"), col("sh").as("sh_c")),
+        Seq("corpus_id"))
+      .filter(array_jaccard(col("sh_d"), col("sh_c")) >= 0.5)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+    delivery.select(col("doc_id"))
+      .join(verified, Seq("doc_id"), "left")
+      .withColumn("n_matches", coalesce(col("n_matches"), lit(0L)))
+      .withColumn("accepted", col("n_matches") === 0)
+      .orderBy(col("doc_id"))
+  }
+
   /** Cosine threshold for [[d15_semantic_dedup]]. Production SemDeDup
     * uses ~0.95 on real text embeddings; the synthetic testdata
     * vectors are near-orthogonal (top-1 cosine ≈ 0.13-0.48), so 0.35
@@ -640,6 +686,7 @@ object Dedup {
     "d05_embedding_neardup" -> d05_embedding_neardup,
     "d09_dup_clusters" -> d09_dup_clusters,
     "d15_semantic_dedup" -> d15_semantic_dedup,
+    "d16_incremental_neardup" -> d16_incremental_neardup,
   )
 
   /** The d04 pair query without its final ORDER BY — one source for

@@ -208,6 +208,43 @@ class DedupSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("d16 incremental screen: matches are a subset of brute-force truth, rejects are real") {
+    import graft.functions.TextHashFunctions.{word_shingles, array_jaccard}
+    import spark.implicits._
+    val got = operators.Dedup.d16_incremental_neardup(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_matches"), r.getAs[Boolean]("accepted"))).toMap
+    CacheScope.releaseAll()
+    // brute-force truth: shingle-Jaccard >= 0.5 of every delivery doc
+    // against every corpus doc
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        word_shingles(split(lower(col("text")), "\\s+"), 3).as("sh"))
+    val truth = sh.filter(col("doc_id") % 17 === 0)
+      .select(col("doc_id"), col("sh").as("sh_d"))
+      .crossJoin(sh.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id").as("corpus_id"), col("sh").as("sh_c")))
+      .filter(array_jaccard(col("sh_d"), col("sh_c")) >= 0.5)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every delivery doc must appear exactly once in the output
+    val deliveryIds = sh.filter(col("doc_id") % 17 === 0)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(got.keySet == deliveryIds)
+    assert(truth.nonEmpty, "no true near-dups between delivery and corpus — vacuous")
+    got.foreach { case (id, (n, acc)) =>
+      // LSH can miss (bounded by the d13 recall gate) but never invent:
+      // reported matches are exact-verified, so n <= truth count and a
+      // rejection implies at least one true near-dup
+      assert(n <= truth.getOrElse(id, 0L), s"doc $id: $n > truth")
+      assert(acc == (n == 0L))
+    }
+    // and the screen must actually catch most of the truth docs
+    val caught = got.count { case (id, (n, _)) => n > 0 && truth.contains(id) }
+    assert(caught.toDouble >= 0.7 * truth.size,
+      s"screen caught $caught of ${truth.size} truth docs")
+  }
+
   test("d15 semantic dedup: domination by ANY lower-id same-cluster near-twin") {
     import spark.implicits._
     val e = Seq(

@@ -224,7 +224,6 @@ object Dedup {
 
   private[graft] def embeddingNearDup(e: DataFrame, maxBlock: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import graft.functions.VectorFunctions.dot_product
     val sized = e.join(
       broadcast(e.groupBy(col("label")).agg(count(lit(1)).as("__bn"))),
       Seq("label"))
@@ -519,6 +518,36 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** d17 — cross-signal duplicate clusters: connected components over
+    * the UNION of text near-duplicate pairs ([[d04_ngram_jaccard]],
+    * exact-verified) and media perceptual-hash collisions
+    * ([[Multimodal.phashes]] aHash groups) — "the same item by ANY
+    * signal". A re-encoded image attached to a rewritten caption
+    * still chains into its source's cluster, which per-signal dedup
+    * can never do. Media groups contribute hub-and-spoke edges
+    * (min-id ↔ member), not the n² within-group pairs — same
+    * component, linear edge count. Clustering reuses [[dupClusters]]'
+    * two-tier CC unchanged.
+    * Rows-only (phash values are engine-specific).
+    */
+  def d17_multimodal_clusters: Q = (s, d) =>
+    multimodalClusters(
+      ngramJaccardPairs(Tables.documents(s, d)).select(col("id_a"), col("id_b")),
+      Multimodal.synthesizeMedia(s, d))
+
+  private[graft] def multimodalClusters(textPairs: DataFrame,
+      media: DataFrame): DataFrame = {
+    val hashed = Multimodal.phashes(media)
+    val hubs = hashed.groupBy(col("phash"))
+      .agg(min(col("doc_id")).as("hub"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(col("phash"), col("hub"))
+    val mediaPairs = hashed.join(hubs, Seq("phash"))
+      .filter(col("doc_id") =!= col("hub"))
+      .select(col("hub").as("id_a"), col("doc_id").as("id_b"))
+    dupClusters(textPairs.unionByName(mediaPairs))
+  }
+
   /** d16 — incremental NEAR-duplicate screening: the near-dup
     * extension of d12's exact incremental dedup. The standing corpus
     * keeps a banded-MinHash signature INDEX (here derived on the fly;
@@ -687,6 +716,7 @@ object Dedup {
     "d09_dup_clusters" -> d09_dup_clusters,
     "d15_semantic_dedup" -> d15_semantic_dedup,
     "d16_incremental_neardup" -> d16_incremental_neardup,
+    "d17_multimodal_clusters" -> d17_multimodal_clusters,
   )
 
   /** The d04 pair query without its final ORDER BY — one source for

@@ -192,16 +192,22 @@ object Multimodal {
     * fixtures). Map-only decode + one uniform-key shuffle; rows-only
     * (hash values are engine-specific).
     */
-  def m05_phash_groups: Q = (s, d) => {
-    val spark = s
+  def m05_phash_groups: Q = (s, d) =>
+    phashes(synthesizeMedia(s, d))
+      .groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_media"), min(col("doc_id")).as("keep_id"))
+      .orderBy(col("keep_id"))
+
+  /** (doc_id, phash) per media row — the perceptual-hash column other
+    * operators build on (m05's groups, Dedup's d17 cross-signal
+    * clusters). One codec per partition, map-only. */
+  private[graft] def phashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
     import spark.implicits._
-    val hashed = synthesizeMedia(s, d).as[MediaRow].mapPartitions { rows =>
+    media.as[MediaRow].mapPartitions { rows =>
       val codec = MediaCodec.open()
       rows.map(r => (r.doc_id, codec.aHash64(r.media)))
     }.toDF("doc_id", "phash")
-    hashed.groupBy(col("phash"))
-      .agg(count(lit(1)).as("n_media"), min(col("doc_id")).as("keep_id"))
-      .orderBy(col("keep_id"))
   }
 
   val queries: Map[String, Q] = Map(

@@ -245,6 +245,24 @@ class DedupSpec extends AnyFunSuite {
       s"screen caught $caught of ${truth.size} truth docs")
   }
 
+  test("d17 chains text pairs and media phash collisions into one cluster") {
+    import spark.implicits._
+    // text signal links 1-2; media signal links 2-3 (identical bytes);
+    // doc 4's media is distinct -> stays out of every cluster
+    val textPairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val sharedBytes = Array.tabulate[Byte](64)(i => (i * 3).toByte)
+    val media = Seq(
+      operators.Multimodal.MediaRow(1L, Array.tabulate[Byte](64)(_.toByte), "webm", 8, 8, 1),
+      operators.Multimodal.MediaRow(2L, sharedBytes, "webm", 8, 8, 1),
+      operators.Multimodal.MediaRow(3L, sharedBytes.clone(), "webm", 8, 8, 1),
+      operators.Multimodal.MediaRow(4L, Array.tabulate[Byte](64)(i => (i + 9).toByte), "webm", 8, 8, 1),
+    ).toDF()
+    val got = operators.Dedup.multimodalClusters(textPairs, media)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+      "cross-signal chain 1-2 (text) + 2-3 (media) must form ONE cluster")
+  }
+
   test("d15 semantic dedup: domination by ANY lower-id same-cluster near-twin") {
     import spark.implicits._
     val e = Seq(

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Empty-input robustness: at 100 TB scale, empty slices are routine
+  * (a partition filter that matches nothing, a day with no delivery,
+  * a label block with no vectors). Every operator must return an
+  * empty (or degenerate-aggregate) result — never throw — when its
+  * input tables have zero rows. This pins the edge paths: d05's
+  * dim-scan fallback, d13's count-derived modulus, d10's cap count,
+  * s03's empty centroid set, q69's empty user universe.
+  */
+class EmptyInputSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  private lazy val emptyDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    def write(name: String, schema: StructType): Unit =
+      spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    write("documents", StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType))))
+    write("embeddings", StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType))))
+    write("events", StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType))))
+    dir
+  }
+
+  // aggregate-shaped queries legitimately emit one degenerate row on
+  // empty input (e.g. d13's recall summary); everything else must be
+  // empty
+  private val degenerateRowOk = Set("d13_lsh_recall")
+
+  private val targets = Seq(
+    "d01_dedup_exact", "d02_minhash_lsh", "d03_simhash", "d04_ngram_jaccard",
+    "d05_embedding_neardup", "d07_snapshot_diff", "d09_dup_clusters",
+    "d10_decontam", "d13_lsh_recall", "d15_semantic_dedup",
+    "d16_incremental_neardup", "d17_multimodal_clusters",
+    "t01_lang_id", "t02_quality", "t03_tokens", "t04_fingerprint",
+    "s01_ann_bruteforce", "s02_ann_lsh", "s03_ann_ivf", "s06_quantize_int8",
+    "q69_funnel", "m03_media_stats", "m05_phash_groups")
+
+  for (name <- targets)
+    test(s"$name tolerates zero-row inputs") {
+      val n = SparkEntry.queries(name)(spark, emptyDir).count()
+      CacheScope.releaseAll()
+      spark.catalog.clearCache()
+      if (degenerateRowOk(name)) assert(n <= 1)
+      else assert(n == 0, s"$name returned $n rows from empty tables")
+    }
+}

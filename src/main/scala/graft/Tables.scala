@@ -76,4 +76,24 @@ object Tables {
     */
   def davg(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     dsum(c) / count(c)
+
+  /** Engine-stable round-half-up for NON-NEGATIVE ratios:
+    * floor(x·10^d + 0.5)/10^d. Use this instead of round(x, d)
+    * whenever x is an exact ratio of integers (k/n): when n has only
+    * small prime factors, x·10^d can land EXACTLY on a representable
+    * .5 — where Spark's round (BigDecimal HALF_UP on the true binary
+    * value) and DuckDB's round (multiply + nearest-even) disagree by
+    * one ulp of the last digit (observed: cume_dist at sf0.1,
+    * 0.520313 vs 0.520312). The floor form runs the identical IEEE
+    * multiply/add/floor in both engines, so the results are
+    * bit-identical by construction. On negative values the tie at an
+    * exact half rounds toward +∞ instead of away from zero — a
+    * deliberate semantic choice that stays engine-identical (both
+    * engines run the same floor), unlike round().
+    * SQL mirror: floor((x) * 1e<d> + 0.5) / 1e<d>.
+    */
+  def rhalfup(c: org.apache.spark.sql.Column, digits: Int): org.apache.spark.sql.Column = {
+    val p = math.pow(10.0, digits)
+    floor(c * p + 0.5) / p
+  }
 }

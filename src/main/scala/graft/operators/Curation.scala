@@ -78,7 +78,8 @@ object Curation {
       .join(broadcast(bench), Seq("g"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hits"))
-      .withColumn("overlap", round(col("n_hits") / col("n_grams"), 6))
+      // rhalfup, not round: pure integer ratio — see Tables.rhalfup
+      .withColumn("overlap", graft.Tables.rhalfup(col("n_hits") / col("n_grams"), 6))
       .withColumn("contaminated", col("overlap") >= 0.05)
       .orderBy(col("doc_id"))
   }
@@ -111,11 +112,13 @@ object Curation {
       .select(
         col("doc_id"),
         size(col("toks")).as("n_tokens"),
-        round(size(array_distinct(col("toks"))) / size(col("toks")), 6)
-          .as("ttr"),
-        round(lit(1.0) - size(array_distinct(col("g3"))) / size(col("g3")), 6)
+        // rhalfup, not round: pure integer ratios — see Tables.rhalfup
+        graft.Tables.rhalfup(
+          size(array_distinct(col("toks"))) / size(col("toks")), 6).as("ttr"),
+        graft.Tables.rhalfup(
+          lit(1.0) - size(array_distinct(col("g3"))) / size(col("g3")), 6)
           .as("dup3_frac"),
-        round(col("top2_cnt") / size(col("g2")), 6).as("top2_frac"))
+        graft.Tables.rhalfup(col("top2_cnt") / size(col("g2")), 6).as("top2_frac"))
       .withColumn("repetitive",
         col("dup3_frac") > 0.05 || col("top2_frac") > 0.1)
       .orderBy(col("doc_id"))
@@ -198,7 +201,8 @@ object Curation {
           % 1000000L < col("keep_thresh"))
       .groupBy(col("lang"), col("n_docs"), col("keep_thresh"))
       .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
-      .withColumn("realized_rate", round(col("n_kept") / col("n_docs"), 6))
+      .withColumn("realized_rate",
+        graft.Tables.rhalfup(col("n_kept") / col("n_docs"), 6))
       .orderBy(col("lang"))
   }
 
@@ -233,7 +237,10 @@ object Curation {
         floor((col("cum") - col("n_toks")) / lit(2048.0)).cast(LongType))
       .groupBy(col("source"), col("shard"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
-      .withColumn("fill", round(col("n_tokens") / lit(2048.0), 6))
+      // rhalfup is ESSENTIAL here: n_tokens/2048 is dyadic, so ·1e6
+      // lands exactly on representable halves whenever
+      // n_tokens ≡ 16 (mod 32) — see Tables.rhalfup
+      .withColumn("fill", graft.Tables.rhalfup(col("n_tokens") / lit(2048.0), 6))
       .orderBy(col("source"), col("shard"), col("bin"))
   }
 
@@ -260,7 +267,8 @@ object Curation {
       .agg(
         count(lit(1)).as("n_bigrams"),
         sum(when(col("n") <= 2, 1L).otherwise(0L)).as("n_rare"))
-      .withColumn("rare_rate", round(col("n_rare") / col("n_bigrams"), 6))
+      .withColumn("rare_rate",
+        graft.Tables.rhalfup(col("n_rare") / col("n_bigrams"), 6))
       .withColumn("novel", col("rare_rate") > 0.5)
       .orderBy(col("doc_id"))
   }
@@ -365,8 +373,9 @@ object Curation {
         |SELECT g.doc_id,
         |  COUNT(*) AS n_grams,
         |  COUNT(b.gram) AS n_hits,
-        |  round(COUNT(b.gram) / COUNT(*), 6) AS overlap,
-        |  round(COUNT(b.gram) / COUNT(*), 6) >= 0.05 AS contaminated
+        |  floor(COUNT(b.gram) / COUNT(*) * 1e6 + 0.5) / 1e6 AS overlap,
+        |  floor(COUNT(b.gram) / COUNT(*) * 1e6 + 0.5) / 1e6 >= 0.05
+        |    AS contaminated
         |FROM g LEFT JOIN b ON g.gram = b.gram
         |WHERE g.doc_id % 31 <> 0
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
@@ -388,11 +397,12 @@ object Curation {
         |  GROUP BY doc_id)
         |SELECT s.doc_id,
         |  CAST(len(l) AS INT) AS n_tokens,
-        |  round(len(list_distinct(l)) / len(l), 6) AS ttr,
-        |  round(1.0 - len(list_distinct(g3)) / len(g3), 6) AS dup3_frac,
-        |  round(top2_cnt / len(g2), 6) AS top2_frac,
-        |  round(1.0 - len(list_distinct(g3)) / len(g3), 6) > 0.05
-        |    OR round(top2_cnt / len(g2), 6) > 0.1 AS repetitive
+        |  floor(len(list_distinct(l)) / len(l) * 1e6 + 0.5) / 1e6 AS ttr,
+        |  floor((1.0 - len(list_distinct(g3)) / len(g3)) * 1e6 + 0.5) / 1e6
+        |    AS dup3_frac,
+        |  floor(top2_cnt / len(g2) * 1e6 + 0.5) / 1e6 AS top2_frac,
+        |  floor((1.0 - len(list_distinct(g3)) / len(g3)) * 1e6 + 0.5) / 1e6 > 0.05
+        |    OR floor(top2_cnt / len(g2) * 1e6 + 0.5) / 1e6 > 0.1 AS repetitive
         |FROM s JOIN top2 ON s.doc_id = top2.doc_id
         |ORDER BY s.doc_id""".stripMargin,
     "t12_pii_scrub" ->
@@ -437,9 +447,10 @@ object Curation {
         |  CAST(SUM(CASE WHEN d.doc_id % 2147483648 * 2654435761
         |      % 4294967296 % 1000000 < r.keep_thresh
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        |  round(CAST(SUM(CASE WHEN d.doc_id % 2147483648 * 2654435761
+        |  floor(CAST(SUM(CASE WHEN d.doc_id % 2147483648 * 2654435761
         |      % 4294967296 % 1000000 < r.keep_thresh
-        |    THEN 1 ELSE 0 END) AS DOUBLE) / r.n_docs, 6) AS realized_rate
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / r.n_docs * 1e6 + 0.5) / 1e6
+        |    AS realized_rate
         |FROM documents d JOIN r ON d.lang = r.lang
         |GROUP BY r.lang, r.n_docs, r.keep_thresh
         |ORDER BY r.lang""".stripMargin,
@@ -459,7 +470,7 @@ object Curation {
         |SELECT source, shard, bin,
         |  COUNT(*) AS n_docs,
         |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
-        |  round(CAST(SUM(n_toks) AS DOUBLE) / 2048.0, 6) AS fill
+        |  floor(CAST(SUM(n_toks) AS DOUBLE) / 2048.0 * 1e6 + 0.5) / 1e6 AS fill
         |FROM b GROUP BY source, shard, bin
         |ORDER BY source, shard, bin""".stripMargin,
     "t14_lm_quality" ->
@@ -475,10 +486,10 @@ object Curation {
         |SELECT g.doc_id,
         |  COUNT(*) AS n_bigrams,
         |  CAST(SUM(CASE WHEN c.n <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
-        |  round(SUM(CASE WHEN c.n <= 2 THEN 1 ELSE 0 END) / COUNT(*), 6)
-        |    AS rare_rate,
-        |  round(SUM(CASE WHEN c.n <= 2 THEN 1 ELSE 0 END) / COUNT(*), 6) > 0.5
-        |    AS novel
+        |  floor(SUM(CASE WHEN c.n <= 2 THEN 1 ELSE 0 END) / COUNT(*)
+        |    * 1e6 + 0.5) / 1e6 AS rare_rate,
+        |  floor(SUM(CASE WHEN c.n <= 2 THEN 1 ELSE 0 END) / COUNT(*)
+        |    * 1e6 + 0.5) / 1e6 > 0.5 AS novel
         |FROM g JOIN c ON g.bg = c.bg
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
     "d12_incremental_dedup" ->

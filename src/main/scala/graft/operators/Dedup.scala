@@ -82,7 +82,8 @@ object Dedup {
     candidates
       .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard", round(array_jaccard(col("sh_a"), col("sh_b")), 4))
+      .withColumn("jaccard",
+        graft.Tables.rhalfup(array_jaccard(col("sh_a"), col("sh_b")), 4))
       .filter(col("jaccard") >= 0.5)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
@@ -169,7 +170,7 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord_toks"))
       // prefix size n − ⌈t'·n⌉ + 1 in exact integer arithmetic.
       // t' = 15999/20000 = 0.79995, NOT 0.8: the output filter keeps
-      // round(J, 4) ≥ 0.8, which admits true J down to 0.79995, so the
+      // rhalfup(J, 4) ≥ 0.8, which admits true J down to 0.79995, so the
       // prefix bound must be derived from that lower edge or pairs in
       // [0.79995, 0.8) could be dropped before the verify step ever
       // sees them. ⌈t'·n⌉ = (15999·n + 19999) div 20000; double math
@@ -193,7 +194,11 @@ object Dedup {
     candidates
       .join(base.select(col("doc_id").as("id_a"), col("toks").as("toks_a")), Seq("id_a"))
       .join(base.select(col("doc_id").as("id_b"), col("toks").as("toks_b")), Seq("id_b"))
-      .withColumn("jaccard", round(array_jaccard(col("toks_a"), col("toks_b")), 4))
+      // rhalfup, not round: jaccard is a pure integer ratio and the
+      // ≥ 0.8 filter makes a half-case divergence a ROW-presence
+      // difference, not just a value ulp — see Tables.rhalfup
+      .withColumn("jaccard",
+        graft.Tables.rhalfup(array_jaccard(col("toks_a"), col("toks_b")), 4))
       .filter(col("jaccard") >= JaccardT)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
@@ -737,13 +742,13 @@ object Dedup {
       |), sizes AS (
       |  SELECT doc_id, COUNT(*) AS n_tok FROM tok2 GROUP BY doc_id)
       |SELECT id_a, id_b,
-      |  round(CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter), 4)
-      |    AS jaccard
+      |  floor(CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter)
+      |    * 1e4 + 0.5) / 1e4 AS jaccard
       |FROM inter
       |JOIN sizes sa ON sa.doc_id = id_a
       |JOIN sizes sb ON sb.doc_id = id_b
-      |WHERE round(CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter), 4)
-      |  >= 0.8""".stripMargin
+      |WHERE floor(CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter)
+      |  * 1e4 + 0.5) / 1e4 >= 0.8""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "d07_snapshot_diff" ->

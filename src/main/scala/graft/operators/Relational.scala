@@ -517,8 +517,10 @@ object Relational {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("is_outlier")).as("n_outliers"),
-        round(max(col("mean")), 6).as("mean"),
-        round(max(col("variance")), 6).as("variance"))
+        // rhalfup, not round: mean/variance are quotients of exact
+        // decimal sums by integer counts — see Tables.rhalfup
+        Tables.rhalfup(max(col("mean")), 6).as("mean"),
+        Tables.rhalfup(max(col("variance")), 6).as("variance"))
       .orderBy(col("event_type"))
   }
 
@@ -548,8 +550,9 @@ object Relational {
     Tables.events(s, d)
       .select(col("event_type"), col("event_id"),
         ntile(4).over(w).as("quartile"),
-        round(percent_rank().over(w), 6).as("pct_rank"),
-        round(cume_dist().over(w), 6).as("cume"),
+        // rhalfup, not round: rank ratios k/n — see Tables.rhalfup
+        Tables.rhalfup(percent_rank().over(w), 6).as("pct_rank"),
+        Tables.rhalfup(cume_dist().over(w), 6).as("cume"),
         dense_rank().over(w).as("drank"))
       .orderBy(col("event_type"), col("event_id"))
   }
@@ -843,7 +846,7 @@ object Relational {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_total"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"))
-      .withColumn("rate", round(col("n_sampled") / col("n_total"), 4))
+      .withColumn("rate", Tables.rhalfup(col("n_sampled") / col("n_total"), 4))
       .orderBy(col("source"))
 
   /** Correlated LATERAL join — per-customer top-2 orders as a lateral
@@ -977,9 +980,9 @@ object Relational {
         |  CAST(SUM(CASE WHEN doc_id % 2147483648 * 2654435761
         |      % 4294967296 % 1000 < 100
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
-        |  round(CAST(SUM(CASE WHEN doc_id % 2147483648 * 2654435761
+        |  floor(CAST(SUM(CASE WHEN doc_id % 2147483648 * 2654435761
         |      % 4294967296 % 1000 < 100
-        |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS rate
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) * 1e4 + 0.5) / 1e4 AS rate
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q50_lateral" ->
       """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
@@ -1285,8 +1288,8 @@ object Relational {
     "q35_ranking" ->
       """SELECT event_type, event_id,
         |  NTILE(4) OVER w AS quartile,
-        |  round(PERCENT_RANK() OVER w, 6) AS pct_rank,
-        |  round(CUME_DIST() OVER w, 6) AS cume,
+        |  floor(PERCENT_RANK() OVER w * 1e6 + 0.5) / 1e6 AS pct_rank,
+        |  floor(CUME_DIST() OVER w * 1e6 + 0.5) / 1e6 AS cume,
         |  DENSE_RANK() OVER w AS drank
         |FROM events
         |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
@@ -1303,8 +1306,8 @@ object Relational {
          |SELECT e.event_type, COUNT(*) AS n_events,
          |  CAST(SUM(CASE WHEN abs(e.value - mm.mean) > 2.0 * sqrt(mm.variance)
          |      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-         |  round(MAX(mm.mean), 6) AS mean,
-         |  round(MAX(mm.variance), 6) AS variance
+         |  floor(MAX(mm.mean) * 1e6 + 0.5) / 1e6 AS mean,
+         |  floor(MAX(mm.variance) * 1e6 + 0.5) / 1e6 AS variance
          |FROM events e JOIN mm ON e.event_type = mm.mt
          |GROUP BY e.event_type ORDER BY event_type""".stripMargin,
     "q28_pivot" ->

@@ -66,7 +66,10 @@ object Relational2 {
     agg.select(
         col("l_returnflag"),
         col("n").cast(LongType).as("n_rows"),
-        round((col("sxy") - col("sx") * col("sy") / col("n")) / col("n"), 6)
+        // rhalfup for the sqrt-free quotient (can land on exact
+        // halves); corr/stddev pass through sqrt (irrational) where
+        // round() is stable — see Tables.rhalfup
+        Tables.rhalfup((col("sxy") - col("sx") * col("sy") / col("n")) / col("n"), 6)
           .as("covar_pop"),
         round((col("n") * col("sxy") - col("sx") * col("sy")) /
           sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
@@ -85,11 +88,15 @@ object Relational2 {
   def q53_dist_window: Q = (s, d) => {
     val w = Window.partitionBy(col("c_nationkey"))
       .orderBy(col("c_acctbal"), col("c_custkey"))
+    // rhalfup, NOT round(x, 6): both ratios are exact small-integer
+    // quotients (k/n), and at some SFs x·1e6 lands exactly on a
+    // representable half (sf0.1 observed: 0.520313 vs 0.520312) where
+    // Spark's and DuckDB's round() disagree — see Tables.rhalfup
     Tables.customer(s, d)
       .select(
         col("c_custkey"), col("c_nationkey"),
-        round(percent_rank().over(w), 6).as("pct_rank"),
-        round(cume_dist().over(w), 6).as("cume"))
+        Tables.rhalfup(percent_rank().over(w), 6).as("pct_rank"),
+        Tables.rhalfup(cume_dist().over(w), 6).as("cume"))
       .orderBy(col("c_custkey"))
   }
 
@@ -155,7 +162,7 @@ object Relational2 {
         bool_and(col("c_acctbal") > -1000).as("all_above_floor"),
         bool_or(col("c_acctbal") > 9000).as("any_rich"))
       .withColumn("neg_share",
-        round(col("n_negative") / col("n_customers"), 4))
+        Tables.rhalfup(col("n_negative") / col("n_customers"), 4))
       .orderBy(col("n_name"))
   }
 
@@ -195,7 +202,7 @@ object Relational2 {
         count_if(col("l_quantity") > 49).as("n_maxed"),
         count_if(col("l_quantity") < 2).as("n_single"))
       .withColumn("maxed_per_single",
-        round(try_divide(col("n_maxed"), col("n_single")), 6))
+        Tables.rhalfup(try_divide(col("n_maxed"), col("n_single")), 6))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   /** Several COUNT(DISTINCT …) in one aggregate — Catalyst plans this
@@ -227,7 +234,8 @@ object Relational2 {
         median(col("l_quantity")).as("median_qty"),
         davg(col("l_quantity")).as("avg_qty"),
         count(lit(1)).as("n_rows"))
-      .withColumn("skew_gap", round(col("avg_qty") - col("median_qty"), 6))
+      .withColumn("skew_gap",
+        Tables.rhalfup(col("avg_qty") - col("median_qty"), 6))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   /** Bitwise aggregation (bit_and / bit_or / bit_xor) — flag-mask
@@ -622,16 +630,16 @@ object Relational2 {
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag,
         |  CAST(n AS BIGINT) AS n_rows,
-        |  round((sxy - sx*sy/n)/n, 6) AS covar_pop,
+        |  floor((sxy - sx*sy/n)/n * 1e6 + 0.5) / 1e6 AS covar_pop,
         |  round((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx)*(n*syy - sy*sy)), 6) AS corr,
         |  round(sqrt((sxx - sx*sx/n)/n), 6) AS stddev_pop_qty
         |FROM a ORDER BY l_returnflag""".stripMargin,
     "q53_dist_window" ->
       """SELECT c_custkey, c_nationkey,
-        |  round(percent_rank() OVER (PARTITION BY c_nationkey
-        |    ORDER BY c_acctbal, c_custkey), 6) AS pct_rank,
-        |  round(cume_dist() OVER (PARTITION BY c_nationkey
-        |    ORDER BY c_acctbal, c_custkey), 6) AS cume
+        |  floor(percent_rank() OVER (PARTITION BY c_nationkey
+        |    ORDER BY c_acctbal, c_custkey) * 1e6 + 0.5) / 1e6 AS pct_rank,
+        |  floor(cume_dist() OVER (PARTITION BY c_nationkey
+        |    ORDER BY c_acctbal, c_custkey) * 1e6 + 0.5) / 1e6 AS cume
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "q54_full_outer" ->
       """WITH od AS (
@@ -664,7 +672,8 @@ object Relational2 {
         |  CAST(count_if(c_acctbal < 0) AS BIGINT) AS n_negative,
         |  bool_and(c_acctbal > -1000) AS all_above_floor,
         |  bool_or(c_acctbal > 9000) AS any_rich,
-        |  round(count_if(c_acctbal < 0) / COUNT(*), 4) AS neg_share
+        |  floor(count_if(c_acctbal < 0) / COUNT(*) * 1e4 + 0.5) / 1e4
+        |    AS neg_share
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q57_argmax" ->
@@ -682,8 +691,9 @@ object Relational2 {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(count_if(l_quantity > 49) AS BIGINT) AS n_maxed,
         |  CAST(count_if(l_quantity < 2) AS BIGINT) AS n_single,
-        |  round(count_if(l_quantity > 49) /
-        |    NULLIF(count_if(l_quantity < 2), 0), 6) AS maxed_per_single
+        |  floor(count_if(l_quantity > 49) /
+        |    NULLIF(count_if(l_quantity < 2), 0) * 1e6 + 0.5) / 1e6
+        |    AS maxed_per_single
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q59_multi_distinct" ->
@@ -699,8 +709,9 @@ object Relational2 {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_quantity)
         |    AS avg_qty,
         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_quantity)
-        |    - median(l_quantity), 6) AS skew_gap
+        |  floor((CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+        |    / COUNT(l_quantity) - median(l_quantity)) * 1e6 + 0.5) / 1e6
+        |    AS skew_gap
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q61_bitwise" ->

@@ -59,9 +59,10 @@ object TextAnalysis {
         col("doc_id"),
         nChars.as("n_chars_m"),
         nTok.as("n_tokens"),
-        round(nPunct.cast(DoubleType) / nChars, 6).as("punct_ratio"),
-        round(nStop.cast(DoubleType) / nTok, 6).as("stopword_ratio"),
-        round(
+        // rhalfup, not round: pure integer ratios — see Tables.rhalfup
+        graft.Tables.rhalfup(nPunct.cast(DoubleType) / nChars, 6).as("punct_ratio"),
+        graft.Tables.rhalfup(nStop.cast(DoubleType) / nTok, 6).as("stopword_ratio"),
+        graft.Tables.rhalfup(
           least(nTok.cast(DoubleType) / 50.0, lit(1.0)) *
             (lit(1.0) - nPunct.cast(DoubleType) / nChars), 4).as("quality_score"))
       .orderBy(col("doc_id"))
@@ -205,8 +206,9 @@ object TextAnalysis {
     Tables.documents(s, d)
       .select(col("doc_id"),
         fp.as("fp"), nTok.as("n_tokens"),
-        round(nPunct.cast(DoubleType) / nChars, 6).as("punct_ratio"),
-        round(least(nTok.cast(DoubleType) / 50.0, lit(1.0)) *
+        // rhalfup, not round: pure integer ratios — see Tables.rhalfup
+        graft.Tables.rhalfup(nPunct.cast(DoubleType) / nChars, 6).as("punct_ratio"),
+        graft.Tables.rhalfup(least(nTok.cast(DoubleType) / 50.0, lit(1.0)) *
           (lit(1.0) - nPunct.cast(DoubleType) / nChars), 4).as("quality_score"),
         predLangCol(lower(col("text"))).as("pred_lang"))
       .withColumn("rn", row_number().over(w))
@@ -273,7 +275,8 @@ object TextAnalysis {
     c.join(hc, Seq("w1"))
       .filter(col("c_bigram") >= 5)
       .select(col("bigram"), col("c_bigram"), col("c_head"),
-        round(col("c_bigram") / col("c_head"), 4).as("p_next"))
+        // rhalfup, not round: c_bigram/c_head is a pure integer ratio
+        graft.Tables.rhalfup(col("c_bigram") / col("c_head"), 4).as("p_next"))
       .orderBy(col("bigram"))
   }
 
@@ -410,11 +413,12 @@ object TextAnalysis {
          |  FROM scored)
          |SELECT doc_id, $pred AS pred_lang,
          |  CAST(n_tokens AS INT) AS n_tokens,
-         |  round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) *
-         |    (1.0 - CAST(n_punct AS DOUBLE) / n_chars), 4) AS quality_score
+         |  floor(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) *
+         |    (1.0 - CAST(n_punct AS DOUBLE) / n_chars) * 1e4 + 0.5) / 1e4
+         |    AS quality_score
          |FROM ranked
          |WHERE rn = 1 AND ($pred) <> 'und' AND n_tokens >= 5
-         |  AND round(CAST(n_punct AS DOUBLE) / n_chars, 6) < 0.2
+         |  AND floor(CAST(n_punct AS DOUBLE) / n_chars * 1e6 + 0.5) / 1e6 < 0.2
          |ORDER BY doc_id""".stripMargin
     },
     "t08_tfidf" ->
@@ -443,7 +447,7 @@ object TextAnalysis {
         |    CAST(SUM(c_bigram) AS BIGINT) AS c_head
         |  FROM c GROUP BY 1)
         |SELECT bigram, c_bigram, c_head,
-        |  round(CAST(c_bigram AS DOUBLE) / c_head, 4) AS p_next
+        |  floor(CAST(c_bigram AS DOUBLE) / c_head * 1e4 + 0.5) / 1e4 AS p_next
         |FROM c JOIN h ON split_part(c.bigram, ' ', 1) = h.w1
         |WHERE c_bigram >= 5
         |ORDER BY bigram""".stripMargin,
@@ -509,15 +513,16 @@ object TextAnalysis {
       """SELECT doc_id,
         |  CAST(length(text) AS INT) AS n_chars_m,
         |  CAST(len(regexp_split_to_array(text, '\s+')) AS INT) AS n_tokens,
-        |  round(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
-        |    / length(text), 6) AS punct_ratio,
-        |  round(CAST(len(regexp_extract_all(lower(text),
+        |  floor(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+        |    / length(text) * 1e6 + 0.5) / 1e6 AS punct_ratio,
+        |  floor(CAST(len(regexp_extract_all(lower(text),
         |      '\b(the|a|and|of|to|in)\b')) AS DOUBLE)
-        |    / len(regexp_split_to_array(text, '\s+')), 6) AS stopword_ratio,
-        |  round(least(CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE)
+        |    / len(regexp_split_to_array(text, '\s+')) * 1e6 + 0.5) / 1e6
+        |    AS stopword_ratio,
+        |  floor(least(CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE)
         |      / 50.0, 1.0) *
         |    (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
-        |      / length(text)), 4) AS quality_score
+        |      / length(text)) * 1e4 + 0.5) / 1e4 AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin,
     "t03_tokens" ->
       """SELECT doc_id,

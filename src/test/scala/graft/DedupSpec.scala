@@ -31,7 +31,7 @@ class DedupSpec extends AnyFunSuite {
     val want = inter
       .join(sizes.toDF("id_a", "n_a"), Seq("id_a"))
       .join(sizes.toDF("id_b", "n_b"), Seq("id_b"))
-      .withColumn("jaccard", round(col("n_inter").cast("double") /
+      .withColumn("jaccard", Tables.rhalfup(col("n_inter").cast("double") /
         (col("n_a") + col("n_b") - col("n_inter")), 4))
       .filter(col("jaccard") >= 0.8)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -79,8 +79,8 @@ class DedupSpec extends AnyFunSuite {
         inter = (a._3 & b._3).size
         union = (a._3 | b._3).size
         if union > 0
-        j = BigDecimal(inter.toDouble / union)
-          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        // same engine-stable half-up form as Tables.rhalfup
+        j = math.floor(inter.toDouble / union * 1e4 + 0.5) / 1e4
         if j >= 0.8
       } yield (a._1, b._1, j)).toSet
       assert(want.exists(_._3 == 1.0), s"seed $seed: no exact dups — weak test")
@@ -172,7 +172,8 @@ class DedupSpec extends AnyFunSuite {
     val want = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
       .crossJoin(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", round(array_jaccard(col("sh_a"), col("sh_b")), 4))
+      .withColumn("jaccard",
+        Tables.rhalfup(array_jaccard(col("sh_a"), col("sh_b")), 4))
       .filter(col("jaccard") >= 0.5)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .as[(Long, Long, Double)].collect().toSet

@@ -329,7 +329,42 @@ object Curation {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** t17 — deterministic training-export shard plan: every document is
+    * assigned a shard by a multiplicative hash of its id (Knuth's
+    * 2654435761 mod 2³², then mod nShards) and a position within the
+    * shard by hash order — a reproducible global shuffle with no RNG
+    * state, so any two runs (or engines) agree on every byte of every
+    * shard. `cum_tokens` is the running token budget the writer uses to
+    * roll shard files at a size target.
+    *
+    * Scale shape: the hash is a map-only expression; the only shuffle
+    * is partitionBy(shard), and position/cum_tokens are one window per
+    * shard — t13's sharded-cumsum pattern, so keys stay numerous (in
+    * production nShards is thousands, not 8) and no executor ever sees
+    * more than one shard. For id spaces beyond 2³¹, pre-fold the id
+    * (pmod(id, 2³¹)) before the multiply so the product stays in int64.
+    */
+  def t17_shards: Q = (s, d) => shardPlan(Tables.documents(s, d))
+
+  private[graft] def shardPlan(docs: DataFrame, nShards: Int = 8): DataFrame = {
+    val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    docs
+      .select(col("doc_id"),
+        size(array_remove(split(col("text"), "\\s+"), "")).as("n_tokens"))
+      .withColumn("h", h)
+      .withColumn("shard", (col("h") % nShards).cast(IntegerType))
+      .withColumn("pos", row_number().over(w))
+      .withColumn("cum_tokens",
+        sum(col("n_tokens").cast(LongType)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("doc_id"), col("shard"), col("pos"),
+        col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t17_shards" -> t17_shards,
     "d14_scd2" -> d14_scd2,
     "d10_decontam" -> d10_decontam,
     "t11_repetition" -> t11_repetition,
@@ -341,6 +376,23 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "t17_shards" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '')) AS n_tokens,
+        |    (doc_id * 2654435761) % 4294967296 AS h
+        |  FROM documents),
+        |a AS (SELECT doc_id, n_tokens, h,
+        |    CAST(h % 8 AS INT) AS shard FROM d)
+        |SELECT doc_id, shard,
+        |  CAST(ROW_NUMBER() OVER w AS INT) AS pos,
+        |  CAST(n_tokens AS INT) AS n_tokens,
+        |  CAST(SUM(n_tokens) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |FROM a
+        |WINDOW w AS (PARTITION BY shard ORDER BY h, doc_id)
+        |ORDER BY shard, pos""".stripMargin,
     "d14_scd2" ->
       """WITH e AS (
         |  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,

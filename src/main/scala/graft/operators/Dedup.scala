@@ -305,6 +305,44 @@ object Dedup {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** EXACT cross-source duplicate matrix — the ground-truth counterpart
+    * of [[d06_source_similarity]]'s sketch: for every source pair, how
+    * many canonical fingerprints (t04's case/punct-insensitive md5)
+    * they share, plus the exact fingerprint-set Jaccard. The "is my new
+    * crawl already covered by an existing source?" audit.
+    *
+    * Scale shape: distinct (source, fp) is one shuffle that collapses
+    * the corpus to ≤ |sources|·|distinct fps| slim rows; the self-join
+    * shuffles only 16-byte digests keyed by fp, and per-fp groups are
+    * bounded by |sources| (a fp can appear at most once per source
+    * after the distinct) so no key can skew; per-source totals are a
+    * tiny broadcast. Output is |sources|² rows regardless of corpus
+    * size. Jaccard is ints + one division (rhalfup — a pure integer
+    * ratio can land on a representable half).
+    */
+  def d18_source_overlap: Q = (s, d) => sourceOverlap(Tables.documents(s, d))
+
+  private[graft] def sourceOverlap(docs: DataFrame): DataFrame = {
+    val fp = graft.CacheScope.persisted(
+      docs
+        .select(col("source"),
+          md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).as("fp"))
+        .distinct())
+    val perSource = fp.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val a = fp.select(col("source").as("src_a"), col("fp"))
+    val b = fp.select(col("source").as("src_b"), col("fp"))
+    a.join(b, Seq("fp"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(perSource.select(col("source").as("src_a"), col("n").as("n_a"))), Seq("src_a"))
+      .join(broadcast(perSource.select(col("source").as("src_b"), col("n").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        Tables.rhalfup(col("n_shared").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("n_shared")), 6).as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** Snapshot diff — the monthly-dump CDC primitive: which documents
     * were added, removed, or changed between two corpus snapshots.
     * Expressed as one full-outer join on the key with content compared
@@ -722,6 +760,7 @@ object Dedup {
     "d15_semantic_dedup" -> d15_semantic_dedup,
     "d16_incremental_neardup" -> d16_incremental_neardup,
     "d17_multimodal_clusters" -> d17_multimodal_clusters,
+    "d18_source_overlap" -> d18_source_overlap,
   )
 
   /** The d04 pair query without its final ORDER BY — one source for
@@ -751,6 +790,23 @@ object Dedup {
       |  * 1e4 + 0.5) / 1e4 >= 0.8""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d18_source_overlap" ->
+      """WITH fp AS (
+        |  SELECT DISTINCT source,
+        |    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+        |  FROM documents),
+        |c AS (SELECT source, COUNT(*) AS n FROM fp GROUP BY source),
+        |sh AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+        |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+        |  GROUP BY a.source, b.source)
+        |SELECT src_a, src_b, n_shared,
+        |  floor(CAST(n_shared AS DOUBLE) / (ca.n + cb.n - n_shared)
+        |    * 1e6 + 0.5) / 1e6 AS jaccard
+        |FROM sh
+        |JOIN c ca ON ca.source = sh.src_a
+        |JOIN c cb ON cb.source = sh.src_b
+        |ORDER BY src_a, src_b""".stripMargin,
     "d07_snapshot_diff" ->
       """WITH a AS (
         |  SELECT doc_id, md5(text) AS h_a FROM documents

@@ -273,7 +273,34 @@ object Similarity {
       .orderBy(col("method"))
   }
 
+  /** s07 — per-label embedding centroids, the building block behind
+    * cluster summaries, IVF coarse quantizers, and class-prototype
+    * classifiers. One posexplode (map-only) then ONE shuffle keyed by
+    * (label, dim) — at 100 TB the key space is |labels|·dim, so the
+    * aggregate is partial+final with no skew (every key has exactly
+    * n_label addends).
+    *
+    * Determinism (the s06 pattern): each component is floored into
+    * exact integer micro-units BEFORE the sum — integer-valued doubles
+    * < 2^53 add exactly in any partition order in both engines; the
+    * final mean is one identical division chain.
+    */
+  def s07_label_centroids: Q = (s, d) =>
+    labelCentroids(Tables.embeddings(s, d))
+
+  private[graft] def labelCentroids(emb: DataFrame): DataFrame = {
+    emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(floor(col("v").cast(DoubleType) * 1e6)).as("sv"))
+      .select(col("label"), col("dim"), col("n_vectors"),
+        Tables.rhalfup(col("sv") / col("n_vectors") / 1e6, 6).as("centroid"))
+      .orderBy(col("label"), col("dim"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "s07_label_centroids" -> s07_label_centroids,
     "s01_ann_bruteforce" -> s01_ann_bruteforce,
     "s02_ann_lsh" -> s02_ann_lsh,
     "s03_ann_ivf" -> s03_ann_ivf,
@@ -283,6 +310,16 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "s07_label_centroids" ->
+      """WITH x AS (
+        |  SELECT label,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |    CAST(unnest(range(0, len(embedding))) AS INT) AS dim
+        |  FROM embeddings)
+        |SELECT label, dim, COUNT(*) AS n_vectors,
+        |  floor(SUM(floor(v * 1e6)) / COUNT(*) / 1e6 * 1e6 + 0.5) / 1e6
+        |    AS centroid
+        |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin,
     "s06_quantize_int8" ->
       """WITH p AS (
         |  SELECT label,

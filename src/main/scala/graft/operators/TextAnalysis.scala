@@ -334,8 +334,78 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** BM25 query terms + parameters — the ONE source for both the Spark
+    * plan and the generated oracle SQL, so the ranking function and its
+    * oracle cannot drift. Lucene-style idf (ln((N−df+0.5)/(df+0.5)+1)
+    * is always ≥ 0). */
+  private val bm25Terms: Seq[String] = Seq("spark", "hash", "window")
+  private val bm25K1 = 1.2
+  private val bm25B = 0.75
+  private val bm25TopK = 20
+
+  /** t16 — BM25 ranked retrieval: top-k documents for a fixed term set,
+    * the retrieval primitive behind RAG corpus curation and dedup-by-
+    * query. Scale shape: tf per term is a map-only array expression
+    * (size − size(array_remove)) — the token stream is NEVER exploded
+    * or shuffled; corpus stats (N, Σdl, per-term df) are ONE tiny
+    * aggregate broadcast back; scoring is per-row arithmetic and the
+    * top-k is TakeOrderedAndProject. One slim persisted projection
+    * (doc_id, dl, tf_i) feeds both the stats pass and the score pass.
+    *
+    * Determinism: per-term scores are floored into exact integer
+    * micro-units before the cross-term sum (the s06 pattern — integer-
+    * valued doubles < 2^53 add exactly in any order in both engines);
+    * idf/length-norm inputs are exact integers or decimal-exact
+    * averages, so both engines evaluate ln/÷ on identical arguments.
+    */
+  def t16_bm25: Q = (s, d) => bm25(Tables.documents(s, d))
+
+  private[graft] def bm25(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = array_remove(split(lower(col("text")), "\\s+"), "")
+    val tf = graft.CacheScope.persisted(
+      docs
+        .select(col("doc_id"), toks.as("toks"))
+        .select(Seq(col("doc_id"), size(col("toks")).as("dl")) ++
+          bm25Terms.zipWithIndex.map { case (t, i) =>
+            (size(col("toks")) - size(array_remove(col("toks"), t))).as(s"tf_$i")
+          }: _*))
+    val statAggs =
+      Seq(count(lit(1)).as("n_docs"), Tables.dsum(col("dl")).as("sum_dl")) ++
+        bm25Terms.indices.map(i =>
+          sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = tf.agg(statAggs.head, statAggs.tail: _*)
+    val avgdl = col("sum_dl") / col("n_docs")
+    // one term's BM25 contribution in exact integer micro-units
+    def micro(i: Int): Column = {
+      val tfc = col(s"tf_$i").cast(DoubleType)
+      val idf = log((col("n_docs").cast(DoubleType) - col(s"df_$i") + 0.5) /
+        (col(s"df_$i") + 0.5) + 1.0)
+      val sc = idf * tfc * (bm25K1 + 1.0) /
+        (tfc + lit(bm25K1) * (lit(1.0 - bm25B) +
+          lit(bm25B) * col("dl").cast(DoubleType) / avgdl))
+      when(col(s"tf_$i") > 0, floor(sc * 1e6 + 0.5)).otherwise(lit(0.0))
+    }
+    val nTerms = bm25Terms.indices
+      .map(i => when(col(s"tf_$i") > 0, 1).otherwise(0)).reduce(_ + _)
+    val top = tf.crossJoin(broadcast(stats))
+      .withColumn("score_u", bm25Terms.indices.map(micro).reduce(_ + _))
+      .filter(col("score_u") > 0)
+      .select(col("doc_id"), nTerms.cast(IntegerType).as("n_terms"),
+        (col("score_u") / 1e6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(bm25TopK)
+    // rank assigned AFTER the global top-k: the single-partition window
+    // only ever sees k rows, not the corpus
+    top.withColumn("rk",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("n_terms"), col("score"), col("rk"))
+      .orderBy(col("rk"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t15_entropy" -> t15_entropy,
+    "t16_bm25" -> t16_bm25,
     "d08_curation" -> d08_curation,
     "t08_tfidf" -> t08_tfidf,
     "t09_bigram_lm" -> t09_bigram_lm,
@@ -381,7 +451,53 @@ object TextAnalysis {
       |  FROM toks WHERE len(l) >= 2
       |), c AS (SELECT bigram, COUNT(*) AS c_bigram FROM bg GROUP BY bigram)""".stripMargin
 
+  /** DuckDB mirror of [[t16_bm25]], generated from the SAME
+    * bm25Terms/k1/b/topK constants as the Spark plan. */
+  private def bm25OracleSql: String = {
+    val tfSel = bm25Terms.indices.map(i =>
+      s"len(toks) - len(list_filter(toks, x -> x <> '${bm25Terms(i)}')) AS tf_$i")
+      .mkString(",\n    ")
+    val dfSel = bm25Terms.indices.map(i =>
+      s"SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i")
+      .mkString(",\n    ")
+    val microSum = bm25Terms.indices.map { i =>
+      s"""CASE WHEN tf_$i > 0 THEN floor(
+         |      ln((CAST(n_docs AS DOUBLE) - df_$i + 0.5) / (df_$i + 0.5) + 1.0)
+         |        * CAST(tf_$i AS DOUBLE) * ${bm25K1 + 1.0}
+         |        / (CAST(tf_$i AS DOUBLE) + $bm25K1 * (1.0 - $bm25B
+         |            + $bm25B * CAST(dl AS DOUBLE) / (sum_dl / n_docs)))
+         |        * 1e6 + 0.5) ELSE 0.0 END""".stripMargin
+    }.mkString("(", "\n    + ", ")")
+    val nTerms = bm25Terms.indices
+      .map(i => s"CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |    x -> x <> '') AS toks
+       |  FROM documents),
+       |d AS (
+       |  SELECT doc_id, len(toks) AS dl,
+       |    $tfSel
+       |  FROM base),
+       |st AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |    CAST(SUM(CAST(dl AS DECIMAL(28,6))) AS DOUBLE) AS sum_dl,
+       |    $dfSel
+       |  FROM d),
+       |sc AS (
+       |  SELECT doc_id, CAST($nTerms AS INT) AS n_terms,
+       |    $microSum AS score_u
+       |  FROM d CROSS JOIN st),
+       |top AS (
+       |  SELECT doc_id, n_terms, score_u / 1e6 AS score
+       |  FROM sc WHERE score_u > 0
+       |  ORDER BY score DESC, doc_id LIMIT $bm25TopK)
+       |SELECT doc_id, n_terms, score,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rk
+       |FROM top ORDER BY rk""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "t16_bm25" -> bm25OracleSql,
     "t15_entropy" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok

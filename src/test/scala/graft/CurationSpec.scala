@@ -178,4 +178,39 @@ class CurationSpec extends AnyFunSuite {
 
   private def withTempView(df: org.apache.spark.sql.DataFrame)(
       f: String => Unit): Unit = withTempDf(df)(f)
+
+  // ---- t17 shard plan ------------------------------------------------
+
+  test("t17 shard plan: hash arithmetic, contiguous positions, exact running budget") {
+    val rows = operators.Curation.t17_shards(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // shard is the multiplicative hash mod 8, bit-for-bit
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val h = java.lang.Math.floorMod(id * 2654435761L, 4294967296L)
+      assert(r.getAs[Int]("shard") == (h % 8).toInt, s"doc $id")
+    }
+    // per shard: pos is 1..n with no gaps, cum_tokens is the exact
+    // prefix sum of n_tokens in pos order
+    rows.groupBy(_.getAs[Int]("shard")).foreach { case (shard, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("pos"))
+      assert(sorted.map(_.getAs[Int]("pos")).toSeq == (1 to rs.length),
+        s"shard $shard positions not contiguous")
+      val prefix = sorted.map(_.getAs[Int]("n_tokens").toLong)
+        .scanLeft(0L)(_ + _).tail
+      assert(sorted.map(_.getAs[Long]("cum_tokens")).toSeq == prefix.toSeq,
+        s"shard $shard running budget drifted")
+    }
+    // every document lands in exactly one shard
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == rows.length)
+  }
+
+  test("t17 shard plan is reproducible and complete") {
+    val a = operators.Curation.t17_shards(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"), r.getAs[Int]("pos")))
+    val b = operators.Curation.t17_shards(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"), r.getAs[Int]("pos")))
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == Tables.documents(spark, sfDir).count())
+  }
 }

@@ -355,4 +355,28 @@ class DedupSpec extends AnyFunSuite {
       assert(got == want)
     }
   }
+
+  test("d18 source overlap counts canonical dups once and gets Jaccard exact") {
+    import spark.implicits._
+    // srcA: {X, Y}; srcB: {X as a case/punct variant, Z, Z-dup}
+    // canonical fp sets: A = {x, y} (2), B = {x, z} (2) — the exact
+    // duplicate inside B must collapse in the DISTINCT, the case/punct
+    // variant of X must still collide across sources
+    val docs = Seq(
+      (1L, "Alpha beta GAMMA", "en", "srcA"),
+      (2L, "something else entirely", "en", "srcA"),
+      (3L, "alpha, beta... gamma!!", "en", "srcB"),
+      (4L, "unique to source b", "en", "srcB"),
+      (5L, "unique to source b", "en", "srcB"),
+    ).toDF("doc_id", "text", "lang", "source")
+    val rows = operators.Dedup.sourceOverlap(docs).collect()
+    CacheScope.releaseAll()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("src_a") == "srcA")
+    assert(r.getAs[String]("src_b") == "srcB")
+    assert(r.getAs[Long]("n_shared") == 1L)
+    // jaccard = 1 / (2 + 2 - 1) = 0.333333 at 6 digits (half-up)
+    assert(r.getAs[Double]("jaccard") == 0.333333)
+  }
 }

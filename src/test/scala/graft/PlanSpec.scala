@@ -182,4 +182,30 @@ class PlanSpec extends AnyFunSuite {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("t16 BM25 never explodes the token stream and top-k is TakeOrdered") {
+    val p = plan("t16_bm25")
+    CacheScope.releaseAll()
+    // tf is per-row array arithmetic — an Explode/Generate of tokens
+    // would shuffle the whole token stream at scale
+    assert(!p.contains("Generate"), "token stream exploded")
+    // corpus stats come back as ONE broadcast row, never a shuffle join
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+    // global top-k prunes per partition (no full sort of the corpus)
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("d18 overlap matrix joins per-source totals by broadcast") {
+    val p = plan("d18_source_overlap")
+    CacheScope.releaseAll()
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "per-source totals should broadcast, not shuffle")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("s07 centroid aggregate is partial+final on (label, dim)") {
+    val p = plan("s07_label_centroids")
+    assert(p.contains("partial_count") || p.contains("partial_sum"))
+    assert("Exchange hashpartitioning\\(label".r.findAllIn(p).size == 1)
+  }
 }

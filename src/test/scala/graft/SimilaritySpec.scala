@@ -58,4 +58,27 @@ class SimilaritySpec extends AnyFunSuite {
       assert(avg <= mx)
     }
   }
+
+  test("s07 label centroids are exact per-dimension means") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, Array(1f, 3f), 0),
+      (2L, Array(3f, 5f), 0),
+      (3L, Array(-1.5f, 0.25f), 1),
+    ).toDF("vec_id", "embedding", "label")
+    val got = operators.Similarity.labelCentroids(e).collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Int]("dim")) ->
+        (r.getAs[Long]("n_vectors"), r.getAs[Double]("centroid"))).toMap
+    assert(got == Map(
+      (0, 0) -> (2L, 2.0), (0, 1) -> (2L, 4.0),
+      (1, 0) -> (1L, -1.5), (1, 1) -> (1L, 0.25)))
+    // real corpus: one centroid per (label, dim), each averaging the
+    // full label population — shape check against the raw table
+    val emb = Tables.embeddings(spark, sfDir)
+    val dim = emb.selectExpr("size(embedding) d").head.getInt(0)
+    val labels = emb.select("label").distinct().count()
+    val rows = operators.Similarity.s07_label_centroids(spark, sfDir).collect()
+    assert(rows.length == labels * dim)
+    assert(rows.forall(r => math.abs(r.getAs[Double]("centroid")) < 1.0))
+  }
 }

@@ -343,6 +343,34 @@ object Dedup {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** d19 — exact cross-document repeated n-gram spans (Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better"):
+    * every 8-word gram that appears in ≥2 distinct documents, i.e. the
+    * verbatim spans a model would see repeatedly during training. The
+    * exact complement to t05's winnowing approximation.
+    *
+    * Scale shape: grams are array_distinct'ed per row BEFORE the
+    * explode (a doc repeating one span contributes one posting), then
+    * ONE count shuffle keyed by the gram digest; only the 16-byte md5
+    * ever shuffles or is emitted — the gram text dies at the scan.
+    * Output ∝ repeated spans, not corpus size.
+    */
+  def d19_repeated_ngrams: Q = (s, d) =>
+    repeatedNgrams(Tables.documents(s, d))
+
+  private[graft] def repeatedNgrams(docs: DataFrame, n: Int = 8): DataFrame = {
+    import graft.functions.TextHashFunctions.word_shingles
+    val toks = array_remove(split(lower(col("text")), "\\s+"), "")
+    docs.select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(array_distinct(word_shingles(col("toks"), n))).as("gram"))
+      .groupBy(md5(col("gram")).as("gram_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("gram_hash"))
+  }
+
   /** Snapshot diff — the monthly-dump CDC primitive: which documents
     * were added, removed, or changed between two corpus snapshots.
     * Expressed as one full-outer join on the key with content compared
@@ -761,6 +789,7 @@ object Dedup {
     "d16_incremental_neardup" -> d16_incremental_neardup,
     "d17_multimodal_clusters" -> d17_multimodal_clusters,
     "d18_source_overlap" -> d18_source_overlap,
+    "d19_repeated_ngrams" -> d19_repeated_ngrams,
   )
 
   /** The d04 pair query without its final ORDER BY — one source for
@@ -790,6 +819,23 @@ object Dedup {
       |  * 1e4 + 0.5) / 1e4 >= 0.8""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d19_repeated_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    t -> t <> '') AS l
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    list_zip(l[1:len(l)-7], l[2:len(l)-6], l[3:len(l)-5],
+        |             l[4:len(l)-4], l[5:len(l)-3], l[6:len(l)-2],
+        |             l[7:len(l)-1], l[8:len(l)]),
+        |    p -> p[1]||' '||p[2]||' '||p[3]||' '||p[4]||' '||p[5]
+        |      ||' '||p[6]||' '||p[7]||' '||p[8]))) AS gram
+        |  FROM toks WHERE len(l) >= 8)
+        |SELECT md5(gram) AS gram_hash, COUNT(*) AS n_docs,
+        |  MIN(doc_id) AS first_doc
+        |FROM g GROUP BY 1 HAVING COUNT(*) >= 2
+        |ORDER BY gram_hash""".stripMargin,
     "d18_source_overlap" ->
       """WITH fp AS (
         |  SELECT DISTINCT source,

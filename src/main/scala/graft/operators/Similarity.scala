@@ -299,8 +299,45 @@ object Similarity {
       .orderBy(col("label"), col("dim"))
   }
 
+  /** Contamination threshold for [[s08_semantic_decontam]] — 0.35 fits
+    * this near-orthogonal synthetic geometry (top-1 cosines 0.13-0.48);
+    * production embeddings would use ~0.95. */
+  private val S08Tau = 0.35
+
+  /** s08 — semantic benchmark decontamination, d10's counterpart in
+    * embedding space (the "did the eval set leak into training?" gate
+    * that survives paraphrase, which n-gram matching misses): every
+    * corpus vector is scored by its max cosine against the benchmark
+    * set and flagged at τ. Benchmark = vec_id ≡ 0 (mod 31), the same
+    * held-out convention as d10.
+    *
+    * Scale shape: the benchmark is a fixed-size eval suite → broadcast;
+    * the corpus streams through one codegen'd cosine pass and the
+    * per-vector max is a partial+final aggregate, so map output is one
+    * row per corpus vector per partition. No corpus-sized shuffle of
+    * anything but (vec_id, max) pairs.
+    */
+  def s08_semantic_decontam: Q = (s, d) =>
+    semanticDecontam(Tables.embeddings(s, d))
+
+  private[graft] def semanticDecontam(emb: DataFrame, tau: Double = S08Tau): DataFrame = {
+    val bench = emb.filter(col("vec_id") % 31 === 0)
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val corpus = emb.filter(col("vec_id") % 31 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    corpus.crossJoin(broadcast(bench))
+      .select(col("vec_id"),
+        round(cosine_similarity(col("embedding"), col("b_emb")), 4).as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("cos")).as("max_benchmark_cos"))
+      .select(col("vec_id"), col("max_benchmark_cos"),
+        (col("max_benchmark_cos") >= tau).as("contaminated"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "s07_label_centroids" -> s07_label_centroids,
+    "s08_semantic_decontam" -> s08_semantic_decontam,
     "s01_ann_bruteforce" -> s01_ann_bruteforce,
     "s02_ann_lsh" -> s02_ann_lsh,
     "s03_ann_ivf" -> s03_ann_ivf,
@@ -310,6 +347,19 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "s08_semantic_decontam" ->
+      s"""WITH b AS (
+         |  SELECT CAST(embedding AS DOUBLE[]) AS be FROM embeddings
+         |  WHERE vec_id % 31 = 0),
+         |c AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings
+         |  WHERE vec_id % 31 <> 0)
+         |SELECT vec_id,
+         |  MAX(round(list_cosine_similarity(ce, be), 4)) AS max_benchmark_cos,
+         |  MAX(round(list_cosine_similarity(ce, be), 4)) >= $S08Tau
+         |    AS contaminated
+         |FROM c CROSS JOIN b
+         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "s07_label_centroids" ->
       """WITH x AS (
         |  SELECT label,

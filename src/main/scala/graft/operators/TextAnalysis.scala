@@ -403,9 +403,52 @@ object TextAnalysis {
       .orderBy(col("rk"))
   }
 
+  /** t18 — per-document perplexity under the corpus's own bigram LM
+    * (t09's table applied back to each document): cross-entropy
+    * H(doc) = −(Σ log2 p(w2|w1))/n and ppl = 2^H. The CCNet-style
+    * quality filter — documents whose word sequences the corpus LM
+    * finds surprising (boilerplate soup, shuffled tokens, wrong
+    * language) score high and get cut.
+    *
+    * Scale shape: doc-bigrams are persisted once and feed BOTH the LM
+    * counts and the scoring join; shuffles are keyed by bigram (LM
+    * build + probability join) and doc_id (final agg) — all uniform
+    * keys. Determinism: each bigram's log2 p is floored into integer
+    * micro-units before the per-doc sum (s06 pattern — exact in any
+    * partition order; p is an exact integer ratio so both engines
+    * feed log2 identical arguments, and the only ratios that can land
+    * floor(x·1e6) on a boundary are powers of two, where log2 is
+    * exact in both engines).
+    */
+  def t18_lm_perplexity: Q = (s, d) =>
+    lmPerplexity(Tables.documents(s, d))
+
+  private[graft] def lmPerplexity(docs: DataFrame): DataFrame = {
+    import graft.functions.TextHashFunctions.word_shingles
+    val toks = array_remove(split(lower(col("text")), "\\s+"), "")
+    val docBigrams = graft.CacheScope.persisted(
+      docs.select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(word_shingles(col("toks"), 2)).as("bigram")))
+    val c = docBigrams.groupBy(col("bigram")).agg(count(lit(1)).as("cb"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+    val h = c.groupBy(col("w1")).agg(sum(col("cb")).as("ch"))
+    val p = c.join(h, Seq("w1"))
+      .select(col("bigram"), (col("cb").cast(DoubleType) / col("ch")).as("pr"))
+    docBigrams.join(p, Seq("bigram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(floor(log2(col("pr")) * 1e6)).as("sm"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("sm") / col("n_bigrams") / 1e6, 4).as("cross_entropy"),
+        round(pow(lit(2.0), -col("sm") / col("n_bigrams") / 1e6), 4).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t15_entropy" -> t15_entropy,
     "t16_bm25" -> t16_bm25,
+    "t18_lm_perplexity" -> t18_lm_perplexity,
     "d08_curation" -> d08_curation,
     "t08_tfidf" -> t08_tfidf,
     "t09_bigram_lm" -> t09_bigram_lm,
@@ -498,6 +541,31 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "t16_bm25" -> bm25OracleSql,
+    "t18_lm_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    t -> t <> '') AS l
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(list_zip(l[1:len(l)-1], l[2:]),
+        |    p -> p[1] || ' ' || p[2])) AS bigram
+        |  FROM toks WHERE len(l) >= 2),
+        |c AS (SELECT bigram, COUNT(*) AS cb FROM bg GROUP BY bigram),
+        |h AS (
+        |  SELECT split_part(bigram, ' ', 1) AS w1,
+        |    CAST(SUM(cb) AS BIGINT) AS ch
+        |  FROM c GROUP BY 1),
+        |p AS (
+        |  SELECT bigram, CAST(cb AS DOUBLE) / ch AS pr
+        |  FROM c JOIN h ON split_part(c.bigram, ' ', 1) = h.w1),
+        |s AS (
+        |  SELECT doc_id, COUNT(*) AS n_bigrams,
+        |    SUM(floor(log2(pr) * 1e6)) AS sm
+        |  FROM bg JOIN p USING (bigram) GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams,
+        |  round(-sm / n_bigrams / 1e6, 4) AS cross_entropy,
+        |  round(pow(2.0, -sm / n_bigrams / 1e6), 4) AS ppl
+        |FROM s ORDER BY doc_id""".stripMargin,
     "t15_entropy" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -379,4 +379,22 @@ class DedupSpec extends AnyFunSuite {
     // jaccard = 1 / (2 + 2 - 1) = 0.333333 at 6 digits (half-up)
     assert(r.getAs[Double]("jaccard") == 0.333333)
   }
+
+  test("d19 finds the shared 8-gram span once per doc and ignores singles") {
+    import spark.implicits._
+    val span = (1 to 8).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, span + " uniqA"),          // span at the head
+      (2L, "uniqB " + span),          // same span, shifted
+      (3L, (1 to 9).map(i => s"z$i").mkString(" ")), // disjoint
+      (4L, span + " " + span),        // span TWICE in one doc
+    ).map { case (id, t) => (id, t, "en", "src0") }
+      .toDF("doc_id", "text", "lang", "source")
+    val rows = operators.Dedup.repeatedNgrams(docs).collect()
+    // the only gram in ≥2 docs is the span itself: docs 1, 2, 4 — the
+    // double occurrence inside doc 4 must count once (distinct per doc)
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("n_docs") == 3L)
+    assert(rows.head.getAs[Long]("first_doc") == 1L)
+  }
 }

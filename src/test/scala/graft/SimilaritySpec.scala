@@ -59,6 +59,26 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("s08 semantic decontam flags benchmark twins and clears orthogonals") {
+    import spark.implicits._
+    // id 0 is benchmark (0 % 31 == 0); id 1 duplicates it exactly,
+    // id 2 is orthogonal, id 3 is a near-paraphrase above tau
+    val e = Seq(
+      (0L, Array(1f, 0f), 0),
+      (1L, Array(2f, 0f), 0),      // cos 1.0 with the benchmark
+      (2L, Array(0f, 1f), 0),      // cos 0.0
+      (3L, Array(1f, 1f), 0),      // cos ~0.7071
+    ).toDF("vec_id", "embedding", "label")
+    val got = operators.Similarity.semanticDecontam(e).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Double]("max_benchmark_cos"), r.getAs[Boolean]("contaminated"))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L), "benchmark vectors must not be scored")
+    assert(got(1L) == ((1.0, true)))
+    assert(got(2L) == ((0.0, false)))
+    assert(got(3L)._1 == 0.7071 && got(3L)._2)
+  }
+
   test("s07 label centroids are exact per-dimension means") {
     import spark.implicits._
     val e = Seq(

@@ -59,6 +59,37 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(2L)._2 > got(3L)._2, "length normalization must discount the longer doc")
   }
 
+  test("t18 perplexity: uniform-half LM gives exactly H=1, ppl=2") {
+    // corpus "a b" + "a c": ch(a)=2, p(b|a)=p(c|a)=1/2 — every bigram
+    // log2 is the exact power-of-2 case, so H and ppl are exact
+    val got = operators.TextAnalysis.lmPerplexity(corpus(
+      1L -> "a b", 2L -> "a c")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("cross_entropy"),
+          r.getAs[Double]("ppl")))).toMap
+    CacheScope.releaseAll()
+    assert(got == Map(1L -> ((1L, 1.0, 2.0)), 2L -> ((1L, 1.0, 2.0))))
+  }
+
+  test("t18 perplexity: rare transitions score higher than the dominant path") {
+    // doc 1 rides the dominant x→y transition; doc 2's x-continuations
+    // are all singletons — the corpus LM must find doc 2 more surprising
+    val got = operators.TextAnalysis.lmPerplexity(corpus(
+      1L -> "x y x y x y x y x y",
+      2L -> "x z x w x v")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("cross_entropy"),
+          r.getAs[Double]("ppl")))).toMap
+    CacheScope.releaseAll()
+    assert(got(1L)._1 == 9L && got(2L)._1 == 5L)
+    assert(got(2L)._2 > got(1L)._2, "singleton transitions must score higher")
+    assert(got(2L)._3 > got(1L)._3)
+    // ppl is 2^H within rounding of independently-rounded columns
+    got.values.foreach { case (_, h, p) =>
+      assert(math.abs(p - math.pow(2.0, h)) < 1e-3)
+    }
+  }
+
   test("t16 BM25: top-k truncates to the k best-scoring docs") {
     // 30 single-term docs with increasing padding — scores strictly
     // decrease with doc length, so the top 20 are exactly ids 1..20

@@ -363,8 +363,61 @@ object Curation {
       .orderBy(col("shard"), col("pos"))
   }
 
+  /** d20 — decontamination against a BLOOM SKETCH of the benchmark
+    * n-grams: the scale escape hatch [[D10MaxBenchGrams]]'s doc
+    * promises. Where d10 broadcasts the literal gram strings (fine for
+    * a real eval suite, capped at 2M grams ≈ 100 MB), d20 folds the
+    * benchmark into a fixed 8M-bit bloom filter (1 MB broadcast
+    * REGARDLESS of gram count) and probes it with `might_contain` on
+    * the corpus side — no join at all, one scalar-subquery broadcast
+    * and a map-only probe pass.
+    *
+    * Semantics: a bloom can only over-report (false positives, rate
+    * set by bits/items), never under-report — so every d10-contaminated
+    * doc is d20-flagged, and the overlap estimate upper-bounds the
+    * exact one. CurationSpec pins both properties. Rows-only (the
+    * bloom layout is engine-specific — no DuckDB oracle can exist).
+    */
+  def d20_bloom_decontam: Q = (s, d) =>
+    bloomDecontam(Tables.documents(s, d))
+
+  private[graft] def bloomDecontam(documents: DataFrame): DataFrame = {
+    import graft.functions.TextHashFunctions.word_shingles
+    // bloom_filter_agg / might_contain are internal expressions (the
+    // registry only resolves them for InjectRuntimeFilter), so build
+    // them directly through the classic-mode bridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
+    def xx(c: org.apache.spark.sql.Column) = new XxHash64(Seq(expression(c)))
+    val docs = documents
+      .select(col("doc_id"),
+        array_distinct(word_shingles(toks, 5)).as("grams"))
+    // expectedItems sized at the d10 cap; 8M bits → <1% fp at 1M items
+    val bloom = docs.filter(col("doc_id") % 31 === 0)
+      .select(explode(col("grams")).as("g")).distinct()
+      .agg(column(new BloomFilterAggregate(xx(col("g")),
+        Literal(1000000L), Literal(8388608L)).toAggregateExpression()).as("bf"))
+    // might_contain requires its bloom input as a scalar subquery (the
+    // same wiring InjectRuntimeFilter emits): the 1 MB filter is
+    // computed once and shipped as a query-result literal — not a join
+    val bf = ScalarSubquery(bloom.queryExecution.analyzed)
+    docs.filter(col("doc_id") % 31 =!= 0)
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+      .select(col("doc_id"),
+        when(column(BloomFilterMightContain(bf, xx(col("g")))),
+          1L).otherwise(0L).as("hit"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("hit")).as("n_hits_est"))
+      .withColumn("overlap_est",
+        graft.Tables.rhalfup(col("n_hits_est") / col("n_grams"), 6))
+      .withColumn("flagged", col("overlap_est") >= 0.05)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t17_shards" -> t17_shards,
+    "d20_bloom_decontam" -> d20_bloom_decontam,
     "d14_scd2" -> d14_scd2,
     "d10_decontam" -> d10_decontam,
     "t11_repetition" -> t11_repetition,

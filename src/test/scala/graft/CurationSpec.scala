@@ -179,6 +179,40 @@ class CurationSpec extends AnyFunSuite {
   private def withTempView(df: org.apache.spark.sql.DataFrame)(
       f: String => Unit): Unit = withTempDf(df)(f)
 
+  // ---- d20 bloom decontamination -------------------------------------
+
+  test("d20 bloom decontam never under-reports the exact d10 result") {
+    // real corpus: per-doc bloom hit counts must dominate d10's exact
+    // hits (a bloom has false positives, never false negatives), and
+    // every exactly-contaminated doc must be flagged
+    val exact = operators.Curation.d10_decontam(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_hits"), r.getAs[Boolean]("contaminated")))).toMap
+    val est = operators.Curation.d20_bloom_decontam(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_hits_est"), r.getAs[Boolean]("flagged")))).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (id, (nExact, contaminated)) =>
+      assert(est(id)._1 >= nExact, s"doc $id: bloom under-reported")
+      if (contaminated) assert(est(id)._2, s"doc $id: exact hit not flagged")
+    }
+    // and the sketch must stay tight enough to be useful: false
+    // positives may only inflate the corpus-wide hit count a little
+    val totExact = exact.values.map(_._1).sum
+    val totEst = est.values.map(_._1).sum
+    assert(totEst <= totExact + math.max(50L, totExact / 10),
+      s"bloom fp blow-up: exact $totExact vs est $totEst")
+  }
+
+  test("d20 probes the bloom without joining (no gram ever shuffles to meet the benchmark)") {
+    val p = SparkEntry.queries("d20_bloom_decontam")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("BroadcastHashJoin"),
+      "gram-keyed join present — the bloom should replace the join entirely")
+  }
+
   // ---- t17 shard plan ------------------------------------------------
 
   test("t17 shard plan: hash arithmetic, contiguous positions, exact running budget") {

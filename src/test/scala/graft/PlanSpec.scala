@@ -208,4 +208,33 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial_sum"))
     assert("Exchange hashpartitioning\\(label".r.findAllIn(p).size == 1)
   }
+
+  test("t18 scores off the cached doc-bigram pass (LM build and probe share one scan)") {
+    val p = plan("t18_lm_perplexity")
+    CacheScope.releaseAll()
+    // the persisted doc-bigram frame must feed BOTH the LM count side
+    // and the scoring join — two InMemoryTableScans, one source scan
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      "doc-bigrams recomputed instead of reused")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("d19 counts digests with a partial aggregate (gram text dies at the scan)") {
+    val p = plan("d19_repeated_ngrams")
+    // partial agg (and the gram explode feeding it) sit BELOW the
+    // count shuffle — only (digest, count, min) rows ever cross it
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning")
+    assert(exchangeIdx > 0)
+    assert(p.indexOf("partial_count", exchangeIdx) > 0,
+      "count not combined map-side before the shuffle")
+    assert(p.indexOf("Generate", exchangeIdx) > 0,
+      "gram explode above the shuffle — gram strings would cross the wire")
+  }
+
+  test("s08 benchmark broadcasts; per-vector max is partial+final") {
+    val p = plan("s08_semantic_decontam")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_max"))
+  }
 }

@@ -93,6 +93,22 @@ object EventStreams {
         col("event_id"), col("value"))
   }
 
+  /** Stream-static enrichment join — the stateless front of every
+    * enrichment topology: each streaming event picks up its user's
+    * nation from the STATIC customer dimension. Stream-static inner
+    * joins keep NO streaming state (the static side is planned per
+    * micro-batch — broadcast here, since the dim is pruned to two
+    * columns), so state never grows with stream length; at cluster
+    * scale the dim re-plan also picks up dimension updates between
+    * micro-batches, the classic slowly-changing-dim behavior.
+    */
+  def enrichedEvents(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+      broadcast(customers.select(col("c_custkey"), col("c_nationkey"))),
+      col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), col("c_nationkey").as("nation"))
+
   /** Native session-window streaming aggregation — the declarative
     * twin of [[sessionize]] (and the streaming form of
     * Relational.q21b_session_window): Spark keeps one mergeable

@@ -58,6 +58,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join == batch join, with no streaming state") {
+    val dir = stageDir()
+    val customers = Tables.customer(spark, sfDir)
+    val q = EventStreams.enrichedEvents(
+        EventStreams.readEventStream(spark, dir), customers)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_out")
+        .select(col("event_id"), col("nation")).collect()
+        .map(r => (r.getLong(0), r.getAs[Number](1).longValue)).toSet
+      val batch = Tables.events(spark, sfDir)
+        .join(customers, col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("c_nationkey")).collect()
+        .map(r => (r.getLong(0), r.getAs[Number](1).longValue)).toSet
+      assert(batch.nonEmpty && streamed == batch)
+      // stateless: a pure stream-static join must report zero state rows
+      val progress = q.lastProgress
+      assert(progress == null || progress.stateOperators.isEmpty ||
+        progress.stateOperators.forall(_.numRowsTotal == 0L))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join == static join on the same data") {
     val dir = stageDir()
     // the testdata orders (1995-2001) and events (2024) never overlap

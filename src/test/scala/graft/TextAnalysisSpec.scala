@@ -59,6 +59,39 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(2L)._2 > got(3L)._2, "length normalization must discount the longer doc")
   }
 
+  test("t18 perplexity matches an exact in-memory reference on randomized corpora") {
+    for (seed <- Seq(21, 22)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Seq("a", "b", "c", "d", "e")
+      val docs = (1L to 40L).map { id =>
+        id -> Seq.fill(2 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.length)))
+          .mkString(" ")
+      }
+      val got = operators.TextAnalysis.lmPerplexity(corpus(docs: _*)).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("cross_entropy"),
+            r.getAs[Double]("ppl")))).toMap
+      CacheScope.releaseAll()
+      // reference with the operator's exact arithmetic (micro-floored
+      // log2 sums, then round(…,4) of the identical division chain)
+      val bg = docs.map { case (id, t) =>
+        id -> t.split(" ").toSeq.sliding(2).map(_.mkString(" ")).toSeq }.toMap
+      val c = bg.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val ch = c.groupBy(_._1.split(" ")(0)).view
+        .mapValues(_.values.sum).toMap
+      def log2(x: Double) = math.log(x) / math.log(2.0)
+      val want = bg.map { case (id, grams) =>
+        val sm = grams.map { g =>
+          math.floor(log2(c(g).toDouble / ch(g.split(" ")(0))) * 1e6) }.sum
+        val h = -sm / grams.length / 1e6
+        def r4(x: Double) = BigDecimal(x)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        id -> ((grams.length.toLong, r4(h), r4(math.pow(2.0, h))))
+      }
+      assert(got == want, s"seed $seed")
+    }
+  }
+
   test("t18 perplexity: uniform-half LM gives exactly H=1, ppl=2") {
     // corpus "a b" + "a c": ch(a)=2, p(b|a)=p(c|a)=1/2 — every bigram
     // log2 is the exact power-of-2 case, so H and ppl are exact
@@ -87,6 +120,49 @@ class TextAnalysisSpec extends AnyFunSuite {
     // ppl is 2^H within rounding of independently-rounded columns
     got.values.foreach { case (_, h, p) =>
       assert(math.abs(p - math.pow(2.0, h)) < 1e-3)
+    }
+  }
+
+  test("t16 BM25 matches an exact in-memory reference on randomized corpora") {
+    // replicates the operator's arithmetic exactly (same op order, same
+    // micro-unit floors), so comparison is == on doubles — any drift in
+    // df/avgdl/tf accounting or the score formula fails loudly
+    val terms = Seq("spark", "hash", "window")
+    val (k1, b) = (1.2, 0.75)
+    for (seed <- Seq(11, 12, 13)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = terms ++ Seq("a", "b", "c", "d", "e", "f")
+      val docs = (1L to 60L).map { id =>
+        id -> Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.length)))
+          .mkString(" ")
+      }
+      val got = run(docs: _*)
+      // reference
+      val toks = docs.map { case (id, t) =>
+        id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+      val n = docs.length.toLong
+      val sumDl = toks.values.map(ts => BigDecimal(ts.length)).sum.toDouble
+      val avgdl = sumDl / n
+      val df = terms.map(t => t -> toks.values.count(_.contains(t)).toLong).toMap
+      val want = toks.toSeq.flatMap { case (id, ts) =>
+        val dl = ts.length.toDouble
+        val scoreU = terms.map { t =>
+          val tf = ts.count(_ == t).toDouble
+          if (tf == 0) 0.0
+          else {
+            val idf = math.log((n.toDouble - df(t) + 0.5) / (df(t) + 0.5) + 1.0)
+            val sc = idf * tf * (k1 + 1.0) / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+            math.floor(sc * 1e6 + 0.5)
+          }
+        }.sum
+        if (scoreU > 0)
+          Some((id, terms.count(t => ts.contains(t)), scoreU / 1e6))
+        else None
+      }.sortBy { case (id, _, s) => (-s, id) }.take(20)
+        .zipWithIndex.map { case ((id, nt, s), i) => id -> ((nt, s, i + 1)) }
+        .toMap
+      assert(want.nonEmpty, s"seed $seed: no scoring docs — vacuous")
+      assert(got == want, s"seed $seed")
     }
   }
 

@@ -36,11 +36,39 @@ object CacheScope {
     p
   }
 
-  /** Eager localCheckpoint + register its RDD blocks for release.
-    * (On a multi-node cluster prefer reliable checkpoint(dir) at the
-    * same seams — localCheckpoint blocks die with their executor.) */
+  /** Eager lineage cut, honoring `spark.graft.checkpointDir`.
+    *
+    * Unset (the local / single-JVM default): eager localCheckpoint —
+    * blocks live in executor storage and die with their executor,
+    * which is fine when driver and executors share a JVM lifetime.
+    *
+    * Set (multi-node clusters): reliable `checkpoint(dir)` — the cut
+    * RDD is written to the shared directory (HDFS/object store), so
+    * an iterative loop survives executor loss mid-iteration instead
+    * of failing with a missing-block error it cannot recompute
+    * through. Every iterative operator in the engine (connected
+    * components, IVF k-means) cuts through here, so one config flips
+    * the whole engine's checkpoint discipline.
+    */
+  def cut(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val dir = df.sparkSession.conf.get("spark.graft.checkpointDir", "")
+    if (dir.isEmpty) df.localCheckpoint(true)
+    else {
+      // setCheckpointDir creates a per-context random subdir under the
+      // configured path; only (re)set when unset or re-pointed so
+      // repeated cuts share one subdir per session
+      if (!sc.getCheckpointDir.exists(_.startsWith(dir)))
+        sc.setCheckpointDir(dir)
+      df.checkpoint(true)
+    }
+  }
+
+  /** [[cut]] + register the resulting RDD blocks for release. (For
+    * reliable checkpoints the unpersist is a no-op — files under the
+    * checkpoint dir are cleaned by the owner of the directory.) */
   def checkpointed(df: DataFrame): DataFrame = {
-    val c = df.localCheckpoint(true)
+    val c = cut(df)
     trackRddsOf(c)
     c
   }

@@ -60,6 +60,20 @@ object Tables {
     }
   }
 
+  /** Configured embedding width (`spark.graft.embedding.dim`, default
+    * 64 — the width of the driver testdata and of the default engine
+    * deployment). Vector operators that need a materialized plane /
+    * centroid matrix size it from THIS value instead of scanning the
+    * column for max(size(embedding)): the dim is a property of the
+    * embedding model, known ahead of any job, and a pre-scan at 100 TB
+    * is a full extra pass over the widest column in the table. Callers
+    * that would silently truncate wider vectors must guard in-plan
+    * (see [[operators.Dedup.embeddingNearDup]]'s raise_error guard) so
+    * a mis-configured dim fails loudly instead of hashing prefixes.
+    */
+  def embeddingDim(s: SparkSession): Int =
+    s.conf.get("spark.graft.embedding.dim", "64").toInt
+
   /** Decimal-exact sum of a double expression, returned as double.
     * Both Spark and DuckDB round the per-row double to the same
     * DECIMAL(28,6), sum exactly, and cast back — bit-identical results

@@ -248,25 +248,29 @@ object Dedup {
 
     val big = sized.filter(col("__bn") > maxBlock)
     // hyperplanes must span the FULL embedding width — the dot inside
-    // hyperplane_sigs truncates to min(row length, dim), so a
-    // hardcoded 64 would silently hash only the first 64 components
-    // of wider embeddings. MAX over the whole column (not a limit()
-    // sample: that's a nondeterministic subset, and a wider embedding
-    // outside it would get its tail ignored by every plane) — a
-    // single-column scan, the price of sizing the plane matrix
-    // correctly. Signatures come from the codegen'd
+    // hyperplane_sigs truncates to min(row length, dim), so an
+    // undersized plane matrix would silently hash only a prefix of
+    // wider embeddings. The dim comes from configuration
+    // ([[graft.Tables.embeddingDim]]) — a property of the embedding
+    // model, known before any job — NOT from a max(size(embedding))
+    // pre-scan, which at 100 TB is a full extra pass over the widest
+    // column before the real work starts. The in-plan raise_error
+    // guard below turns a mis-configured dim into a loud failure on
+    // the first oversized row instead of a silent prefix hash.
+    // Signatures come from the codegen'd
     // [[graft.functions.HyperplaneSigs]] (1 table × 16 bits; cached
     // plane matrix drawn from the same seeded stream as the former
     // literal-plane formulation, so bucket values are identical).
     val planes = 16
-    val dim = e.select(size(col("embedding")).as("s"))
-      .filter(col("s").isNotNull)
-      .agg(max(col("s"))).collect()
-      .headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
-      .getOrElse(64) // empty input: LSH branch has no rows anyway
+    val dim = graft.Tables.embeddingDim(e.sparkSession)
     import graft.functions.VectorFunctions.hyperplane_sigs
     def signature(emb: Column): Column =
-      element_at(hyperplane_sigs(emb, 1, planes, dim, 42L), 1)
+      when(size(emb) > dim, raise_error(concat(
+        lit(s"embeddingNearDup: embedding wider than configured " +
+          s"spark.graft.embedding.dim=$dim (got "),
+        size(emb).cast("string"),
+        lit(") — hashing a prefix would corrupt LSH buckets"))))
+        .otherwise(element_at(hyperplane_sigs(emb, 1, planes, dim, 42L), 1))
     val corpus = big.select(col("label"), col("vec_id").as("nn_id"),
       col("embedding").as("emb_b"), signature(col("embedding")).as("bucket"))
     val probes = big.select(col("label"), col("vec_id"),
@@ -520,21 +524,22 @@ object Dedup {
     // CASCADE-recaches round r+1 (clearing its buffers) because its
     // plan references the dropped InMemoryRelation — each round then
     // recomputed the whole chain (measured: 96 s, then 45 s at sf0.1).
-    // localCheckpoint cuts the lineage to a LogicalRDD: round r+1
+    // CacheScope.cut cuts the lineage to a LogicalRDD: round r+1
     // cannot be invalidated and the final plan is independent of every
     // intermediate, so nothing in the loop is ever recomputed (1.5 s).
-    // On a multi-node cluster prefer checkpoint(dir) at the same spots
-    // (localCheckpoint blocks die with their executor).
+    // cut() is localCheckpoint here and reliable checkpoint(dir) when
+    // spark.graft.checkpointDir is set — on a multi-node cluster the
+    // reliable form survives executor loss mid-loop (localCheckpoint
+    // blocks die with their executor).
     // fused first round: label₀(v) = min(v, min(neighbors(v))) is
     // exactly what propagation round 1 would compute from the identity
     // labeling, but as ONE aggregate over the (symmetrized) edge list —
     // no join, no extra checkpoint, one fewer trip around the loop.
     // The loop invariants hold from any labeling where label(v) is a
     // node of v's component with label(v) ≤ v, which this satisfies.
-    var labels = edges
+    var labels = graft.CacheScope.cut(edges
       .select(col("src").as("id"), least(col("src"), col("dst")).as("cluster"))
-      .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
-      .localCheckpoint(true)
+      .groupBy(col("id")).agg(min(col("cluster")).as("cluster")))
     var changed = true
     var rounds = 0
     while (changed && rounds < 25) {
@@ -558,12 +563,11 @@ object Dedup {
       // prop appears on both sides of the self-join; ReuseExchange
       // dedups its shuffle, the (cheap) aggregation above it runs once
       // per side — acceptable vs a second eager checkpoint per round
-      val next = prop
+      val next = graft.CacheScope.cut(prop
         .join(prop.select(col("id").as("cluster"), col("cluster").as("jump")),
           Seq("cluster"), "left")
         .select(col("id"),
-          coalesce(col("jump"), col("cluster")).as("cluster"), col("old"))
-        .localCheckpoint(true)
+          coalesce(col("jump"), col("cluster")).as("cluster"), col("old")))
       changed = next.filter(col("cluster") < col("old")).count() > 0
       // free the PREVIOUS round's checkpoint blocks explicitly —
       // clearCache() only evicts SQL InMemoryRelations, not these RDD

@@ -326,6 +326,36 @@ class DedupSpec extends AnyFunSuite {
     assert(got == (0L to 299L).map(_ -> 0L).toSet)
   }
 
+  test("d09 distributed tier under reliable checkpoint(dir) — cluster mode") {
+    import spark.implicits._
+    // spark.graft.checkpointDir flips every CacheScope.cut in the
+    // engine from localCheckpoint (blocks die with their executor) to
+    // reliable checkpoint(dir) (files survive executor loss) — the
+    // cluster deployment mode. Same labeling must come out, and the
+    // cut must actually have written checkpoint files under the dir.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile
+    spark.conf.set("spark.graft.checkpointDir", dir.getAbsolutePath)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+      val got = operators.Dedup.dupClusters(pairs, 0L) // force distributed tier
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+        10L -> 10L, 11L -> 10L))
+      def files(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(files) else Seq(f)
+      assert(files(dir).exists(_.getName.startsWith("part-")),
+        "no reliable checkpoint files written under spark.graft.checkpointDir")
+    } finally {
+      spark.conf.unset("spark.graft.checkpointDir")
+      graft.CacheScope.releaseAll()
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("d09 connected components match union-find on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(7L)

@@ -23,12 +23,14 @@ class SimilaritySpec extends AnyFunSuite {
     val (lshQ, lshR) = rows("lsh")
     val (ivfQ, ivfR) = rows("ivf")
     assert(lshQ > 0 && ivfQ > 0, "no queries evaluated — gate is vacuous")
-    // measured 0.9667 (lsh) / 0.5 (ivf, post-k-means) on this fixture;
-    // floors set with headroom for the measurement, none for a real
-    // regression — the round-4 single-table LSH measured 0.0 and the
-    // pre-k-means lowest-id centroids measured 0.4667; neither may return
+    // measured 0.9667 (lsh) / 0.7333 (ivf, 16 cells × 8 probes ×
+    // 4 Lloyd iters — round-6 sweep) on this fixture; both
+    // measurements are deterministic (fixed seeds), so the floors gate
+    // real parameter/code regressions, not noise — the round-4
+    // single-table LSH measured 0.0 and the pre-sweep IVF (probe 4,
+    // 2 iters) measured 0.5; neither may return
     assert(lshR >= 0.8, s"LSH recall@5 $lshR below floor 0.8")
-    assert(ivfR >= 0.4, s"IVF recall@5 $ivfR below floor 0.4")
+    assert(ivfR >= 0.7, s"IVF recall@5 $ivfR below floor 0.7")
   }
 
   test("s06 int8 quantization: exact zero error on lattice vectors, bounded otherwise") {

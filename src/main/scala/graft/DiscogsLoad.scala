@@ -8,8 +8,8 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage:
   *   discogs-load [--out DIR] [--batch-size N] [--db-url JDBC_URL]
-  *     [--db-user U] [--db-password P] [--create-indexes]
-  *     [--partitions N] [--restage DIR] FILE...
+  *     [--db-user U] [--db-password P] [--copy-mode binary|csv]
+  *     [--create-indexes] [--partitions N] [--restage DIR] FILE...
   *
   * Each FILE is a discogs dump (`.xml` or `.xml.gz`); entity type is
   * auto-detected from the root element (O2). Tables always land as
@@ -20,6 +20,12 @@ import org.apache.spark.sql.SparkSession
   * under DIR (one single-stream parse each, paid once), then loads
   * the tables from the staged copies — the layout every later pass
   * over a big dump should read.
+  *
+  * --copy-mode picks the postgres COPY wire format (the reference's
+  * sink is `COPY ... FROM STDIN BINARY`, `db.rs:230-244`): `binary`
+  * (default, the reference's format) or `csv` (server-side input
+  * parser coerces types the binary encoder doesn't cover). Non-
+  * postgres JDBC targets ignore it and take batched INSERTs.
   */
 object DiscogsLoad {
 
@@ -27,7 +33,7 @@ object DiscogsLoad {
       batchSize: Int = 10000, dbUrl: Option[String] = None,
       dbUser: String = "dev", dbPassword: String = "dev_pass",
       createIndexes: Boolean = false, partitions: Option[Int] = None,
-      restageDir: Option[String] = None)
+      restageDir: Option[String] = None, copyMode: String = "binary")
 
   def parseArgs(args: List[String], o: Opts = Opts()): Opts = args match {
     case Nil => o
@@ -39,13 +45,13 @@ object DiscogsLoad {
     case "--create-indexes" :: rest => parseArgs(rest, o.copy(createIndexes = true))
     case "--partitions" :: v :: rest => parseArgs(rest, o.copy(partitions = Some(v.toInt)))
     case "--restage" :: v :: rest => parseArgs(rest, o.copy(restageDir = Some(v)))
+    case "--copy-mode" :: v :: rest => parseArgs(rest, o.copy(copyMode = v))
     case f :: rest if !f.startsWith("--") => parseArgs(rest, o.copy(files = o.files :+ f))
     case bad :: _ => throw new IllegalArgumentException(s"unknown flag $bad")
   }
 
   def main(args: Array[String]): Unit = {
     val opts = parseArgs(args.toList)
-    require(opts.files.nonEmpty, "at least one dump FILE required")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("discogs-load")
@@ -55,7 +61,15 @@ object DiscogsLoad {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try {
+    try run(opts, spark) finally spark.stop()
+  }
+
+  /** The whole CLI pipeline on a caller-owned session — `main` minus
+    * process/session lifecycle, so e2e tests drive the identical path
+    * (parse → stage → parquet sink → JDBC sink → index DDL). */
+  def run(opts: Opts, spark: SparkSession): Unit = {
+    require(opts.files.nonEmpty, "at least one dump FILE required")
+    locally {
       val tables = opts.restageDir match {
         case Some(rd) =>
           // one single-stream gz parse per file, paid once; every
@@ -76,10 +90,11 @@ object DiscogsLoad {
         println(s"[discogs-load] $name: $n rows -> ${opts.out}/$name")
       }
       opts.dbUrl.foreach { url =>
-        val cfg = Sinks.JdbcConfig(url, opts.dbUser, opts.dbPassword, opts.batchSize)
+        val cfg = Sinks.JdbcConfig(url, opts.dbUser, opts.dbPassword,
+          opts.batchSize, opts.copyMode)
         tables.foreach { case (name, df) => Sinks.writeJdbc(df, name, cfg) }
         if (opts.createIndexes) Sinks.createIndexes(cfg, tables.keys)
       }
-    } finally spark.stop()
+    }
   }
 }

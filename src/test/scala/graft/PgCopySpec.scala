@@ -43,7 +43,16 @@ class PgCopySpec extends AnyFunSuite {
     assert(sb.toString == "1,\"a\"\n2,\"b\"\n")
   }
 
-  test("available() is false in this environment (no pgjdbc)") {
-    assert(!PgCopy.available())
+  test("available() sees the test-scope PGConnection; non-pg connections still refuse COPY") {
+    // the test classpath deliberately carries org.postgresql.PGConnection
+    // (see that trait's scaladoc) so CopySinkE2ESpec can drive the real
+    // COPY writers — so available() is true HERE while remaining false
+    // on the production classpath (no pgjdbc dep). What must still hold
+    // everywhere: a non-postgres connection never routes into COPY.
+    assert(PgCopy.available())
+    val derby = java.sql.DriverManager
+      .getConnection("jdbc:derby:memory:pgcopyprobe;create=true")
+    try assert(!PgCopy.isPostgres(derby)) finally derby.close()
+    assert(PgCopy.isPostgres(FakePg.connection()))
   }
 }

@@ -613,14 +613,44 @@ object Dedup {
   private[graft] def multimodalClusters(textPairs: DataFrame,
       media: DataFrame): DataFrame = {
     val hashed = Multimodal.phashes(media)
-    val hubs = hashed.groupBy(col("phash"))
+    dupClusters(textPairs.unionByName(
+      hubSpokeEdges(hashed.select(col("phash").as("gkey"), col("doc_id")))))
+  }
+
+  /** Groups `(gkey, doc_id)` → linear hub-and-spoke edge list: each
+    * multi-member group contributes (min doc_id ↔ member) edges — the
+    * same component as the n² within-group clique at |group|−1 edges.
+    * Shared by [[multimodalClusters]] (phash groups) and
+    * [[d21_crossmodal_cc]] (deterministic fingerprint groups, which is
+    * what lets the CC machinery be hash-checked against an oracle). */
+  private[graft] def hubSpokeEdges(groups: DataFrame): DataFrame = {
+    val hubs = groups.groupBy(col("gkey"))
       .agg(min(col("doc_id")).as("hub"), count(lit(1)).as("n"))
       .filter(col("n") > 1)
-      .select(col("phash"), col("hub"))
-    val mediaPairs = hashed.join(hubs, Seq("phash"))
+      .select(col("gkey"), col("hub"))
+    groups.join(hubs, Seq("gkey"))
       .filter(col("doc_id") =!= col("hub"))
       .select(col("hub").as("id_a"), col("doc_id").as("id_b"))
-    dupClusters(textPairs.unionByName(mediaPairs))
+  }
+
+  /** d21 — [[d17_multimodal_clusters]]' connected-component core under
+    * an EXACT oracle: the identical union + hub-and-spoke + two-tier
+    * CC machinery, with the second signal swapped from engine-specific
+    * perceptual hashes to t04's deterministic canonical fingerprint
+    * (case/punct-insensitive md5) groups. d17 itself stays rows-only —
+    * its hash INPUTS can't be mirrored in SQL — but every relational
+    * operator it runs is hash-checked here against a recursive-CTE
+    * oracle, so a CC regression can no longer hide behind the
+    * rows-only check.
+    */
+  def d21_crossmodal_cc: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val fpGroups = docs.select(
+      md5(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).as("gkey"),
+      col("doc_id"))
+    dupClusters(
+      ngramJaccardPairs(docs).select(col("id_a"), col("id_b"))
+        .unionByName(hubSpokeEdges(fpGroups)))
   }
 
   /** d16 — incremental NEAR-duplicate screening: the near-dup
@@ -794,6 +824,7 @@ object Dedup {
     "d17_multimodal_clusters" -> d17_multimodal_clusters,
     "d18_source_overlap" -> d18_source_overlap,
     "d19_repeated_ngrams" -> d19_repeated_ngrams,
+    "d21_crossmodal_cc" -> d21_crossmodal_cc,
   )
 
   /** The d04 pair query without its final ORDER BY — one source for
@@ -886,6 +917,32 @@ object Dedup {
          |), edges AS (
          |  SELECT id_a AS src, id_b AS dst FROM pairs
          |  UNION SELECT id_b, id_a FROM pairs
+         |), reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+         |)
+         |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach
+         |GROUP BY id ORDER BY doc_id""".stripMargin,
+    "d21_crossmodal_cc" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$d04OracleBody
+         |), fpg AS (
+         |  SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS gkey,
+         |    doc_id
+         |  FROM documents
+         |), hubs AS (
+         |  SELECT gkey, MIN(doc_id) AS hub FROM fpg
+         |  GROUP BY gkey HAVING COUNT(*) > 1
+         |), allp AS (
+         |  SELECT id_a, id_b FROM pairs
+         |  UNION
+         |  SELECT h.hub AS id_a, f.doc_id AS id_b
+         |  FROM fpg f JOIN hubs h ON f.gkey = h.gkey
+         |  WHERE f.doc_id <> h.hub
+         |), edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM allp
+         |  UNION SELECT id_b, id_a FROM allp
          |), reach(id, r) AS (
          |  SELECT DISTINCT src, src FROM edges
          |  UNION

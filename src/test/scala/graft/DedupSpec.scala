@@ -288,6 +288,23 @@ class DedupSpec extends AnyFunSuite {
     assert(got(5L) == (false, Some(4L)))
   }
 
+  test("d21 hub-and-spoke edges are linear and cluster like the clique") {
+    import spark.implicits._
+    // k1 = {2,5,9} → hub 2, two spokes; k2 singleton → no edge
+    val groups = Seq(("k1", 5L), ("k1", 2L), ("k1", 9L), ("k2", 7L))
+      .toDF("gkey", "doc_id")
+    val edges = operators.Dedup.hubSpokeEdges(groups)
+      .as[(Long, Long)].collect().toSet
+    assert(edges == Set((2L, 5L), (2L, 9L)))
+    // |group|-1 edges must produce the same components as the n² clique
+    val clique = Seq((2L, 5L), (2L, 9L), (5L, 9L)).toDF("id_a", "id_b")
+    val viaSpokes = operators.Dedup.dupClusters(
+      edges.toSeq.toDF("id_a", "id_b")).as[(Long, Long)].collect().toSet
+    val viaClique = operators.Dedup.dupClusters(clique)
+      .as[(Long, Long)].collect().toSet
+    assert(viaSpokes == viaClique)
+  }
+
   test("d09 connected components: chain, triangle, isolated pair") {
     import spark.implicits._
     // chain 1-2-3-4-5: diameter 4, so min-label propagation needs

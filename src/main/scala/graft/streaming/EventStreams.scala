@@ -93,6 +93,40 @@ object EventStreams {
         col("event_id"), col("value"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — the "orders with their
+    * prior events, INCLUDING orders that had none" topology (abandoned-
+    * cart / no-touch attribution). Same watermarks + two-sided time
+    * bound as [[orderEventIntervalJoin]]; the left-outer semantics add
+    * the deferred null row: Spark holds an unmatched order in join
+    * state until the watermark on BOTH sides passes its interval end —
+    * only then can "no event matched" be final (a matching event can
+    * no longer arrive) and the order emits once with null event
+    * columns, its state evicted. Matched rows emit eagerly exactly
+    * like the inner form.
+    *
+    * Scale: state is bounded by the interval + watermark delay on both
+    * sides — identical eviction horizon to the inner join; the only
+    * extra cost is unmatched left rows living to their horizon instead
+    * of dying at first match. An un-watermarked or one-sided-bound
+    * outer join is refused by Spark outright (state would be unbounded
+    * AND null rows could never finalize).
+    */
+  def orderEventLeftOuterJoin(orders: DataFrame, events: DataFrame): DataFrame = {
+    val o = orders
+      .withColumnRenamed("o_orderdate", "o_ts")
+      .withWatermark("o_ts", "1 hour")
+    val e = events
+      .select(col("user_id"), col("event_id"), col("value"), col("ts"))
+      .withWatermark("ts", "1 hour")
+    o.join(e,
+      col("o_custkey") === col("user_id") &&
+        col("ts") >= col("o_ts") - expr("INTERVAL 24 HOURS") &&
+        col("ts") < col("o_ts"),
+      "leftOuter")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_ts"),
+        col("event_id"), col("value"))
+  }
+
   /** Stream-static enrichment join — the stateless front of every
     * enrichment topology: each streaming event picks up its user's
     * nation from the STATIC customer dimension. Stream-static inner

@@ -117,6 +117,77 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join == static left join, state evicted at watermark") {
+    import spark.implicits._
+    val edir = Files.createTempDirectory("graft-loj-events").toString
+    val odir = Files.createTempDirectory("graft-loj-orders").toString
+    // orders derived from events (same trick as the inner-join test),
+    // but every 3rd order is re-keyed to a user that produces no
+    // events (negative custkey) so the left-outer null path has rows
+    val events = Tables.events(spark, sfDir)
+    val pseudoOrders = events
+      .filter(col("event_id") % 50 === 0)
+      .select(col("event_id").as("o_orderkey"),
+        when(col("event_id") % 150 === 0, -col("user_id") - 1)
+          .otherwise(col("user_id")).as("o_custkey"),
+        col("ts").as("o_orderdate"))
+    // stage with ts as raw nanos (LongType) — the shape eventSchema
+    // declares and the flush appends share
+    events.select(col("event_id"), col("ts_ns").as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.mode("overwrite").parquet(edir)
+    pseudoOrders.coalesce(1).write.mode("overwrite").parquet(odir)
+    val q = EventStreams.orderEventLeftOuterJoin(
+        EventStreams.readOrderStream(spark, odir),
+        EventStreams.readEventStream(spark, edir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("loj_out").start()
+    try {
+      q.processAllAvailable()
+      // outer rows only finalize once BOTH watermarks pass the order's
+      // interval: push them with far-future flush rows (match nothing:
+      // flush order key is excluded below, flush event user is -1e9)
+      // in TWO steps, because watermark advance takes effect the batch
+      // after the data that moved it
+      val maxUs = events.agg(max(unix_micros(col("ts")))).head.getLong(0)
+      def flush(dayOffset: Int): Unit = {
+        val fts = maxUs + dayOffset * 86400000000L
+        Seq((-1L, fts * 1000L, -1000000000L, "flush", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("append").parquet(edir)
+        Seq((-1L, -1000000000L, fts))
+          .toDF("o_orderkey", "o_custkey", "ts_us")
+          .select(col("o_orderkey"), col("o_custkey"),
+            timestamp_micros(col("ts_us")).as("o_orderdate"))
+          .coalesce(1).write.mode("append").parquet(odir)
+        q.processAllAvailable()
+      }
+      flush(2); flush(3)
+      val streamed = spark.table("loj_out")
+        .filter(col("o_orderkey") =!= -1L) // drop the flush order itself
+        .select(col("o_orderkey"),
+          coalesce(col("event_id"), lit(Long.MinValue)))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // static twin: identical predicate, batch left join
+      val want = pseudoOrders.join(events,
+          col("o_custkey") === col("user_id") &&
+            col("ts") >= col("o_orderdate") - expr("INTERVAL 24 HOURS") &&
+            col("ts") < col("o_orderdate"),
+          "leftOuter")
+        .select(col("o_orderkey"),
+          coalesce(col("event_id"), lit(Long.MinValue)))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val nullRows = want.count(_._2 == Long.MinValue)
+      assert(nullRows > 0, "no unmatched orders — outer path untested")
+      assert(streamed == want)
+      // watermark eviction: after the flush batches the join state must
+      // hold only the flush rows themselves, not the corpus
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 10,
+        s"join state $stateRows rows — watermark did not evict")
+    } finally q.stop()
+  }
+
   test("native session_window stream agrees with batch q21b sessions") {
     val dir = stageDir()
     val q = EventStreams.sessionWindowAgg(EventStreams.readEventStream(spark, dir))

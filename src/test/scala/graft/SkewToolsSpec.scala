@@ -23,6 +23,52 @@ class SkewToolsSpec extends AnyFunSuite {
     assert(plain.count(_.head == 7L) == 1800)
   }
 
+  test("planted-skew stress: salted join beats the unsalted shuffle join >= 2x") {
+    // 99% of the big side shares ONE key — the regime AQE's
+    // size-threshold skew splitting does not reach at this volume and
+    // a single reducer would otherwise sort/probe alone. Broadcast is
+    // disabled so the baseline is the genuinely skewed shuffle join
+    // (with broadcast available neither path shuffles and the test
+    // would measure nothing).
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val n = 2000000L
+      val big = spark.range(n).select(
+        when(col("id") % 100 === 0, col("id") % 1000).otherwise(7L).as("k"),
+        col("id").as("payload"))
+      val small = spark.range(1000).select(col("id").as("k"),
+        (col("id") * 3).as("w"))
+      // post-join per-row work (hashing) happens on the REDUCE side —
+      // serialized on one task when the hot key lands whole, spread
+      // under salting; this is the imbalance the assertion measures
+      def consume(df: org.apache.spark.sql.DataFrame): Long =
+        df.agg(sum(length(sha2(repeat(concat_ws(":", col("payload"), col("w")), 8), 512))))
+          .collect().head.getLong(0)
+      val plainDf = big.join(small, Seq("k"))
+      val saltedDf = SkewTools.saltedJoin(big, small, "k", saltFactor = 16)
+      // the baseline must actually BE the skewed shuffle join
+      val plainPlan = plainDf.queryExecution.executedPlan.toString
+      assert(plainPlan.contains("SortMergeJoin") ||
+        plainPlan.contains("ShuffledHashJoin"), plainPlan.take(400))
+      // identical results first (cheap here: both sums over the join)
+      val w1 = consume(plainDf); val w2 = consume(saltedDf)
+      assert(w1 == w2, s"salted join changed the aggregate: $w1 != $w2")
+      // best-of-2 wall times: same JVM, back to back, so ambient load
+      // hits both; the ratio is what's asserted, not absolutes
+      def timed(f: => Long): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val plainSec = Seq.fill(2)(timed(consume(plainDf))).min
+      val saltedSec = Seq.fill(2)(timed(consume(saltedDf))).min
+      info(f"unsalted $plainSec%.2f s vs salted $saltedSec%.2f s " +
+        f"(${plainSec / saltedSec}%.1fx)")
+      assert(saltedSec * 2 <= plainSec,
+        f"salted $saltedSec%.2f s not 2x faster than unsalted $plainSec%.2f s")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+  }
+
   test("saltedCountSum equals plain groupBy aggregate") {
     val df = (1 to 5000).map(i => (if (i % 100 == 0) "cold" else "hot", i.toDouble))
       .toDF("k", "v")

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Scale-growth bench: runs the full `SparkEntry.queries` suite at the
+  * driver SF and at a [[ScaleGen]]-expanded SF (default 10×) in ONE
+  * JVM, and reports per-query growth ratios — the measured answer to
+  * "would this plan survive a scale-up", query by query.
+  *
+  * Reading the ratios: data grows `factor`×, so a perfectly-linear
+  * operator shows ratio ≈ factor (modulo fixed per-job overhead, which
+  * makes sub-second queries read BELOW factor). Ratios well above
+  * factor flag super-linear plans — unless the query's OUTPUT or
+  * candidate structure legitimately grows faster (pair-producing ops
+  * on a corpus whose dup groups grew with it).
+  *
+  * Also runs `d09`'s distributed connected-components tier explicitly
+  * (`localMaxEdges = 0` forces the pointer-jumping propagation loop
+  * that normally engages above 5M edges) at the scaled SF — the one
+  * code path the driver's SFs never reach.
+  *
+  * Output: one JSON line (file + stdout) keyed per query with
+  * `{base, scaled, ratio}`, plus a human table in SCALEBENCH.md via
+  * tools/scalebench_md.py.
+  */
+object ScaleBench {
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val scaledDir = args.lift(1).getOrElse("/tmp/graft_scale/sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scalebench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // generate the scaled SF if absent (idempotent marker: last table)
+    val marker = new java.io.File(s"$scaledDir/embeddings.parquet")
+    if (!marker.exists()) {
+      println(s"[scalebench] generating $scaledDir = $baseDir x$factor")
+      ScaleGen.generate(spark, baseDir, scaledDir, factor)
+    }
+
+    // warm-up pass (JIT/codegen/parquet footers), never reported
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      CacheScope.releaseAll()
+    }
+
+    def timeAt(dir: String): Seq[(String, Double, Long)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val n = try fn(spark, dir).count() catch { case _: Throwable => -1L }
+        val sec = (System.nanoTime() - t0) / 1e9
+        CacheScope.releaseAll()
+        (name, sec, n)
+      }
+
+    val base = timeAt(baseDir)
+    val scaled = timeAt(scaledDir)
+
+    // d09's distributed CC tier, which driver SFs never push past the
+    // 5M-edge union-find ceiling: force it at the scaled SF
+    def timedDistCC(dir: String): (Double, Long) = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val n = operators.Dedup.dupClusters(
+        operators.Dedup.ngramJaccardPairs(Tables.documents(spark, dir))
+          .select(col("id_a"), col("id_b")), 0L).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      CacheScope.releaseAll()
+      (sec, n)
+    }
+    val (ccBaseSec, ccBaseN) = timedDistCC(baseDir)
+    val (ccScaledSec, ccScaledN) = timedDistCC(scaledDir)
+
+    def d3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val scaledBy = scaled.map { case (k, v, n) => k -> (v, n) }.toMap
+    val entries = base.map { case (name, bSec, bRows) =>
+      val (sSec, sRows) = scaledBy(name)
+      val ratio = if (bSec > 0) sSec / bSec else -1.0
+      (name, bSec, sSec, ratio, bRows, sRows)
+    } :+ {
+      val r = if (ccBaseSec > 0) ccScaledSec / ccBaseSec else -1.0
+      ("x_d09_distributed_cc", ccBaseSec, ccScaledSec, r, ccBaseN, ccScaledN)
+    }
+    val failed = entries.filter(e => e._5 < 0 || e._6 < 0).map(_._1)
+    if (failed.nonEmpty)
+      System.err.println(s"[scalebench] FAILED: ${failed.mkString(",")}")
+    val qs = entries.map { case (name, b, s, r, bn, sn) =>
+      s""""$name":{"base":${d3(b)},"scaled":${d3(s)},"ratio":${d3(r)},"rows_base":$bn,"rows_scaled":$sn}"""
+    }.mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"scale_growth","factor":$factor,"base_sf":"$baseDir","scaled_sf":"$scaledDir","base_total_sec":${d3(base.map(_._2).sum)},"scaled_total_sec":${d3(scaled.map(_._2).sum)},"queries":$qs}"""
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALEBENCH_OUT",
+      "/tmp/graft_scalebench.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes("UTF-8"))
+    println(json)
+    Console.out.flush()
+    spark.stop()
+  }
+}

@@ -205,10 +205,14 @@ object Dedup {
   }
 
   /** Block-size ceiling for [[d05_embedding_neardup]]'s exact path.
-    * A label block of B vectors costs B² scored pairs; 10k ⇒ ≤ 1e8
-    * pairs per block, still partition-local work. Blocks beyond it
-    * take the hyperplane-LSH route (cost ∝ bucket collisions). */
-  private[graft] val D05MaxExactBlock = 10000L
+    * A label block of B vectors costs B² scored pairs; 1k ⇒ ≤ 1e6
+    * pairs per block, comfortably partition-local. Blocks beyond it
+    * take the hyperplane-LSH route (cost ∝ bucket collisions). The
+    * round-6 scale bench measured the old 10k ceiling letting sf1's
+    * 2k-vector blocks run exact — 59× time at 10× data; 1k keeps the
+    * oracle SFs (blocks ≤ 200) on the exact path while anything
+    * scale-shaped goes to LSH. */
+  private[graft] val D05MaxExactBlock = 1000L
 
   /** Embedding-cosine near-duplicate candidates: for every vector, its
     * single most-similar neighbor within the same `label` block.

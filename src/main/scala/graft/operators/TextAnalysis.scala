@@ -107,14 +107,23 @@ object TextAnalysis {
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
           explode(winnow_fingerprints(col("text"), 8, 4)).as("fp")))
-    val maxDf = 20
+    // The stoplist cap must scale with the corpus: an ABSOLUTE cap
+    // stoplists a near-dup family's every fingerprint once the corpus
+    // replicates it past the cap (measured: 10× data → 0 output rows),
+    // so like MOSS we cap at a corpus FRACTION (0.4%), floored at 20
+    // so small corpora (≤5k docs — every driver SF) keep the exact
+    // historical cap. The total arrives as a 1-row broadcast, not a
+    // driver-side collect.
+    val total = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
     // df-count FIRST (count-only aggregate — no posting-list buffers),
     // THEN keep postings of surviving fingerprints: a boilerplate
     // fingerprint shared by millions of docs never materializes a
     // collect_list buffer on one executor
     val rare = docs.groupBy(col("fp"))
       .agg(count(lit(1)).as("df"))
-      .filter(col("df").between(2, maxDf))
+      .crossJoin(broadcast(total))
+      .filter(col("df") >= 2 &&
+        col("df") <= greatest(lit(20L), col("n_docs") / 250L))
       .select(col("fp"))
     val postings = docs.join(rare, Seq("fp"))
     val a = postings.select(col("fp"), col("doc_id").as("id_a"))

@@ -813,6 +813,106 @@ object Dedup {
           .otherwise(round(col("n_found") / col("n_true_pairs"), 4)))
   }
 
+  /** d22 — exact substring-overlap pairs: for every document pair
+    * sharing at least one verbatim 8-word gram, the length (in tokens)
+    * of their LONGEST shared verbatim run plus the total matched-gram
+    * count. This is the pairwise refinement of [[d19_repeated_ngrams]]
+    * (which reports corpus-wide repeated grams without saying WHICH
+    * pairs share long spans) — the signal a curation pipeline
+    * thresholds to drop "substantially overlapping" documents (Lee et
+    * al. 2022 use a 50-token exact-substring criterion; the 8-gram
+    * granularity here detects any run ≥ 9 tokens).
+    *
+    * Longest-run detection is gaps-and-islands over matched gram
+    * POSITIONS: a shared run of length L contributes L−7 consecutive
+    * gram matches on one diagonal (pa − pb constant), so
+    * `pa − row_number()` within (pair, diagonal) labels each island
+    * and max(island size)+7 is the run length in tokens.
+    *
+    * Scale shape: grams leave the scan as 16-byte digests with their
+    * position; a df-capped stoplist (same corpus-FRACTION cap as t05 —
+    * boilerplate grams shared by everyone would square the join)
+    * bounds the per-gram fan-out, so matched pairs ∝ genuinely shared
+    * spans. The window partitions by (pair, diagonal) — millions of
+    * tiny partitions, no skew.
+    */
+  def d22_substring_pairs: Q = (s, d) =>
+    substringPairs(Tables.documents(s, d))
+
+  private[graft] def substringPairs(docs: DataFrame, n: Int = 8): DataFrame = {
+    import graft.functions.TextHashFunctions.word_shingles
+    import org.apache.spark.sql.expressions.Window
+    val toks = array_remove(split(lower(col("text")), "\\s+"), "")
+    val grams = graft.CacheScope.persisted(
+      docs.select(col("doc_id"), toks.as("toks"))
+        .filter(size(col("toks")) >= n)
+        .select(col("doc_id"),
+          posexplode(word_shingles(col("toks"), n)).as(Seq("pos", "gram")))
+        .select(col("doc_id"), col("pos"), md5(col("gram")).as("gh")))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val eligible = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(total))
+      .filter(col("df") >= 2 &&
+        col("df") <= greatest(lit(20.0), col("n_docs") / lit(250.0)))
+      .select(col("gh"))
+    val posted = grams.join(eligible, Seq("gh"))
+    val a = posted.select(col("gh"), col("doc_id").as("id_a"), col("pos").as("pa"))
+    val b = posted.select(col("gh"), col("doc_id").as("id_b"), col("pos").as("pb"))
+    val hits = a.join(b, Seq("gh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("pa"), col("pb"),
+        (col("pa") - col("pb")).as("diag"))
+    val wIsl = Window.partitionBy(col("id_a"), col("id_b"), col("diag"))
+      .orderBy(col("pa"))
+    hits
+      .withColumn("grp", col("pa") - row_number().over(wIsl))
+      .groupBy(col("id_a"), col("id_b"), col("diag"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg((max(col("run")) + lit(n - 1)).as("max_run_tokens"),
+        sum(col("run")).as("n_shared_grams"))
+      .filter(col("max_run_tokens") >= n + 1)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** d23 — incremental gram-level novelty: treating documents with
+    * `doc_id % 7 == 3` as the NEW delivery and the rest as the
+    * standing corpus, score each new document by the fraction of its
+    * distinct 8-grams never seen in the standing corpus. Doc-level
+    * incremental dedup (d12/d16) answers "is this document a dup?";
+    * this answers "how much NEW text does it add?" — the metric a
+    * crawl pipeline tracks per delivery to detect collapsing sources.
+    *
+    * Scale shape: both sides reduce to 16-byte digests at the scan;
+    * the standing side is one distinct on digests (the standing gram
+    * index a real pipeline keeps materialized), the probe is a
+    * digest-keyed left join sized by the DELIVERY, not the corpus.
+    */
+  def d23_gram_novelty: Q = (s, d) =>
+    gramNovelty(Tables.documents(s, d))
+
+  private[graft] def gramNovelty(docs: DataFrame, n: Int = 8): DataFrame = {
+    import graft.functions.TextHashFunctions.word_shingles
+    val toks = array_remove(split(lower(col("text")), "\\s+"), "")
+    val grams = docs.select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(array_distinct(word_shingles(col("toks"), n))).as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("gh"))
+    val standing = grams.filter(col("doc_id") % 7 =!= 3)
+      .select(col("gh")).distinct()
+      .withColumn("seen", lit(1))
+    grams.filter(col("doc_id") % 7 === 3)
+      .join(standing, Seq("gh"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        Tables.rhalfup(col("n_novel") / col("n_grams"), 6).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "d13_lsh_recall" -> d13_lsh_recall,
     "d07_snapshot_diff" -> d07_snapshot_diff,
@@ -829,6 +929,8 @@ object Dedup {
     "d18_source_overlap" -> d18_source_overlap,
     "d19_repeated_ngrams" -> d19_repeated_ngrams,
     "d21_crossmodal_cc" -> d21_crossmodal_cc,
+    "d22_substring_pairs" -> d22_substring_pairs,
+    "d23_gram_novelty" -> d23_gram_novelty,
   )
 
   /** The d04 pair query without its final ORDER BY — one source for
@@ -858,6 +960,62 @@ object Dedup {
       |  * 1e4 + 0.5) / 1e4 >= 0.8""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d22_substring_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    t -> t <> '') AS l
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(l) - 7)) AS i, l
+        |  FROM toks WHERE len(l) >= 8),
+        |g AS (
+        |  SELECT doc_id, i AS pos,
+        |    md5(l[i]||' '||l[i+1]||' '||l[i+2]||' '||l[i+3]||' '||l[i+4]
+        |      ||' '||l[i+5]||' '||l[i+6]||' '||l[i+7]) AS gh
+        |  FROM pos),
+        |elig AS (
+        |  SELECT gh FROM g GROUP BY gh
+        |  HAVING COUNT(*) >= 2 AND COUNT(*) <=
+        |    greatest(20.0, (SELECT COUNT(*) FROM documents) / 250.0)),
+        |j AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb
+        |  FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id
+        |  WHERE a.gh IN (SELECT gh FROM elig)),
+        |isl AS (
+        |  SELECT id_a, id_b, pa - pb AS diag,
+        |    pa - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, pa - pb
+        |      ORDER BY pa) AS grp
+        |  FROM j),
+        |runs AS (
+        |  SELECT id_a, id_b, COUNT(*) AS run
+        |  FROM isl GROUP BY id_a, id_b, diag, grp)
+        |SELECT id_a, id_b, MAX(run) + 7 AS max_run_tokens,
+        |  CAST(SUM(run) AS BIGINT) AS n_shared_grams
+        |FROM runs GROUP BY id_a, id_b
+        |HAVING MAX(run) + 7 >= 9
+        |ORDER BY id_a, id_b""".stripMargin,
+    "d23_gram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    t -> t <> '') AS l
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    list_zip(l[1:len(l)-7], l[2:len(l)-6], l[3:len(l)-5],
+        |             l[4:len(l)-4], l[5:len(l)-3], l[6:len(l)-2],
+        |             l[7:len(l)-1], l[8:len(l)]),
+        |    p -> md5(p[1]||' '||p[2]||' '||p[3]||' '||p[4]||' '||p[5]
+        |      ||' '||p[6]||' '||p[7]||' '||p[8])))) AS gh
+        |  FROM toks WHERE len(l) >= 8),
+        |standing AS (SELECT DISTINCT gh FROM g WHERE doc_id % 7 <> 3)
+        |SELECT b.doc_id, COUNT(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN s.gh IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  floor(CAST(SUM(CASE WHEN s.gh IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) * 1e6 + 0.5) / 1e6 AS novelty
+        |FROM g b LEFT JOIN standing s ON b.gh = s.gh
+        |WHERE b.doc_id % 7 = 3
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
     "d19_repeated_ngrams" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),

@@ -454,7 +454,79 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t19 — Zipf power-law fit of the corpus token distribution: least-
+    * squares slope of log(freq) vs log(rank) over the full vocabulary,
+    * with intercept and r². A healthy natural-language corpus fits
+    * slope ≈ −1 with high r²; a collapsed or machine-generated corpus
+    * drifts — this is the distribution-level health check a training-
+    * data pipeline runs per delivery next to t07's vocab listing.
+    *
+    * Determinism (cross-engine hash-exact): each term's ln(rank) /
+    * ln(freq) is floored into integer MICRO-UNITS (t18's pattern —
+    * ln's argument is a plain integer in both engines, and a 1-ulp
+    * libm divergence only matters if ln(k)·1e6 straddles an integer
+    * boundary), the five regression sums accumulate exactly over
+    * longs/decimals (order-independent in any partition layout), and
+    * the final slope/intercept/r² are a fixed IEEE expression tree
+    * over those exact sums, mirrored token-for-token in the oracle.
+    *
+    * Ranking without a global single-partition sort: rank(t) =
+    * (# tokens with strictly higher freq) + row_number within the
+    * freq group ordered by token. The within-group window partitions
+    * by freq (distributed); the cumulative-higher table is a window
+    * over DISTINCT freq values — heavy-tailed, thousands of rows at
+    * any corpus size — then broadcast back.
+    */
+  def t19_zipf: Q = (s, d) => zipfFit(Tables.documents(s, d))
+
+  private[graft] def zipfFit(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toksCol = array_remove(split(lower(col("text")), "\\s+"), "")
+    val vocab = docs
+      .select(explode(toksCol).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val byFreq = vocab.groupBy(col("freq")).agg(count(lit(1)).as("nf"))
+    val wCum = Window.orderBy(col("freq").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val higher = byFreq
+      .withColumn("cum_higher", coalesce(sum(col("nf")).over(wCum), lit(0L)))
+      .select(col("freq"), col("cum_higher"))
+    val wIn = Window.partitionBy(col("freq")).orderBy(col("tok"))
+    val ranked = vocab
+      .withColumn("rn", row_number().over(wIn))
+      .join(broadcast(higher), Seq("freq"))
+      .select(col("freq"), (col("cum_higher") + col("rn")).as("rank"))
+    val m = ranked.select(
+      floor(log(col("rank").cast(DoubleType)) * 1e6).cast(LongType).as("x"),
+      floor(log(col("freq").cast(DoubleType)) * 1e6).cast(LongType).as("y"))
+    val sums = m.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(DecimalType(38, 0))).cast(DoubleType).as("sx"),
+      sum(col("y").cast(DecimalType(38, 0))).cast(DoubleType).as("sy"),
+      sum((col("x") * col("y")).cast(DecimalType(38, 0))).cast(DoubleType).as("sxy"),
+      sum((col("x") * col("x")).cast(DecimalType(38, 0))).cast(DoubleType).as("sxx"),
+      sum((col("y") * col("y")).cast(DecimalType(38, 0))).cast(DoubleType).as("syy"))
+    val withBeta = sums.select(
+      col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy"),
+      col("n").cast(DoubleType).as("nd"))
+      .withColumn("beta",
+        (col("nd") * col("sxy") - col("sx") * col("sy")) /
+          (col("nd") * col("sxx") - col("sx") * col("sx")))
+    withBeta.select(
+      col("n").as("n_vocab"),
+      Tables.rhalfup(col("beta"), 6).as("slope"),
+      Tables.rhalfup(
+        (col("sy") - col("beta") * col("sx")) / col("nd") / lit(1e6), 6)
+        .as("intercept"),
+      Tables.rhalfup(
+        (col("nd") * col("sxy") - col("sx") * col("sy")) *
+          (col("nd") * col("sxy") - col("sx") * col("sy")) /
+          ((col("nd") * col("sxx") - col("sx") * col("sx")) *
+            (col("nd") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t19_zipf" -> t19_zipf,
     "t15_entropy" -> t15_entropy,
     "t16_bm25" -> t16_bm25,
     "t18_lm_perplexity" -> t18_lm_perplexity,
@@ -549,6 +621,35 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "t19_zipf" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    t -> t <> '')) AS tok
+        |  FROM documents),
+        |vocab AS (SELECT tok, COUNT(*) AS freq FROM tok GROUP BY tok),
+        |ranked AS (
+        |  SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rk
+        |  FROM vocab),
+        |m AS (
+        |  SELECT CAST(floor(ln(CAST(rk AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+        |         CAST(floor(ln(CAST(freq AS DOUBLE)) * 1e6) AS BIGINT) AS y
+        |  FROM ranked),
+        |s AS (
+        |  SELECT COUNT(*) AS n, CAST(COUNT(*) AS DOUBLE) AS nd,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x*y) AS DOUBLE) AS sxy, CAST(SUM(x*x) AS DOUBLE) AS sxx,
+        |    CAST(SUM(y*y) AS DOUBLE) AS syy
+        |  FROM m),
+        |f AS (
+        |  SELECT n, nd, sx, sy, sxy, sxx, syy,
+        |    (nd*sxy - sx*sy) / (nd*sxx - sx*sx) AS beta
+        |  FROM s)
+        |SELECT n AS n_vocab,
+        |  floor(beta * 1e6 + 0.5) / 1e6 AS slope,
+        |  floor((sy - beta*sx) / nd / 1e6 * 1e6 + 0.5) / 1e6 AS intercept,
+        |  floor((nd*sxy - sx*sy) * (nd*sxy - sx*sy)
+        |    / ((nd*sxx - sx*sx) * (nd*syy - sy*sy)) * 1e6 + 0.5) / 1e6 AS r2
+        |FROM f""".stripMargin,
     "t16_bm25" -> bm25OracleSql,
     "t18_lm_perplexity" ->
       """WITH toks AS (

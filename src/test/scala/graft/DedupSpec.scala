@@ -427,6 +427,80 @@ class DedupSpec extends AnyFunSuite {
     assert(r.getAs[Double]("jaccard") == 0.333333)
   }
 
+  test("d22 longest shared run: single 12-token run measured exactly") {
+    import spark.implicits._
+    val run12 = (1 to 12).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, run12 + " ua1 ua2 ua3"),
+      (2L, "ub1 ub2 " + run12 + " ub3"),
+      (3L, (1 to 12).map(i => s"z$i").mkString(" ")),
+    ).toDF("doc_id", "text")
+    val rows = operators.Dedup.substringPairs(docs).collect()
+    CacheScope.releaseAll()
+    // a 12-token run ⇒ 5 consecutive shared 8-grams ⇒ max run 5+7=12,
+    // robust to the differing offsets (diagonal-invariant)
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L)
+    assert(r.getAs[Long]("max_run_tokens") == 12L)
+    assert(r.getAs[Long]("n_shared_grams") == 5L)
+  }
+
+  test("d22 disjoint runs don't merge; 8-token runs are below threshold") {
+    import spark.implicits._
+    val runA = (1 to 9).map(i => s"a$i").mkString(" ")
+    val runB = (1 to 9).map(i => s"b$i").mkString(" ")
+    val run8 = (1 to 8).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      // same filler length ⇒ same diagonal, but the unshared gap
+      // still has to split the islands
+      (1L, runA + " fillx " + runB),
+      (2L, runA + " filly " + runB),
+      // an exactly-8-token shared run (one gram) must NOT qualify
+      (10L, run8 + " ud1 ud2"),
+      (11L, "ue1 " + run8),
+    ).toDF("doc_id", "text")
+    val rows = operators.Dedup.substringPairs(docs).collect()
+    CacheScope.releaseAll()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L)
+    assert(r.getAs[Long]("max_run_tokens") == 9L,
+      "two disjoint 9-token runs must not merge into one island")
+    assert(r.getAs[Long]("n_shared_grams") == 4L)
+  }
+
+  test("d22 boilerplate grams above the df cap never generate pairs") {
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"bp$i").mkString(" ")
+    // 30 docs all sharing the same 10-token boilerplate: gram df=30 >
+    // cap=greatest(20, 30/250)=20 ⇒ stoplisted, no quadratic pair set
+    val docs = (1L to 30L).map(i => (i, boiler + s" u$i")).toDF("doc_id", "text")
+    assert(operators.Dedup.substringPairs(docs).isEmpty)
+    CacheScope.releaseAll()
+  }
+
+  test("d23 novelty fractions are exact on a crafted delivery") {
+    import spark.implicits._
+    val t = (1 to 15).map(i => s"t$i")
+    val docs = Seq(
+      // batch doc (3 % 7 == 3): 15 tokens ⇒ 8 grams; standing doc 1
+      // holds its first 12 tokens ⇒ windows 1-5 seen, 6-8 novel
+      (1L, t.take(12).mkString(" ")),
+      (3L, t.mkString(" ")),
+      // batch doc 10 (10 % 7 == 3): all grams novel
+      (10L, (1 to 15).map(i => s"n$i").mkString(" ")),
+    ).toDF("doc_id", "text")
+    val got = operators.Dedup.gramNovelty(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"),
+          r.getAs[Double]("novelty")))).toMap
+    CacheScope.releaseAll()
+    assert(got.keySet == Set(3L, 10L))
+    assert(got(3L) == ((8L, 3L, 0.375)))
+    assert(got(10L) == ((8L, 8L, 1.0)))
+  }
+
   test("d19 finds the shared 8-gram span once per doc and ignores singles") {
     import spark.implicits._
     val span = (1 to 8).map(i => s"w$i").mkString(" ")

@@ -176,4 +176,42 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.keySet == (1L to 20L).toSet)
     assert(got(1L)._3 == 1 && got(20L)._3 == 20)
   }
+
+  test("t19 zipf fit matches an independent scalar reference exactly") {
+    // Zipf-ish corpus: token w_k appears ~N/k times
+    val texts = Seq(
+      1L -> (Seq.fill(24)("w1") ++ Seq.fill(12)("w2") ++ Seq.fill(8)("w3"))
+        .mkString(" "),
+      2L -> (Seq.fill(6)("w4") ++ Seq.fill(4)("w5") ++ Seq.fill(3)("w6") ++
+        Seq("w7", "w8", "w9")).mkString(" "),
+    )
+    val out = operators.TextAnalysis.zipfFit(corpus(texts: _*)).collect()
+    CacheScope.releaseAll()
+    assert(out.length == 1)
+    val r = out.head
+
+    // independent reference: plain Scala over the same token stream
+    val freqs = texts.flatMap(_._2.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (t, o) => (t, o.size.toLong) }.toSeq
+    val ranked = freqs.sortBy { case (t, f) => (-f, t) }.zipWithIndex
+      .map { case ((_, f), i) => (i + 1L, f) }
+    val xy = ranked.map { case (rank, f) =>
+      (math.floor(math.log(rank.toDouble) * 1e6),
+        math.floor(math.log(f.toDouble) * 1e6)) }
+    val n = xy.size.toDouble
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val syy = xy.map(p => p._2 * p._2).sum
+    val beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    def r6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    assert(r.getAs[Long]("n_vocab") == 9L)
+    assert(r.getAs[Double]("slope") == r6(beta))
+    assert(r.getAs[Double]("intercept") == r6((sy - beta * sx) / n / 1e6))
+    assert(r.getAs[Double]("r2") == r6((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+      ((n * sxx - sx * sx) * (n * syy - sy * sy))))
+    // a Zipf-shaped corpus: steep negative slope, strong fit
+    assert(r.getAs[Double]("slope") < -0.5)
+    assert(r.getAs[Double]("r2") > 0.9)
+  }
 }

@@ -190,46 +190,91 @@ object Relational {
       .agg(count(lit(1)).as("n_parts"))
       .orderBy(col("p_brand"))
 
-  /** §2.3-10b: Levenshtein near-duplicate names, blocked on
-    * (p_brand, p_type, length bucket) so the candidate space is
-    * per-block (the standard blocking-key trick: at 100 TB you never
-    * cross-join unblocked — a finer key trades recall for a
-    * quadratic-factor cost cut). The length bucket is the crucial
-    * scale guard: (brand, type) alone has FIXED cardinality (TPC-H
-    * keeps 25 brands × 150 types at every SF), so its blocks grow
-    * linearly with the catalog and within-block pairs quadratically —
-    * measured 65× time at 10× parts before the bucket. Bucketing
-    * names by floor(len/3) is recall-LOSSLESS here: matching pairs
-    * have |len(a)−len(b)| ≤ 2, so their buckets differ by at most 1,
-    * and the probe side expands to {b−1, b, b+1} — every qualifying
-    * pair meets in exactly one bucket (b_a is a single value), so no
-    * dedup step is needed. Self-join shuffles on the 4-part key only.
+  /** §2.3-10b: Levenshtein near-duplicate names (edit distance ≤ 2
+    * within the same brand+type), with ED-Join-style q-GRAM PREFIX
+    * FILTERING for candidate generation — the char-level analogue of
+    * d04's PPJoin.
+    *
+    * Why blocking alone cannot scale here: (brand, type) has FIXED
+    * cardinality (TPC-H keeps 25 brands × 150 types at every SF), so
+    * blocks grow linearly with the catalog and within-block pairs
+    * quadratically — measured 60-65× time at 10× parts, with or
+    * without an added length bucket (a constant-factor shave).
+    *
+    * Candidate generation (lossless, Gravano et al. / ED-Join):
+    * ed(a,b) ≤ τ ⇒ each edit destroys ≤ q overlapping q-grams ⇒
+    * multiset gram overlap ≥ max(|Ga|,|Gb|) − q·τ. Linearize each
+    * name's gram occurrences by one per-block total order (df asc,
+    * gram asc, occurrence asc); by the prefix-filter lemma any
+    * qualifying pair shares a gram among each side's first q·τ+1 = 7
+    * entries. Rare grams lead every prefix, so candidate volume is
+    * Σ over rare grams of prefix-df² — a hot (boilerplate) gram can
+    * never flood the join. Pairs where BOTH names are too short for
+    * the guarantee (len < q + q·τ = 9 ⇒ overlap bound ≤ 0) fall back
+    * to the plain block join over just those short names.
+    *
+    * Verify is the bounded levenshtein (early-exit past the
+    * threshold, O(len·k) not O(len²)) on deduped candidates; the
+    * |Δlen| ≤ τ necessary condition prunes before dedup.
     */
-  def q12_levenshtein: Q = (s, d) => {
-    val p = Tables.part(s, d)
-      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_name"))
-    val a = p.select(col("p_brand"), col("p_type"),
-      col("p_partkey").as("id_a"), col("p_name").as("name_a"),
-      floor(length(col("p_name")) / 3).as("lb"))
-    val b = p.select(col("p_brand"), col("p_type"),
-      col("p_partkey").as("id_b"), col("p_name").as("name_b"))
-      .withColumn("lb", explode(array(
-        floor(length(col("name_b")) / 3) - 1,
-        floor(length(col("name_b")) / 3),
-        floor(length(col("name_b")) / 3) + 1)))
-    a.join(b, Seq("p_brand", "p_type", "lb"))
-      .filter(col("id_a") < col("id_b"))
-      // |len(a)-len(b)| ≤ dist, so this cheap filter is semantics-
-      // preserving and spares most pairs the O(len²) edit distance
-      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= 2)
-      // bounded levenshtein early-exits once distance exceeds the
-      // threshold — exact for distances within it, so the ≤ 2 filter
-      // is unchanged semantically but O(len·k) instead of O(len²)
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 3))
-      .filter(col("dist").between(0, 2))
+  def q12_levenshtein: Q = (s, d) =>
+    levenshteinPairs(Tables.part(s, d))
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n_near_dup_pairs"))
       .orderBy(col("p_brand"))
+
+  /** Near-dup name pairs with their distance — see [[q12_levenshtein]]. */
+  private[graft] def levenshteinPairs(parts: DataFrame): DataFrame = {
+    val q = 3; val tau = 2; val prefixLen = q * tau + 1
+    val p = parts.select(col("p_partkey"), col("p_brand"), col("p_type"),
+      col("p_name"), length(col("p_name")).as("len"))
+    val grams = p.filter(col("len") >= q)
+      .select(col("p_partkey"), col("p_brand"), col("p_type"),
+        col("p_name"), col("len"),
+        posexplode(expr(
+          s"transform(sequence(1, length(p_name) - ${q - 1}), i -> substring(p_name, i, $q))"))
+          .as(Seq("pos", "gram")))
+    val df = grams.groupBy(col("p_brand"), col("p_type"), col("gram"))
+      .agg(count(lit(1)).as("gdf"))
+    val wPrefix = Window.partitionBy(col("p_partkey"))
+      .orderBy(col("gdf"), col("gram"), col("pos"))
+    val prefixes = graft.CacheScope.persisted(
+      grams.join(df, Seq("p_brand", "p_type", "gram"))
+        .withColumn("rn", row_number().over(wPrefix))
+        .filter(col("rn") <= prefixLen)
+        .select(col("p_brand"), col("p_type"), col("gram"), col("pos"),
+          col("p_partkey"), col("p_name"), col("len")))
+    val ca = prefixes.select(col("p_brand"), col("p_type"), col("gram"),
+      col("pos").as("pos_a"), col("p_partkey").as("id_a"),
+      col("p_name").as("name_a"), col("len").as("len_a"))
+    val cb = prefixes.select(col("p_brand"), col("p_type"), col("gram"),
+      col("pos").as("pos_b"), col("p_partkey").as("id_b"),
+      col("p_name").as("name_b"), col("len").as("len_b"))
+    val gramPairs = ca.join(cb, Seq("p_brand", "p_type", "gram"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("len_a") - col("len_b")) <= tau &&
+        // positional filter (ED-Join): a gram surviving τ edits moves
+        // by at most τ positions, so far-apart matches can't witness a
+        // qualifying pair — lossless, cuts same-gram candidates
+        abs(col("pos_a") - col("pos_b")) <= tau)
+      .select(col("p_brand"), col("id_a"), col("id_b"),
+        col("name_a"), col("name_b"))
+    // both-short pairs: the overlap bound is vacuous, so join them
+    // directly — bounded by the (rare) short-name population, not the
+    // catalog
+    val shorts = p.filter(col("len") < q + q * tau)
+    val sa = shorts.select(col("p_brand"), col("p_type"),
+      col("p_partkey").as("id_a"), col("p_name").as("name_a"))
+    val sb = shorts.select(col("p_brand"), col("p_type"),
+      col("p_partkey").as("id_b"), col("p_name").as("name_b"))
+    val shortPairs = sa.join(sb, Seq("p_brand", "p_type"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("p_brand"), col("id_a"), col("id_b"),
+        col("name_a"), col("name_b"))
+    gramPairs.union(shortPairs)
+      .distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 3))
+      .filter(col("dist").between(0, 2))
   }
 
   /** Date functions: orders per year/month. EXTRACT is portable and

@@ -415,7 +415,100 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** p01 — the preprocessing pipeline END TO END as ONE declarative
+    * plan: d08's curation gates (canonical-fingerprint dedup + lang +
+    * length + punctuation) → near-dup pruning over d04's verified
+    * Jaccard pairs (d15's order-independent rule: drop any doc with a
+    * lower-id near-dup, whatever that neighbor's own fate) → d10's
+    * benchmark decontamination (benchmark slice leaves the corpus,
+    * contaminated survivors dropped) → d11's per-language mixture
+    * coin over the CLEAN corpus → t13's greedy sequence packing of
+    * what remains. The composite is what a training-data run actually
+    * executes; expressing it as one plan lets Catalyst pipeline the
+    * gates into the scans and share the curated intermediate across
+    * stages, instead of five materialization barriers.
+    *
+    * Every stage is the proven operator's exact formula (same
+    * thresholds, same coins), so the oracle chains the same CTEs the
+    * per-stage oracles use — including d04's pair body re-rooted at
+    * the curated CTE. Scale = the max of its stages: d04's prefix
+    * filter dominates; every other stage is map-side or
+    * stratum-bounded.
+    */
+  def p01_pipeline: Q = (s, d) => {
+    import graft.functions.TextHashFunctions.word_shingles
+    val docs = Tables.documents(s, d)
+    // stage 1: curate (d08's gates, keeping source/lang/text for later)
+    val nTokW = size(split(col("text"), "\\s+"))
+    val nChars = length(col("text"))
+    val nPunct = size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0)))
+    val fpc = md5(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
+    val wFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    val curated = graft.CacheScope.persisted(
+      docs
+        .select(col("doc_id"), col("source"), col("lang"), col("text"),
+          fpc.as("fp"), nTokW.as("n_tokens"),
+          graft.Tables.rhalfup(nPunct.cast(DoubleType) / nChars, 6)
+            .as("punct_ratio"),
+          TextAnalysis.predLangCol(lower(col("text"))).as("pred_lang"))
+        .withColumn("rn", row_number().over(wFp))
+        .filter(col("rn") === 1 && col("pred_lang") =!= "und" &&
+          col("n_tokens") >= 5 && col("punct_ratio") < 0.2)
+        .select(col("doc_id"), col("source"), col("lang"), col("text"),
+          col("pred_lang")))
+    // stage 2: near-dup prune (d04 pairs over the curated corpus)
+    val dominated = Dedup.ngramJaccardPairs(
+        curated.select(col("doc_id"), col("source"), col("lang"), col("text")))
+      .select(col("id_b").as("doc_id")).distinct()
+    val deduped = curated.join(dominated, Seq("doc_id"), "left_anti")
+    // stage 3: decontam (d10's gram overlap vs the doc_id%31 benchmark
+    // slice of the ORIGINAL corpus; benchmark docs leave the corpus)
+    val gramsOf = array_distinct(word_shingles(toks, 5))
+    val bench = docs.filter(col("doc_id") % 31 === 0)
+      .select(explode(gramsOf).as("g")).distinct()
+      .withColumn("__hit", lit(1))
+    val nBench = bench.count()
+    require(nBench <= D10MaxBenchGrams,
+      s"p01 benchmark n-gram set has $nBench distinct grams > cap " +
+        s"$D10MaxBenchGrams — shrink the benchmark or sketch it (d20)")
+    val cleanIds = deduped.filter(col("doc_id") % 31 =!= 0)
+      .select(col("doc_id"), explode(gramsOf).as("g"))
+      .join(broadcast(bench), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hits"))
+      .filter(graft.Tables.rhalfup(col("n_hits") / col("n_grams"), 6) < 0.05)
+      .select(col("doc_id"))
+    val clean = graft.CacheScope.persisted(deduped.join(cleanIds, Seq("doc_id")))
+    // stage 4: mixture (d11's coin, stratified by PREDICTED language
+    // over the clean corpus — the pipeline samples what it curated)
+    val counts = clean.groupBy(col("pred_lang")).agg(count(lit(1)).as("n_docs"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("n_docs")).as("n_min"))))
+      .withColumn("keep_thresh",
+        round(sqrt(col("n_min") / col("n_docs")) * 1000000).cast(LongType))
+      .select(col("pred_lang"), col("keep_thresh"))
+    val sampled = clean.join(broadcast(rates), Seq("pred_lang"))
+      .filter(col("doc_id") % 2147483648L * 2654435761L % 4294967296L
+        % 1000000L < col("keep_thresh"))
+    // stage 5: pack (t13's greedy bins over the sampled survivors)
+    val wPack = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sampled
+      .select(col("doc_id"), col("source"),
+        (col("doc_id") % 16).as("shard"),
+        size(toks).cast(LongType).as("n_toks"))
+      .withColumn("cum", sum(col("n_toks")).over(wPack))
+      .withColumn("bin",
+        floor((col("cum") - col("n_toks")) / lit(2048.0)).cast(LongType))
+      .groupBy(col("source"), col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .withColumn("fill", graft.Tables.rhalfup(col("n_tokens") / lit(2048.0), 6))
+      .orderBy(col("source"), col("shard"), col("bin"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "p01_pipeline" -> p01_pipeline,
     "t17_shards" -> t17_shards,
     "d20_bloom_decontam" -> d20_bloom_decontam,
     "d14_scd2" -> d14_scd2,
@@ -429,6 +522,96 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "p01_pipeline" -> {
+      val (scores, pred) = TextAnalysis.langOracleSql
+      s"""WITH scored AS (
+         |  SELECT doc_id, source, lang, text,
+         |    $scores,
+         |    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+         |    len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
+         |    length(text) AS n_chars,
+         |    len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct
+         |  FROM documents
+         |), ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id)
+         |    AS rn
+         |  FROM scored
+         |), curated AS (
+         |  SELECT doc_id, source, lang, text, $pred AS pred_lang
+         |  FROM ranked
+         |  WHERE rn = 1 AND ($pred) <> 'und' AND n_tokens >= 5
+         |    AND floor(CAST(n_punct AS DOUBLE) / n_chars * 1e6 + 0.5) / 1e6
+         |      < 0.2
+         |), dominated AS (
+         |  SELECT DISTINCT id_b AS doc_id FROM (
+         |${Dedup.d04OracleBodyOn("curated")})
+         |), deduped AS (
+         |  SELECT c.* FROM curated c
+         |  LEFT JOIN dominated dd ON c.doc_id = dd.doc_id
+         |  WHERE dd.doc_id IS NULL
+         |), tg AS (
+         |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |gb AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(l) < 5 THEN [array_to_string(l, ' ')]
+         |    ELSE list_transform(
+         |      list_zip(l[1:len(l)-4], l[2:len(l)-3], l[3:len(l)-2],
+         |               l[4:len(l)-1], l[5:len(l)]),
+         |      p -> p[1]||' '||p[2]||' '||p[3]||' '||p[4]||' '||p[5])
+         |    END)) AS gram
+         |  FROM tg),
+         |bench AS (SELECT DISTINCT gram FROM gb WHERE doc_id % 31 = 0),
+         |tgc AS (
+         |  SELECT dd.doc_id, string_split(dd.text, ' ') AS l
+         |  FROM deduped dd WHERE dd.doc_id % 31 <> 0),
+         |gc AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(l) < 5 THEN [array_to_string(l, ' ')]
+         |    ELSE list_transform(
+         |      list_zip(l[1:len(l)-4], l[2:len(l)-3], l[3:len(l)-2],
+         |               l[4:len(l)-1], l[5:len(l)]),
+         |      p -> p[1]||' '||p[2]||' '||p[3]||' '||p[4]||' '||p[5])
+         |    END)) AS gram
+         |  FROM tgc),
+         |clean_ids AS (
+         |  SELECT g.doc_id
+         |  FROM gc g LEFT JOIN bench b ON g.gram = b.gram
+         |  GROUP BY g.doc_id
+         |  HAVING floor(COUNT(b.gram) / COUNT(*) * 1e6 + 0.5) / 1e6 < 0.05
+         |), clean AS (
+         |  SELECT dd.* FROM deduped dd JOIN clean_ids ci
+         |    ON dd.doc_id = ci.doc_id
+         |), counts AS (
+         |  SELECT pred_lang, COUNT(*) AS n_docs FROM clean GROUP BY pred_lang),
+         |rates AS (
+         |  SELECT pred_lang,
+         |    CAST(round(sqrt(MIN(n_docs) OVER () / n_docs) * 1000000)
+         |      AS BIGINT) AS keep_thresh
+         |  FROM counts),
+         |sampled AS (
+         |  SELECT c.* FROM clean c JOIN rates r ON c.pred_lang = r.pred_lang
+         |  WHERE c.doc_id % 2147483648 * 2654435761 % 4294967296 % 1000000
+         |    < r.keep_thresh
+         |), t AS (
+         |  SELECT doc_id, source, doc_id % 16 AS shard,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+         |  FROM sampled),
+         |cm AS (
+         |  SELECT *, SUM(n_toks) OVER (PARTITION BY source, shard
+         |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM t),
+         |bn AS (
+         |  SELECT source, shard, n_toks,
+         |    CAST(floor((cum - n_toks) / 2048.0) AS BIGINT) AS bin
+         |  FROM cm)
+         |SELECT source, shard, bin,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         |  floor(CAST(SUM(n_toks) AS DOUBLE) / 2048.0 * 1e6 + 0.5) / 1e6
+         |    AS fill
+         |FROM bn GROUP BY source, shard, bin
+         |ORDER BY source, shard, bin""".stripMargin
+    },
     "t17_shards" ->
       """WITH d AS (
         |  SELECT doc_id,

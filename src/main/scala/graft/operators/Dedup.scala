@@ -933,9 +933,13 @@ object Dedup {
     "d23_gram_novelty" -> d23_gram_novelty,
   )
 
-  /** The d04 pair query without its final ORDER BY — one source for
-    * the d04 oracle and the d09 oracle's `pairs` CTE (a drifted copy
-    * would make the cluster oracle disagree with the pair oracle). */
+  /** The d04 pair query without its final ORDER BY, parameterized on
+    * the source relation — one source for the d04 oracle, the d09
+    * oracle's `pairs` CTE, and p01's dedup stage (a drifted copy
+    * would make dependent oracles disagree with the pair oracle). */
+  private[operators] def d04OracleBodyOn(rel: String): String =
+    d04OracleBody.replace("FROM documents", s"FROM $rel")
+
   private val d04OracleBody: String =
     """WITH tok AS (
       |  SELECT DISTINCT doc_id, source, lang,

@@ -547,7 +547,7 @@ object TextAnalysis {
     * both oracle blocks (t01 + d08) so a lexicon change can't
     * desynchronize a query from its oracle. Returns (score select
     * list, argmax CASE expression). */
-  private def langOracleSql: (String, String) = {
+  private[operators] def langOracleSql: (String, String) = {
     val scores = lexicons.map { case (lg, alt) =>
       s"len(regexp_extract_all(lower(text), '\\b$alt\\b')) AS s_$lg"
     }.mkString(",\n    ")

@@ -525,7 +525,49 @@ object TextAnalysis {
             (col("nd") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
   }
 
+  /** t20 — heavy hitters via count-min sketch: one fixed-size sketch
+    * aggregate over the token stream (the summary a one-pass or
+    * streaming pipeline keeps instead of a full vocabulary), probed
+    * for the exact top-20 tokens so every row carries the sketch
+    * estimate next to the exact count. The count-min guarantee —
+    * estimate ≥ exact, overshoot ≤ ε·N with confidence δ — is
+    * asserted per row (`within_bound`) and in TextAnalysisSpec.
+    *
+    * Scale: the sketch is a partial+final aggregate with CONSTANT
+    * state (ε=0.001, δ=0.99 ⇒ ~7 rows × 2719 counters) regardless of
+    * corpus size; the exact side is t07's partial-agg vocabulary path
+    * ending in TakeOrdered(20); the probe is a one-row broadcast and
+    * 20 codegen'd estimates. No oracle (sketch layout is
+    * engine-specific); rows-only + spec properties.
+    */
+  def t20_heavy_hitters: Q = (s, d) =>
+    heavyHitters(Tables.documents(s, d))
+
+  private[graft] def heavyHitters(docs: DataFrame, topK: Int = 20): DataFrame = {
+    import graft.functions.SketchFunctions.cms_estimate
+    val eps = 0.001
+    val tokens = docs.select(
+      explode(array_remove(split(lower(col("text")), "\\s+"), "")).as("tok"))
+    val sketch = tokens.agg(
+      count_min_sketch(col("tok"), lit(eps), lit(0.99), lit(42)).as("cms"),
+      count(lit(1)).as("n_stream"))
+    val top = tokens.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok"))
+      .limit(topK)
+    top.crossJoin(broadcast(sketch))
+      .select(col("tok"), col("exact_cnt"),
+        cms_estimate(col("cms"), col("tok")).as("est_cnt"),
+        col("n_stream"))
+      .withColumn("within_bound",
+        col("est_cnt") >= col("exact_cnt") &&
+          col("est_cnt") - col("exact_cnt") <=
+            ceil(col("n_stream") * lit(eps)))
+      .select(col("tok"), col("exact_cnt"), col("est_cnt"), col("within_bound"))
+      .orderBy(col("exact_cnt").desc, col("tok"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t20_heavy_hitters" -> t20_heavy_hitters,
     "t19_zipf" -> t19_zipf,
     "t15_entropy" -> t15_entropy,
     "t16_bm25" -> t16_bm25,

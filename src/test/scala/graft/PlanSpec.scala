@@ -237,4 +237,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("partial_max"))
   }
+
+  test("q12 candidate join is keyed on the prefix gram, never the bare block") {
+    val p = plan("q12_levenshtein")
+    // the self-join's shuffle key must include the gram — a
+    // (brand,type)-only exchange means the quadratic block join is back
+    assert("Exchange hashpartitioning\\(p_brand[^)]*gram".r
+      .findFirstIn(p).isDefined,
+      s"no gram-keyed exchange — candidate join degenerated:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("d22 postings shuffle 16-byte digests, not gram text") {
+    val p = plan("d22_substring_pairs")
+    // every exchange after the scan is keyed by the md5 digest (gh) or
+    // the pair ids — the gram string itself dies at the scan projection
+    assert(p.contains("Exchange hashpartitioning(gh"))
+    assert(!"Exchange hashpartitioning\\(gram".r.findFirstIn(p).isDefined,
+      "gram text crossed a shuffle")
+  }
+
+  test("p01 shares the curated intermediate and broadcasts the small sides") {
+    val p = plan("p01_pipeline")
+    // curated is CacheScope-persisted and read by stages 2/3/4 — the
+    // plan must reference the in-memory relation, not recompute it
+    assert(p.contains("InMemoryTableScan"))
+    // bench grams and mixture rates ship as broadcasts
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
+    assert(!p.contains("CartesianProduct"))
+  }
 }

@@ -214,4 +214,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getAs[Double]("slope") < -0.5)
     assert(r.getAs[Double]("r2") > 0.9)
   }
+
+  test("t20 count-min estimates dominate exact counts within the ε bound") {
+    // skewed corpus: hot token 60×, mid tokens, long tail
+    val texts = Seq(
+      1L -> (Seq.fill(60)("hot") ++ Seq.fill(20)("warm") ++
+        Seq.fill(10)("mild")).mkString(" "),
+      2L -> (1 to 50).map(i => s"tail$i").mkString(" "),
+    )
+    val rows = operators.TextAnalysis.heavyHitters(corpus(texts: _*), topK = 10)
+      .collect()
+    CacheScope.releaseAll()
+    assert(rows.length == 10)
+    val byTok = rows.map(r => r.getAs[String]("tok") ->
+      ((r.getAs[Long]("exact_cnt"), r.getAs[Long]("est_cnt"),
+        r.getAs[Boolean]("within_bound")))).toMap
+    assert(byTok("hot")._1 == 60L && byTok("warm")._1 == 20L)
+    // count-min NEVER underestimates, and on this tiny stream the
+    // ε·N slack rounds to ≤ 1 — every estimate must be in bound
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est_cnt") >= r.getAs[Long]("exact_cnt"))
+      assert(r.getAs[Boolean]("within_bound"),
+        s"${r.getAs[String]("tok")} exceeded the ε bound")
+    }
+    // the head of the ranking is exact-count ordered
+    assert(rows.head.getAs[String]("tok") == "hot")
+  }
 }

@@ -39,7 +39,7 @@ class EmptyInputSpec extends AnyFunSuite {
   // aggregate-shaped queries legitimately emit one degenerate row on
   // empty input (e.g. d13's recall summary); everything else must be
   // empty
-  private val degenerateRowOk = Set("d13_lsh_recall")
+  private val degenerateRowOk = Set("d13_lsh_recall", "t19_zipf")
 
   private val targets = Seq(
     "d01_dedup_exact", "d02_minhash_lsh", "d03_simhash", "d04_ngram_jaccard",
@@ -51,7 +51,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "q69_funnel", "m03_media_stats", "m05_phash_groups",
     "t16_bm25", "t17_shards", "d18_source_overlap", "s07_label_centroids",
     "t18_lm_perplexity", "d19_repeated_ngrams", "s08_semantic_decontam",
-    "d20_bloom_decontam")
+    "d20_bloom_decontam", "d21_crossmodal_cc", "d22_substring_pairs",
+    "d23_gram_novelty", "t19_zipf", "t20_heavy_hitters", "p01_pipeline")
 
   for (name <- targets)
     test(s"$name tolerates zero-row inputs") {

@@ -112,20 +112,17 @@ object DiscogsQueries {
     release.filter(lower(col("title")).contains(needle.toLowerCase))
       .select(col("id"), col("title"), col("country"))
 
-  /** §2.3-10b: Levenshtein near-duplicate artist names, blocked on the
-    * name's first letter (blocking key → no unblocked n²). */
-  def nearDuplicateArtists(artist: DataFrame, maxDist: Int = 2): DataFrame = {
-    val named = artist.select(col("id"), col("name"))
-      .withColumn("blk", substring(lower(col("name")), 1, 1))
-    val a = named.select(col("blk"), col("id").as("id_a"), col("name").as("name_a"))
-    val b = named.select(col("blk"), col("id").as("id_b"), col("name").as("name_b"))
-    a.join(b, Seq("blk"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= maxDist)
-      .select(col("id_a"), col("name_a"), col("id_b"), col("name_b"), col("dist"))
-  }
+  /** §2.3-10b: Levenshtein near-duplicate artist names via the shared
+    * [[EditDistanceJoin]] (q-gram prefix filtering + symmetric-
+    * deletion neighborhoods for short names like "ABBA"). Replaces the
+    * original first-letter blocking, which was both recall-LOSSY (one
+    * edit can change the first letter: "Zebra"/"Aebra" never met) and
+    * quadratic at scale (26 fixed blocks ⇒ block size ∝ catalog). */
+  def nearDuplicateArtists(artist: DataFrame, maxDist: Int = 2): DataFrame =
+    EditDistanceJoin.pairs(artist.select(col("id"), col("name")),
+        Seq.empty, maxDist)
+      .select(col("id_a"), col("name_a"), col("id_b"), col("name_b"),
+        col("dist"))
 
   /** Duplicate-artist clusters: connected components over the
     * [[nearDuplicateArtists]] pair set, so chained name variants

@@ -223,59 +223,14 @@ object Relational {
       .agg(count(lit(1)).as("n_near_dup_pairs"))
       .orderBy(col("p_brand"))
 
-  /** Near-dup name pairs with their distance — see [[q12_levenshtein]]. */
-  private[graft] def levenshteinPairs(parts: DataFrame): DataFrame = {
-    val q = 3; val tau = 2; val prefixLen = q * tau + 1
-    val p = parts.select(col("p_partkey"), col("p_brand"), col("p_type"),
-      col("p_name"), length(col("p_name")).as("len"))
-    val grams = p.filter(col("len") >= q)
-      .select(col("p_partkey"), col("p_brand"), col("p_type"),
-        col("p_name"), col("len"),
-        posexplode(expr(
-          s"transform(sequence(1, length(p_name) - ${q - 1}), i -> substring(p_name, i, $q))"))
-          .as(Seq("pos", "gram")))
-    val df = grams.groupBy(col("p_brand"), col("p_type"), col("gram"))
-      .agg(count(lit(1)).as("gdf"))
-    val wPrefix = Window.partitionBy(col("p_partkey"))
-      .orderBy(col("gdf"), col("gram"), col("pos"))
-    val prefixes = graft.CacheScope.persisted(
-      grams.join(df, Seq("p_brand", "p_type", "gram"))
-        .withColumn("rn", row_number().over(wPrefix))
-        .filter(col("rn") <= prefixLen)
-        .select(col("p_brand"), col("p_type"), col("gram"), col("pos"),
-          col("p_partkey"), col("p_name"), col("len")))
-    val ca = prefixes.select(col("p_brand"), col("p_type"), col("gram"),
-      col("pos").as("pos_a"), col("p_partkey").as("id_a"),
-      col("p_name").as("name_a"), col("len").as("len_a"))
-    val cb = prefixes.select(col("p_brand"), col("p_type"), col("gram"),
-      col("pos").as("pos_b"), col("p_partkey").as("id_b"),
-      col("p_name").as("name_b"), col("len").as("len_b"))
-    val gramPairs = ca.join(cb, Seq("p_brand", "p_type", "gram"))
-      .filter(col("id_a") < col("id_b") &&
-        abs(col("len_a") - col("len_b")) <= tau &&
-        // positional filter (ED-Join): a gram surviving τ edits moves
-        // by at most τ positions, so far-apart matches can't witness a
-        // qualifying pair — lossless, cuts same-gram candidates
-        abs(col("pos_a") - col("pos_b")) <= tau)
-      .select(col("p_brand"), col("id_a"), col("id_b"),
-        col("name_a"), col("name_b"))
-    // both-short pairs: the overlap bound is vacuous, so join them
-    // directly — bounded by the (rare) short-name population, not the
-    // catalog
-    val shorts = p.filter(col("len") < q + q * tau)
-    val sa = shorts.select(col("p_brand"), col("p_type"),
-      col("p_partkey").as("id_a"), col("p_name").as("name_a"))
-    val sb = shorts.select(col("p_brand"), col("p_type"),
-      col("p_partkey").as("id_b"), col("p_name").as("name_b"))
-    val shortPairs = sa.join(sb, Seq("p_brand", "p_type"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("p_brand"), col("id_a"), col("id_b"),
-        col("name_a"), col("name_b"))
-    gramPairs.union(shortPairs)
-      .distinct()
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 3))
-      .filter(col("dist").between(0, 2))
-  }
+  /** Near-dup name pairs with their distance — see [[q12_levenshtein]].
+    * Delegates to the shared [[EditDistanceJoin]] (q-gram prefixes +
+    * symmetric-deletion short tail), blocked on (brand, type). */
+  private[graft] def levenshteinPairs(parts: DataFrame): DataFrame =
+    EditDistanceJoin.pairs(
+      parts.select(col("p_brand"), col("p_type"),
+        col("p_partkey").as("id"), col("p_name").as("name")),
+      Seq("p_brand", "p_type"), tau = 2)
 
   /** Date functions: orders per year/month. EXTRACT is portable and
     * codegen'd; the aggregate is tiny. */

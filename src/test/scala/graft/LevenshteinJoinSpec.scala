@@ -77,6 +77,21 @@ class LevenshteinJoinSpec extends AnyFunSuite {
     assert(!got.exists { case (a, b, _) => Set(a, b) == Set(3L, 5L) })
   }
 
+  test("unblocked mode finds cross-first-letter pairs the old blocking lost") {
+    import spark.implicits._
+    val artists = Seq(
+      (1L, "Zebra"), (2L, "Aebra"),          // first letter edited: dist 1
+      (3L, "The Persuader"), (4L, "She Persuader"), // dist 1, letter differs
+      (5L, "ABBA"), (6L, "ABBB"),            // short tail, dist 1
+      (7L, "Unrelated Name"),
+    ).toDF("id", "name")
+    val got = operators.EditDistanceJoin.pairs(artists, Seq.empty, tau = 2)
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    CacheScope.releaseAll()
+    assert(got == Set((1L, 2L, 1), (3L, 4L, 1), (5L, 6L, 1)))
+  }
+
   test("randomized mutated families: ED-Join equals the naive join") {
     val rnd = new scala.util.Random(42)
     val alphabet = "abcdefghij"

@@ -566,7 +566,54 @@ object TextAnalysis {
       .orderBy(col("exact_cnt").desc, col("tok"))
   }
 
+  /** t21 — code-switching detection: language-ID per fixed 20-token
+    * segment, rolled up per document into segment count, number of
+    * distinct (non-und) languages, the majority language, and a
+    * `mixed` flag. Mixed-language documents confuse monolingual
+    * filters and are a standard curation drop/route signal that
+    * doc-level lang-ID (t01) cannot see — a 50/50 en/de document
+    * argmaxes to ONE language.
+    *
+    * Scale: segmenting is a per-row transform+explode (map-only);
+    * the rollups shuffle on doc_id (uniform). Deterministic: the
+    * majority breaks ties by language code, `und` segments count in
+    * n_segments but never in n_langs/main_lang; a doc whose every
+    * segment is `und` reports main_lang='und'.
+    */
+  def t21_code_switch: Q = (s, d) => t21Of(Tables.documents(s, d))
+
+  private[graft] def t21Of(docs: DataFrame): DataFrame = {
+    val segTok = 20
+    val toksCol = array_remove(split(lower(col("text")), "\\s+"), "")
+    val segs = docs
+      .select(col("doc_id"), toksCol.as("toks"))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(
+           |  sequence(0, greatest(cast(ceil(size(toks) / $segTok.0) as int), 1) - 1),
+           |  i -> array_join(slice(toks, i * $segTok + 1, $segTok), ' '))"""
+          .stripMargin)).as("seg"))
+      .select(col("doc_id"), predLangCol(col("seg")).as("seg_lang"))
+    // Segments are scored ONCE: (doc, lang) partial+final counts, then a
+    // doc-keyed rollup. n_segments = Σc; `und` rows are excluded from
+    // n_langs and from the majority — their min_by ordering is NULL, so
+    // an und-only doc yields NULL → 'und'. The majority orders by
+    // (−c, code): count desc, ties to the lexically-first code.
+    segs.groupBy(col("doc_id"), col("seg_lang"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_segments"),
+        count(when(col("seg_lang") =!= "und", 1)).as("n_langs"),
+        coalesce(
+          min_by(col("seg_lang"), when(col("seg_lang") =!= "und",
+            struct((-col("c")).as("nc"), col("seg_lang").as("lg")))),
+          lit("und")).as("main_lang"))
+      .withColumn("mixed", col("n_langs") >= 2)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t21_code_switch" -> t21_code_switch,
     "t20_heavy_hitters" -> t20_heavy_hitters,
     "t19_zipf" -> t19_zipf,
     "t15_entropy" -> t15_entropy,
@@ -663,6 +710,43 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "t21_code_switch" -> {
+      val (scores, pred) = langOracleSql
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |    x -> x <> '') AS l
+         |  FROM documents),
+         |ix AS (
+         |  SELECT doc_id, l, unnest(generate_series(0,
+         |    greatest(CAST(ceil(len(l) / 20.0) AS INT), 1) - 1)) AS i
+         |  FROM t),
+         |seg AS (
+         |  SELECT doc_id,
+         |    array_to_string(l[(i*20 + 1):least((i+1)*20, len(l))], ' ') AS text
+         |  FROM ix),
+         |scored AS (
+         |  SELECT doc_id,
+         |    $scores
+         |  FROM seg),
+         |sl AS (SELECT doc_id, $pred AS seg_lang FROM scored),
+         |pl AS (SELECT doc_id, seg_lang, COUNT(*) AS c FROM sl GROUP BY 1, 2),
+         |nu AS (SELECT * FROM pl WHERE seg_lang <> 'und'),
+         |mn AS (
+         |  SELECT doc_id, seg_lang AS main_lang FROM (
+         |    SELECT doc_id, seg_lang, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY c DESC, seg_lang) AS rk
+         |    FROM nu) WHERE rk = 1),
+         |st AS (SELECT doc_id, COUNT(*) AS n_segments FROM sl GROUP BY 1),
+         |lg AS (SELECT doc_id, COUNT(*) AS n_langs FROM nu GROUP BY 1)
+         |SELECT st.doc_id, st.n_segments,
+         |  COALESCE(lg.n_langs, 0) AS n_langs,
+         |  COALESCE(mn.main_lang, 'und') AS main_lang,
+         |  COALESCE(lg.n_langs, 0) >= 2 AS mixed
+         |FROM st
+         |LEFT JOIN lg ON st.doc_id = lg.doc_id
+         |LEFT JOIN mn ON st.doc_id = mn.doc_id
+         |ORDER BY st.doc_id""".stripMargin
+    },
     "t19_zipf" ->
       """WITH tok AS (
         |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),

@@ -215,6 +215,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getAs[Double]("r2") > 0.9)
   }
 
+  test("t21 flags code-switched docs; pure and und docs stay unmixed") {
+    val en = Seq.fill(4)("the and of to in").mkString(" ")   // 20 en tokens
+    val de = Seq.fill(4)("der die das und ist").mkString(" ") // 20 de tokens
+    val junk = (1 to 20).map(i => s"zz$i").mkString(" ")
+    val out = operators.TextAnalysis.t21_code_switch(
+      TestSpark.spark, "/root/testdata/sf0.001") // force resolution path
+    val got = {
+      // run on a crafted corpus through the same query body
+      val df = corpus(1L -> (en + " " + de), 2L -> en, 3L -> junk)
+      operators.TextAnalysis.t21Of(df).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_segments"), r.getAs[Long]("n_langs"),
+            r.getAs[String]("main_lang"), r.getAs[Boolean]("mixed")))).toMap
+    }
+    CacheScope.releaseAll()
+    // doc 1: segment 1 = en tokens, segment 2 = de tokens → mixed,
+    // majority tie (1 seg each) breaks to the lexically-first code
+    assert(got(1L) == ((2L, 2L, "de", true)))
+    assert(got(2L) == ((1L, 1L, "en", false)))
+    assert(got(3L) == ((1L, 0L, "und", false)))
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "n_segments", "n_langs", "main_lang", "mixed"))
+  }
+
   test("t20 count-min estimates dominate exact counts within the ε bound") {
     // skewed corpus: hot token 60×, mid tokens, long tail
     val texts = Seq(

@@ -913,7 +913,53 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** d24 — CCNet-style line-level dedup: the corpus deduplicated at
+    * sub-document granularity. Every doc is split into consecutive
+    * 10-token lines (the synthetic corpus has no newlines; on real
+    * data the splitter is `split(text, '\n')` — same plan shape),
+    * each line keyed by its 128-bit md5 digest, and only the FIRST
+    * corpus-wide occurrence (by doc_id, line_no) survives. Docs are
+    * reassembled from their surviving lines in order — the standard
+    * boilerplate killer that doc-level dedup (d01) cannot express:
+    * two distinct docs sharing a header lose the second copy of the
+    * header, not a whole doc.
+    *
+    * Scale: the first-wins window partitions on the digest — uniform
+    * 16-byte keys, never the line text; reassembly is one doc-keyed
+    * agg. Both shuffles are linear in corpus size.
+    */
+  def d24_line_dedup: Q = (s, d) => lineDedup(Tables.documents(s, d))
+
+  private[graft] def lineDedup(docs: DataFrame, lineTok: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = array_remove(split(lower(col("text")), "\\s+"), "")
+    val lines = docs
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(
+           |  sequence(0, greatest(cast(ceil(size(toks) / $lineTok.0) as int), 1) - 1),
+           |  i -> array_join(slice(toks, i * $lineTok + 1, $lineTok), ' '))"""
+          .stripMargin)))
+      .toDF("doc_id", "line_no", "line")
+    val firstWins = Window.partitionBy(md5(col("line")))
+      .orderBy(col("doc_id"), col("line_no"))
+    lines
+      .withColumn("keep", row_number().over(firstWins) === 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        // collect_list drops the nulls from the un-kept branch; the
+        // struct sort restores line order partition-order-proof.
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("line_no"), col("line"))))),
+          s => s.getField("line")), " ").as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "d24_line_dedup" -> d24_line_dedup,
     "d13_lsh_recall" -> d13_lsh_recall,
     "d07_snapshot_diff" -> d07_snapshot_diff,
     "d01_dedup_exact" -> d01_dedup_exact,
@@ -964,6 +1010,29 @@ object Dedup {
       |  * 1e4 + 0.5) / 1e4 >= 0.8""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d24_line_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> x <> '') AS l
+        |  FROM documents),
+        |ix AS (
+        |  SELECT doc_id, l, unnest(generate_series(0,
+        |    greatest(CAST(ceil(len(l) / 10.0) AS INT), 1) - 1)) AS i
+        |  FROM t),
+        |ln AS (
+        |  SELECT doc_id, i AS line_no,
+        |    array_to_string(l[(i*10 + 1):least((i+1)*10, len(l))], ' ') AS line
+        |  FROM ix),
+        |k AS (
+        |  SELECT doc_id, line_no, line,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(line)
+        |      ORDER BY doc_id, line_no) = 1 AS keep
+        |  FROM ln)
+        |SELECT doc_id, COUNT(*) AS n_lines,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  COALESCE(string_agg(line, ' ' ORDER BY line_no)
+        |    FILTER (WHERE keep), '') AS clean_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d22_substring_pairs" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),

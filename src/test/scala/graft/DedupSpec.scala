@@ -501,6 +501,29 @@ class DedupSpec extends AnyFunSuite {
     assert(got(10L) == ((8L, 8L, 1.0)))
   }
 
+  test("d24 line dedup keeps first occurrence and reassembles in order") {
+    import spark.implicits._
+    val header = (1 to 10).map(i => s"h$i").mkString(" ")  // one full line
+    val body1 = (1 to 10).map(i => s"a$i").mkString(" ")
+    val body2 = (1 to 10).map(i => s"b$i").mkString(" ")
+    val tail = "x1 x2 x3" // partial (3-token) final line
+    val docs = Seq(
+      (1L, s"$header $body1"),
+      // doc 2 repeats the header (dropped) then unique body + short tail
+      (2L, s"$header $body2 $tail"),
+      // doc 3 is entirely the header: everything dedups away
+      (3L, header),
+    ).toDF("doc_id", "text")
+    val got = operators.Dedup.lineDedup(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("clean_text")))).toMap
+    CacheScope.releaseAll()
+    assert(got(1L) == ((2L, 2L, s"$header $body1")))
+    assert(got(2L) == ((3L, 2L, s"$body2 $tail")))
+    assert(got(3L) == ((1L, 0L, "")))
+  }
+
   test("d19 finds the shared 8-gram span once per doc and ignores singles") {
     import spark.implicits._
     val span = (1 to 8).map(i => s"w$i").mkString(" ")

@@ -415,6 +415,59 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** t22 — DSIR-style importance weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"):
+    * hashed bag-of-n-gram features (unigrams + bigrams → 1024
+    * buckets via an md5-prefix hash both engines parse identically),
+    * target distribution = the corpus's `lang = 'en'` slice, raw =
+    * the whole corpus. Per-doc weight = Σ_b c_b · log λ_b where
+    * λ_b = (t_b+1)(N_r+B) / ((r_b+1)(N_t+B)) is the add-one-smoothed
+    * target/raw likelihood ratio of bucket b. log λ_b is floored to
+    * integer micro-units (t19's pattern) so the per-doc sum is exact
+    * in any partition order; `selected` = weight > 0 ("looks more
+    * target-like than raw-like") needs no global sort.
+    *
+    * Scale: the feature explode is one map-side pass (persisted —
+    * three consumers); bucket stats are a ≤1024-row agg broadcast
+    * back over the features; the per-doc rollup is one doc_id-keyed
+    * shuffle. Linear in token count at any corpus size.
+    */
+  def t22_dsir: Q = (s, d) => dsirWeights(Tables.documents(s, d))
+
+  private[graft] def dsirWeights(docs: DataFrame,
+                                 nBuckets: Int = 1024): DataFrame = {
+    val toksCol = array_remove(split(lower(col("text")), "\\s+"), "")
+    val feats = graft.CacheScope.persisted(
+      docs.select(col("doc_id"), col("lang"), toksCol.as("toks"))
+        .select(col("doc_id"), col("lang"), explode(concat(
+          col("toks"),
+          expr("""zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),
+                 |         slice(toks, 2, greatest(size(toks) - 1, 0)),
+                 |         (a, b) -> concat(a, ' ', b))""".stripMargin)))
+          .as("f"))
+        .select(col("doc_id"), col("lang"),
+          (conv(substring(md5(col("f")), 1, 6), 16, 10).cast(LongType)
+            % nBuckets).as("b")))
+    val totals = feats.agg(
+      count(lit(1)).as("nr"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"))
+    val lr = feats.groupBy(col("b"))
+      .agg(count(lit(1)).as("rb"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tb"))
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        floor(log((col("tb") + 1.0) * (col("nr") + nBuckets) /
+          ((col("rb") + 1.0) * (col("nt") + nBuckets))) * 1e6)
+          .cast(LongType).as("lr_micro"))
+    feats.join(broadcast(lr), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("lr_micro")).as("wm"))
+      .select(col("doc_id"), col("n_feats"),
+        (col("wm") / 1e6).as("weight"),
+        (col("wm") > 0L).as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
   /** p01 — the preprocessing pipeline END TO END as ONE declarative
     * plan: d08's curation gates (canonical-fingerprint dedup + lang +
     * length + punctuation) → near-dup pruning over d04's verified
@@ -508,6 +561,7 @@ object Curation {
   }
 
   val queries: Map[String, Q] = Map(
+    "t22_dsir" -> t22_dsir,
     "p01_pipeline" -> p01_pipeline,
     "t17_shards" -> t17_shards,
     "d20_bloom_decontam" -> d20_bloom_decontam,
@@ -522,6 +576,38 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "t22_dsir" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, list_filter(regexp_split_to_array(lower(text),
+        |    '\s+'), x -> x <> '') AS l
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, lang, unnest(l || list_transform(
+        |    list_zip(l[1:len(l)-1], l[2:len(l)]),
+        |    p -> p[1] || ' ' || p[2])) AS f
+        |  FROM t WHERE len(l) >= 1),
+        |bk AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(f), 1, 6))::BIGINT % 1024 AS b
+        |  FROM f),
+        |tot AS (
+        |  SELECT COUNT(*) AS nr,
+        |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt
+        |  FROM bk),
+        |lr AS (
+        |  SELECT bk.b,
+        |    CAST(floor(ln((SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1.0)
+        |      * (tot.nr + 1024)
+        |      / ((COUNT(*) + 1.0) * (tot.nt + 1024))) * 1e6) AS BIGINT)
+        |      AS lr_micro
+        |  FROM bk, tot GROUP BY bk.b, tot.nr, tot.nt),
+        |w AS (
+        |  SELECT doc_id, COUNT(*) AS n_feats,
+        |    CAST(SUM(lr_micro) AS BIGINT) AS wm
+        |  FROM bk JOIN lr USING (b) GROUP BY doc_id)
+        |SELECT doc_id, n_feats, CAST(wm AS DOUBLE) / 1e6 AS weight,
+        |  wm > 0 AS selected
+        |FROM w ORDER BY doc_id""".stripMargin,
     "p01_pipeline" -> {
       val (scores, pred) = TextAnalysis.langOracleSql
       s"""WITH scored AS (

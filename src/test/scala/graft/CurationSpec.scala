@@ -239,6 +239,33 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == rows.length)
   }
 
+  test("t22 DSIR weights separate target-like from raw-like docs") {
+    val enText = (1 to 10).map(_ => "alpha beta").mkString(" ")   // 20 toks
+    val xxText = (1 to 10).map(_ => "zork quux").mkString(" ")
+    val docs = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, enText, "en", "src0", enText.length.toLong),
+        Row(2L, enText, "en", "src0", enText.length.toLong),
+        Row(3L, xxText, "xx", "src1", xxText.length.toLong),
+        Row(4L, xxText, "xx", "src1", xxText.length.toLong),
+        // raw doc that LOOKS target-like: must come out selected even
+        // though its own lang label is not the target
+        Row(5L, enText, "xx", "src1", enText.length.toLong)),
+      docSchema)
+    val got = operators.Curation.dsirWeights(docs, nBuckets = 64).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_feats"), r.getAs[Double]("weight"),
+          r.getAs[Boolean]("selected")))).toMap
+    CacheScope.releaseAll()
+    // 20 unigrams + 19 bigrams per doc
+    assert(got.values.forall(_._1 == 39L))
+    assert(got(1L)._2 > 0 && got(1L)._3, "target doc must score positive")
+    assert(got(2L) == got(1L), "identical docs must score identically")
+    assert(got(3L)._2 < 0 && !got(3L)._3, "off-target doc must score negative")
+    assert(got(5L)._2 > 0 && got(5L)._3,
+      "target-LIKE raw doc must be selected regardless of its label")
+  }
+
   test("t17 shard plan is reproducible and complete") {
     val a = operators.Curation.t17_shards(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"), r.getAs[Int]("pos")))

@@ -958,7 +958,49 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** d25 — duplicate-graph centrality: PageRank over the d04 near-dup
+    * graph, in EXACT integer micro-units so the iteration is
+    * bit-identical in any partition order and in the oracle's chained
+    * SQL rounds. Each of 5 damped rounds: rank'(v) = 0.15 +
+    * Σ_{u∼v} floor(rank(u)·17 / (20·deg(u))) — 17/20 = 0.85 damping
+    * with floor division both engines share. Use: pick the canonical
+    * doc of a duplicate neighborhood by centrality instead of d09's
+    * min-id rule (the best-connected copy is usually the cleanest).
+    *
+    * Scale: the degree-annotated symmetric edge list is built once
+    * (persisted — one consumer per round); the FIXED round count
+    * means no convergence probe ever re-executes the chain, so the
+    * rounds stay one lazy declarative plan (k chained shuffles in a
+    * single job) — no per-round materialization. An unbounded /
+    * probed loop would need d09's CacheScope.cut discipline instead.
+    */
+  def d25_pair_rank: Q = (s, d) =>
+    pairRank(ngramJaccardPairs(Tables.documents(s, d)))
+
+  private[graft] def pairRank(pairs: DataFrame, rounds: Int = 5): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val ed = graft.CacheScope.persisted(edges.join(deg, Seq("src")))
+    var ranks = ed.select(col("src").as("node")).distinct()
+      .withColumn("rk", lit(1000000L))
+    for (_ <- 1 to rounds) {
+      ranks = ed.join(ranks, ed("src") === ranks("node"))
+        .groupBy(col("dst"))
+        .agg((lit(150000L) +
+          sum(call_function("div", col("rk") * 17L, col("deg") * 20L)))
+          .as("rk"))
+        .select(col("dst").as("node"), col("rk"))
+    }
+    ranks.join(ed.select(col("src"), col("deg")).distinct(),
+        ranks("node") === col("src"))
+      .select(col("node").as("doc_id"), col("deg"),
+        col("rk").as("rank_micro"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "d25_pair_rank" -> d25_pair_rank,
     "d24_line_dedup" -> d24_line_dedup,
     "d13_lsh_recall" -> d13_lsh_recall,
     "d07_snapshot_diff" -> d07_snapshot_diff,
@@ -1009,7 +1051,29 @@ object Dedup {
       |WHERE floor(CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter)
       |  * 1e4 + 0.5) / 1e4 >= 0.8""".stripMargin
 
+  /** One damped integer-PageRank round as SQL, reading ranks from CTE
+    * r{i-1} — the exact mirror of the pairRank loop body. */
+  private def rankRoundCte(i: Int): String =
+    s"""r$i AS (
+       |  SELECT ed.dst AS node,
+       |    CAST(150000 + SUM((r.rk * 17) // (ed.deg * 20)) AS BIGINT) AS rk
+       |  FROM ed JOIN r${i - 1} r ON r.node = ed.src
+       |  GROUP BY ed.dst)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "d25_pair_rank" ->
+      s"""WITH pairs AS (
+         |$d04OracleBody
+         |), e AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs
+         |), deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+         |ed AS (SELECT e.src, e.dst, d.deg FROM e JOIN deg d USING (src)),
+         |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rk FROM deg),
+         |${(1 to 5).map(rankRoundCte).mkString(",\n")}
+         |SELECT r5.node AS doc_id, d.deg, r5.rk AS rank_micro
+         |FROM r5 JOIN deg d ON d.src = r5.node
+         |ORDER BY doc_id""".stripMargin,
     "d24_line_dedup" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),

@@ -481,7 +481,42 @@ object Relational2 {
       .orderBy(col("user_id"))
   }
 
+  /** q70 — cohort retention matrix: users cohorted by the ISO week of
+    * their first event; for each (cohort_week, weeks-since) cell, the
+    * count of cohort users active that week and the retention
+    * fraction. The standard product-analytics readout (and a
+    * corpus-delivery freshness readout when "user" is a source).
+    *
+    * Scale: two aggs over the event scan (first-event per user,
+    * distinct user-weeks), one user-keyed join, then a cohort-keyed
+    * rollup; cohort sizes are a tiny broadcast. week_no arithmetic is
+    * exact (both timestamps are Monday-truncated, so the day delta is
+    * a multiple of 7).
+    */
+  def q70_cohort: Q = (s, d) => {
+    val e = Tables.events(s, d)
+    val firsts = e.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+      .select(col("user_id"), date_trunc("week", col("first_ts")).as("cohort_week"))
+    val sizes = firsts.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_cohort"))
+    val activity = e
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .distinct()
+    activity.join(firsts, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast(IntegerType)
+          .as("week_no"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_no"), col("n_active"),
+        col("n_cohort"),
+        Tables.rhalfup(col("n_active") / col("n_cohort"), 6).as("retention"))
+      .orderBy(col("cohort_week"), col("week_no"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q70_cohort" -> q70_cohort,
     "q69_funnel" -> q69_funnel,
     "q67_bloom_join" -> q67_bloom_join,
     "q68_locf" -> q68_locf,
@@ -512,6 +547,27 @@ object Relational2 {
         |WHERE l_orderkey IN (
         |  SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q70_cohort" ->
+      """WITH firsts AS (
+        |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        |  FROM events GROUP BY user_id),
+        |sizes AS (
+        |  SELECT cohort_week, COUNT(*) AS n_cohort
+        |  FROM firsts GROUP BY cohort_week),
+        |activity AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+        |  FROM events),
+        |cells AS (
+        |  SELECT f.cohort_week,
+        |    CAST(date_diff('day', f.cohort_week, a.week) / 7 AS INT) AS week_no,
+        |    COUNT(*) AS n_active
+        |  FROM activity a JOIN firsts f USING (user_id)
+        |  GROUP BY 1, 2)
+        |SELECT c.cohort_week, c.week_no, c.n_active, s.n_cohort,
+        |  floor(CAST(c.n_active AS DOUBLE) / s.n_cohort * 1e6 + 0.5) / 1e6
+        |    AS retention
+        |FROM cells c JOIN sizes s USING (cohort_week)
+        |ORDER BY c.cohort_week, c.week_no""".stripMargin,
     "q69_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),

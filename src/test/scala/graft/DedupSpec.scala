@@ -524,6 +524,22 @@ class DedupSpec extends AnyFunSuite {
     assert(got(3L) == ((1L, 0L, "")))
   }
 
+  test("d25 integer pagerank matches hand-computed rounds on a path graph") {
+    import spark.implicits._
+    // path 1—2—3: deg(1)=deg(3)=1, deg(2)=2. Five damped integer
+    // rounds (0.15 base, 17/20 share, floor div) computed by hand.
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = operators.Dedup.pairRank(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("deg"), r.getAs[Long]("rank_micro")))).toMap
+    CacheScope.releaseAll()
+    assert(got(1L) == ((1L, 668336L)))
+    assert(got(2L) == ((2L, 1663322L)))
+    assert(got(3L) == ((1L, 668336L)))
+    // endpoints are symmetric; the hub strictly dominates
+    assert(got(1L) == got(3L) && got(2L)._2 > got(1L)._2)
+  }
+
   test("d19 finds the shared 8-gram span once per doc and ignores singles") {
     import spark.implicits._
     val span = (1 to 8).map(i => s"w$i").mkString(" ")

@@ -53,7 +53,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "t18_lm_perplexity", "d19_repeated_ngrams", "s08_semantic_decontam",
     "d20_bloom_decontam", "d21_crossmodal_cc", "d22_substring_pairs",
     "d23_gram_novelty", "d24_line_dedup", "t19_zipf", "t20_heavy_hitters",
-    "t21_code_switch", "t22_dsir", "p01_pipeline")
+    "t21_code_switch", "t22_dsir", "q70_cohort", "d25_pair_rank",
+    "p01_pipeline")
 
   for (name <- targets)
     test(s"$name tolerates zero-row inputs") {

@@ -612,7 +612,86 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t23 — BPE merge learning (Sennrich et al. 2016): the first k
+    * byte-pair-encoding merges of the corpus, learned exactly. Words
+    * start as character sequences; each round counts adjacent symbol
+    * pairs weighted by word frequency, takes the max-count pair
+    * (ties → lexicographic), and applies it greedily left-to-right
+    * (within a run of overlapping matches, the 1st/3rd/5th… merge —
+    * the standard BPE semantics). Output: one row per learned merge
+    * with its pair weight. Both the argmax and the merge application
+    * are pure relational algebra, mirrored round-for-round in the
+    * oracle's templated CTEs.
+    *
+    * Scale: after the vocab agg, every round operates on the VOCAB
+    * (distinct words), not the corpus — pair explode ∝ Σ word length
+    * over the vocab. Each round's vocab table is lineage-cut
+    * (CacheScope.cut): it feeds two consumers per round (pair
+    * counting and merge application) and k stacked window+join rounds
+    * would otherwise nest into one pathological plan.
+    */
+  def t23_bpe_merges: Q = (s, d) => bpeMerges(Tables.documents(s, d))
+
+  private[graft] def bpeMerges(docs: DataFrame, rounds: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = array_remove(split(lower(col("text")), "\\s+"), "")
+    var w = graft.CacheScope.cut(
+      docs.select(explode(tok).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .withColumn("syms", split(col("word"), "")))
+    val winners = Seq.newBuilder[DataFrame]
+    for (round <- 1 to rounds) {
+      val p = w.filter(size(col("syms")) >= 2)
+        .select(col("word"), col("cnt"),
+          explode(expr("sequence(1, size(syms) - 1)")).as("pos"),
+          col("syms"))
+        .select(col("word"), col("cnt"), col("pos"),
+          element_at(col("syms"), col("pos")).as("a"),
+          element_at(col("syms"), col("pos") + 1).as("b"))
+      val win = p.groupBy(col("a"), col("b"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b")).limit(1)
+      winners += win.select(lit(round).as("round"), col("a").as("lhs"),
+        col("b").as("rhs"), concat(col("a"), col("b")).as("merged"),
+        col("c").as("weight"))
+      // the last round's winner is already recorded — its merge
+      // application would go unconsumed, so only rounds 1..k-1 apply
+      if (round < rounds) {
+      // matched positions; greedy = odd ranks within each island of
+      // consecutive matches
+      val mi = p.join(broadcast(win.select(col("a"), col("b"))), Seq("a", "b"))
+        .withColumn("grp", col("pos") -
+          row_number().over(Window.partitionBy(col("word")).orderBy(col("pos"))))
+      val mm = mi
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("word"), col("grp")).orderBy(col("pos"))))
+        .filter((col("rn") - 1) % 2 === 0)
+        .select(col("word"), col("pos"))
+      val sp = w.select(col("word"), col("cnt"),
+          explode(expr("sequence(1, size(syms))")).as("pos"), col("syms"))
+        .select(col("word"), col("cnt"), col("pos"),
+          element_at(col("syms"), col("pos")).as("s1"),
+          try_element_at(col("syms"), col("pos") + 1).as("s2"))
+      val merged = sp
+        .join(mm.withColumn("hit", lit(true)), Seq("word", "pos"), "left")
+        .join(mm.select(col("word"), (col("pos") + 1).as("pos"))
+          .withColumn("skip", lit(true)), Seq("word", "pos"), "left")
+        .filter(col("skip").isNull)
+        .select(col("word"), col("cnt"), col("pos"),
+          when(col("hit"), concat(col("s1"), col("s2")))
+            .otherwise(col("s1")).as("sym"))
+      w = graft.CacheScope.cut(
+        merged.groupBy(col("word"), col("cnt"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("sym")))),
+            s => s.getField("sym")).as("syms")))
+      }
+    }
+    winners.result().reduce(_ unionByName _).orderBy(col("round"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t23_bpe_merges" -> t23_bpe_merges,
     "t21_code_switch" -> t21_code_switch,
     "t20_heavy_hitters" -> t20_heavy_hitters,
     "t19_zipf" -> t19_zipf,
@@ -709,7 +788,58 @@ object TextAnalysis {
        |FROM top ORDER BY rk""".stripMargin
   }
 
+  /** One BPE round as SQL CTEs reading vocab w{i-1} — the exact mirror
+    * of the bpeMerges loop body (pair counts → argmax → island-greedy
+    * merge application). The final round only needs p/win. */
+  private def bpeRoundCte(i: Int, last: Boolean): String = {
+    val pw =
+      s"""p$i AS (
+         |  SELECT word, cnt, g AS pos, syms[g] AS a, syms[g+1] AS b
+         |  FROM w${i - 1}, unnest(generate_series(1, len(syms) - 1)) u(g)),
+         |win$i AS (
+         |  SELECT a, b, c FROM (
+         |    SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS c FROM p$i GROUP BY a, b)
+         |  ORDER BY c DESC, a, b LIMIT 1)""".stripMargin
+    if (last) pw else pw + ",\n" +
+      s"""mi$i AS (
+         |  SELECT p.word, p.pos,
+         |    p.pos - ROW_NUMBER() OVER (PARTITION BY p.word ORDER BY p.pos)
+         |      AS grp
+         |  FROM p$i p, win$i w WHERE p.a = w.a AND p.b = w.b),
+         |mm$i AS (
+         |  SELECT word, pos FROM (
+         |    SELECT word, pos,
+         |      ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY pos) AS rn
+         |    FROM mi$i) WHERE (rn - 1) % 2 = 0),
+         |sp$i AS (
+         |  SELECT word, cnt, g AS pos, syms[g] AS s1, syms[g+1] AS s2
+         |  FROM w${i - 1}, unnest(generate_series(1, len(syms))) u(g)),
+         |w$i AS (
+         |  SELECT word, cnt, list(sym ORDER BY pos) AS syms FROM (
+         |    SELECT sp.word, sp.cnt, sp.pos,
+         |      CASE WHEN mm.pos IS NOT NULL THEN sp.s1 || sp.s2
+         |           ELSE sp.s1 END AS sym,
+         |      mp.pos IS NOT NULL AS skip
+         |    FROM sp$i sp
+         |    LEFT JOIN mm$i mm ON mm.word = sp.word AND mm.pos = sp.pos
+         |    LEFT JOIN mm$i mp ON mp.word = sp.word AND mp.pos = sp.pos - 1)
+         |  WHERE NOT skip GROUP BY word, cnt)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "t23_bpe_merges" ->
+      s"""WITH w0 AS (
+         |  SELECT word, COUNT(*) AS cnt, regexp_split_to_array(word, '')
+         |    AS syms
+         |  FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+         |    '\\s+'), x -> x <> '')) AS word FROM documents)
+         |  GROUP BY word),
+         |${(1 to 4).map(i => bpeRoundCte(i, last = i == 4)).mkString(",\n")}
+         |SELECT * FROM (
+         |${(1 to 4).map(i =>
+            s"  SELECT $i AS round, a AS lhs, b AS rhs, a || b AS merged, " +
+              s"c AS weight FROM win$i").mkString("\n  UNION ALL\n")}
+         |) ORDER BY round""".stripMargin,
     "t21_code_switch" -> {
       val (scores, pred) = langOracleSql
       s"""WITH t AS (

@@ -239,6 +239,26 @@ class TextAnalysisSpec extends AnyFunSuite {
       Seq("doc_id", "n_segments", "n_langs", "main_lang", "mixed"))
   }
 
+  test("t23 BPE learns hand-computed merges: tie-break, greedy runs, stacking") {
+    // vocab: aaab×2, abab×1, bb×5.
+    // r1: bb wins (5). r2: aa ties ab at 4 → lexicographic → aa;
+    // greedy left-to-right turns aaab into [aa,a,b] (one merge, not
+    // two overlapping). r3: ab wins (4). r4: (aa,ab) stacks → aaab.
+    val df = corpus(
+      1L -> "aaab aaab abab",
+      2L -> "bb bb bb bb bb")
+    val got = operators.TextAnalysis.bpeMerges(df).collect()
+      .map(r => (r.getAs[Int]("round"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[String]("merged"),
+        r.getAs[Long]("weight")))
+    CacheScope.releaseAll()
+    assert(got.toSeq == Seq(
+      (1, "b", "b", "bb", 5L),
+      (2, "a", "a", "aa", 4L),
+      (3, "a", "b", "ab", 4L),
+      (4, "aa", "ab", "aaab", 2L)))
+  }
+
   test("t20 count-min estimates dominate exact counts within the ε bound") {
     // skewed corpus: hot token 60×, mid tokens, long tail
     val texts = Seq(

@@ -266,4 +266,46 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("t21 scores segments in ONE corpus pass (no second scan, partial aggs)") {
+    val p = plan("t21_code_switch")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      "per-doc rollup must derive from the single (doc, lang) count pass")
+    assert(p.contains("partial_count"))
+  }
+
+  test("d24 first-wins window partitions on the digest, never the line text") {
+    val p = plan("d24_line_dedup")
+    // the window key is the projected md5 column (_w0), 16 bytes/row
+    assert(p.contains("Exchange hashpartitioning(_w0"))
+    assert(!"Exchange hashpartitioning\\(line".r.findFirstIn(p).isDefined,
+      "raw line text crossed a shuffle as a key")
+    assert("FileScan parquet".r.findAllIn(p).size == 1)
+    assert(p.contains("partial_collect_list"))
+  }
+
+  test("t22 bucket log-ratios broadcast over the persisted feature explode") {
+    val p = plan("t22_dsir")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "the ≤1024-row bucket table must never shuffle the feature stream")
+    assert(p.contains("InMemoryTableScan"))
+    assert(p.contains("partial_sum"))
+  }
+
+  test("q70 cohort joins broadcast (events never shuffle to meet cohort sizes)") {
+    val p = plan("q70_cohort")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("partial_min"))
+  }
+
+  test("t23 BPE rounds are vocab-sized: argmax is TakeOrdered, corpus scanned zero times") {
+    val p = plan("t23_bpe_merges")
+    // every round hangs off the lineage-cut vocab (LogicalRDD); the
+    // corpus parquet was consumed once, at vocab build time
+    assert(!p.contains("FileScan parquet"))
+    assert("TakeOrderedAndProject\\(limit=1".r.findAllIn(p).size == 4)
+    CacheScope.releaseAll()
+  }
 }

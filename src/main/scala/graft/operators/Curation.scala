@@ -448,12 +448,14 @@ object Curation {
         .select(col("doc_id"), col("lang"),
           (conv(substring(md5(col("f")), 1, 6), 16, 10).cast(LongType)
             % nBuckets).as("b")))
-    val totals = feats.agg(
-      count(lit(1)).as("nr"),
-      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"))
-    val lr = feats.groupBy(col("b"))
-      .agg(count(lit(1)).as("rb"),
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tb"))
+    // corpus totals are column sums of the ≤1024-row bucket table —
+    // no second pass over the feature explode
+    val buckets = graft.CacheScope.persisted(
+      feats.groupBy(col("b"))
+        .agg(count(lit(1)).as("rb"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tb")))
+    val totals = buckets.agg(sum(col("rb")).as("nr"), sum(col("tb")).as("nt"))
+    val lr = buckets
       .crossJoin(broadcast(totals))
       .select(col("b"),
         floor(log((col("tb") + 1.0) * (col("nr") + nBuckets) /

@@ -358,7 +358,70 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** s09 — product-quantization codebook training (Jégou et al. 2011)
+    * in EXACT integer arithmetic, so the k-means itself is
+    * oracle-bearing (the randomized-Lloyd caveat that keeps s03
+    * rows-only does not apply): vectors are quantized to milli-units,
+    * split into 4 sub-blocks of 16 dims, and each block learns k=4
+    * centroids by 2 Lloyd rounds — distances are exact long
+    * sums-of-squares, assignment ties break to the smaller code, and
+    * centroid updates are floor(Σq/n) (identical IEEE ops both
+    * engines). Init = the k smallest vec_ids' blocks. Output: the
+    * per-vector PQ code and its exact squared error per block — 4
+    * bytes/vector of index memory at 100 TB instead of 256.
+    *
+    * Scale: the codebook (m·k·blockDim = 256 rows) broadcasts; each
+    * round is one fan-out-k join over the persisted (vec, dim)
+    * explode + two bounded aggs. Rounds are fixed (no probes), but
+    * each centroid table is lineage-cut so round plans stay local.
+    */
+  def s09_pq_codes: Q = (s, d) => pqCodes(Tables.embeddings(s, d))
+
+  private[graft] def pqCodes(emb: DataFrame, k: Int = 4,
+                             blockDim: Int = 16, rounds: Int = 2): DataFrame = {
+    val q = graft.CacheScope.persisted(
+      emb.select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"),
+          (col("pos") / blockDim).cast(IntegerType).as("blk"),
+          col("pos").as("dim"),
+          floor(col("col").cast(DoubleType) * 1000).cast(LongType).as("qv")))
+    val init = q.select(col("vec_id")).distinct()
+      .orderBy(col("vec_id")).limit(k)
+      .withColumn("j",
+        row_number().over(Window.orderBy(col("vec_id"))) - 1)
+    var c = graft.CacheScope.cut(
+      q.join(init, Seq("vec_id"))
+        .select(col("blk"), col("j"), col("dim"), col("qv").as("cv")))
+    // assignment under codebook `cents`: exact integer L2 per
+    // (vec, block, code), then rank (dist, j) — ties to the smaller code
+    def assign(cents: DataFrame): DataFrame = q
+      .join(broadcast(cents), Seq("blk", "dim"))
+      .groupBy(col("vec_id"), col("blk"), col("j"))
+      .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv"))).as("dist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"), col("blk"))
+          .orderBy(col("dist"), col("j"))))
+    for (_ <- 1 to rounds) {
+      val m = assign(c).filter(col("rn") === 1)
+        .select(col("vec_id"), col("blk"), col("j"))
+      val u = q.join(m, Seq("vec_id", "blk"))
+        .groupBy(col("blk"), col("j"), col("dim"))
+        .agg(floor(sum(col("qv")).cast(DoubleType) / count(lit(1)))
+          .cast(LongType).as("uv"))
+      // a code that lost every member keeps its previous position
+      c = graft.CacheScope.cut(
+        c.join(u, Seq("blk", "j", "dim"), "left")
+          .select(col("blk"), col("j"), col("dim"),
+            coalesce(col("uv"), col("cv")).as("cv")))
+    }
+    assign(c).filter(col("rn") === 1)
+      .select(col("vec_id"), col("blk").as("block"), col("j").as("code"),
+        col("dist"))
+      .orderBy(col("vec_id"), col("block"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "s09_pq_codes" -> s09_pq_codes,
     "s07_label_centroids" -> s07_label_centroids,
     "s08_semantic_decontam" -> s08_semantic_decontam,
     "s01_ann_bruteforce" -> s01_ann_bruteforce,
@@ -369,7 +432,57 @@ object Similarity {
     "s06_quantize_int8" -> s06_quantize_int8,
   )
 
+  /** One exact-integer Lloyd round as SQL reading codebook c{i-1} —
+    * the mirror of pqCodes' loop body. */
+  private def pqRoundCte(i: Int): String =
+    s"""a$i AS (
+       |  SELECT q.vec_id, q.blk, c.j,
+       |    CAST(SUM((q.qv - c.cv) * (q.qv - c.cv)) AS BIGINT) AS dist
+       |  FROM q JOIN c${i - 1} c ON c.blk = q.blk AND c.dim = q.dim
+       |  GROUP BY q.vec_id, q.blk, c.j),
+       |m$i AS (
+       |  SELECT vec_id, blk, j FROM (
+       |    SELECT vec_id, blk, j,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, blk ORDER BY dist, j)
+       |        AS rn
+       |    FROM a$i) WHERE rn = 1),
+       |u$i AS (
+       |  SELECT q.blk, m.j, q.dim,
+       |    CAST(floor(CAST(SUM(q.qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS uv
+       |  FROM q JOIN m$i m ON m.vec_id = q.vec_id AND m.blk = q.blk
+       |  GROUP BY q.blk, m.j, q.dim),
+       |c$i AS (
+       |  SELECT c.blk, c.j, c.dim, COALESCE(u.uv, c.cv) AS cv
+       |  FROM c${i - 1} c
+       |  LEFT JOIN u$i u ON u.blk = c.blk AND u.j = c.j AND u.dim = c.dim)"""
+      .stripMargin
+
   val oracles: Map[String, String] = Map(
+    "s09_pq_codes" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, CAST((g - 1) // 16 AS INT) AS blk,
+         |    CAST(g - 1 AS INT) AS dim,
+         |    CAST(floor(CAST(embedding[g] AS DOUBLE) * 1000) AS BIGINT) AS qv
+         |  FROM embeddings, unnest(generate_series(1, len(embedding))) u(g)),
+         |init AS (
+         |  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+         |    AS j
+         |  FROM (SELECT DISTINCT vec_id FROM q ORDER BY vec_id LIMIT 4)),
+         |c0 AS (
+         |  SELECT q.blk, init.j, q.dim, q.qv AS cv
+         |  FROM q JOIN init USING (vec_id)),
+         |${(1 to 2).map(pqRoundCte).mkString(",\n")},
+         |af AS (
+         |  SELECT q.vec_id, q.blk, c.j,
+         |    CAST(SUM((q.qv - c.cv) * (q.qv - c.cv)) AS BIGINT) AS dist
+         |  FROM q JOIN c2 c ON c.blk = q.blk AND c.dim = q.dim
+         |  GROUP BY q.vec_id, q.blk, c.j)
+         |SELECT vec_id, blk AS block, j AS code, dist FROM (
+         |  SELECT vec_id, blk, j, dist,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id, blk ORDER BY dist, j)
+         |      AS rn
+         |  FROM af) WHERE rn = 1
+         |ORDER BY vec_id, block""".stripMargin,
     "s08_semantic_decontam" ->
       s"""WITH b AS (
          |  SELECT CAST(embedding AS DOUBLE[]) AS be FROM embeddings

@@ -61,6 +61,30 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("s09 PQ codes match hand-computed exact-integer Lloyd rounds") {
+    import spark.implicits._
+    // 2 dims as 2 one-dim blocks, k=2, 1 round. Milli-quantized:
+    // v1=[0,0] v2=[1,0] v3=[1000,1000] v4=[1001,1000]; init = v1,v2.
+    // Round 1 block 0: {v1}→j0 stays 0, {v2,v3,v4}→j1 moves to
+    // floor(2002/3)=667; block 1: both codes start at 0, ties → j0
+    // absorbs everyone → 500, j1 empty keeps 0. Final assignment and
+    // exact squared distances verified below.
+    val emb = Seq(
+      (1L, Array(0f, 0f), 0), (2L, Array(0.001f, 0f), 0),
+      (3L, Array(1f, 1f), 0), (4L, Array(1.001f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = operators.Similarity
+      .pqCodes(emb, k = 2, blockDim = 1, rounds = 1).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("block"),
+        r.getAs[Int]("code"), r.getAs[Long]("dist"))).toSeq
+    CacheScope.releaseAll()
+    assert(got == Seq(
+      (1L, 0, 0, 0L), (1L, 1, 1, 0L),
+      (2L, 0, 0, 1L), (2L, 1, 1, 0L),
+      (3L, 0, 1, 110889L), (3L, 1, 0, 250000L),
+      (4L, 0, 1, 111556L), (4L, 1, 0, 250000L)))
+  }
+
   test("s08 semantic decontam flags benchmark twins and clears orthogonals") {
     import spark.implicits._
     // id 0 is benchmark (0 % 31 == 0); id 1 duplicates it exactly,

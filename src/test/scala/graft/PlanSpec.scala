@@ -300,6 +300,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_min"))
   }
 
+  test("s09 PQ codebook broadcasts over the persisted dim explode") {
+    val p = plan("s09_pq_codes")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "the 256-row codebook must never shuffle the vector stream")
+    assert(p.contains("InMemoryTableScan"))
+    CacheScope.releaseAll()
+  }
+
   test("t23 BPE rounds are vocab-sized: argmax is TakeOrdered, corpus scanned zero times") {
     val p = plan("t23_bpe_merges")
     // every round hangs off the lineage-cut vocab (LogicalRDD); the

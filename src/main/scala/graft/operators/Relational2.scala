@@ -515,7 +515,40 @@ object Relational2 {
       .orderBy(col("cohort_week"), col("week_no"))
   }
 
+  /** q71 — Z-order layout audit: events keyed by (user, epoch-minute)
+    * are assigned the interleaved-bit z-value of the two 16-bit dims
+    * and grouped into 1024 z-buckets (the file-level layout a
+    * `ZORDER BY (user, time)` table write would produce); per bucket,
+    * the count and BOTH dims' min/max spans. Tight spans on both
+    * dims is exactly the property that lets min/max file statistics
+    * skip files for user-keyed AND time-keyed predicates — the
+    * data-skipping readout for a 100 TB layout decision.
+    *
+    * Scale: the z-value is a generated 16-term integer expression
+    * (map-only); the audit is one 1024-ary agg. The same z column
+    * feeds `repartitionByRange(col("z"))` at write time.
+    */
+  def q71_zorder: Q = (s, d) => {
+    val e = Tables.events(s, d)
+      .select(col("event_id"),
+        pmod(col("user_id"), lit(65536L)).as("x"),
+        pmod(call_function("div",
+          call_function("div", col("ts_ns"), lit(1000L)), lit(60000000L)),
+          lit(65536L)).as("y"))
+    val z = (0 until 16).map { i =>
+      (shiftright(col("x"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+        (shiftright(col("y"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+    e.withColumn("z", z)
+      .groupBy((call_function("div", col("z"), lit(4194304L))).as("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q71_zorder" -> q71_zorder,
     "q70_cohort" -> q70_cohort,
     "q69_funnel" -> q69_funnel,
     "q67_bloom_join" -> q67_bloom_join,
@@ -547,6 +580,21 @@ object Relational2 {
         |WHERE l_orderkey IN (
         |  SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q71_zorder" -> {
+      // the same 16-term interleave both engines evaluate exactly
+      val zSql = (0 until 16).map(i =>
+        s"((x >> $i) & 1) * ${1L << (2 * i)} + " +
+          s"((y >> $i) & 1) * ${1L << (2 * i + 1)}").mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT event_id, user_id % 65536 AS x,
+         |    (epoch_us(ts) // 60000000) % 65536 AS y
+         |  FROM events),
+         |z AS (SELECT x, y, $zSql AS z FROM e)
+         |SELECT z // 4194304 AS bucket, COUNT(*) AS n_events,
+         |  MIN(x) AS x_min, MAX(x) AS x_max,
+         |  MIN(y) AS y_min, MAX(y) AS y_max
+         |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
+    },
     "q70_cohort" ->
       """WITH firsts AS (
         |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week

@@ -280,4 +280,27 @@ class FunctionsSpec extends AnyFunSuite {
       spark.experimental.extraOptimizations
         .filterNot(_ == graft.plans.CosineFusionRule)
   }
+
+  test("q71 z-order buckets pin both dims' top bits (the skipping invariant)") {
+    // z >> 22 keeps the interleaved top-5 bits of x and y, so every
+    // bucket's x-span and y-span must stay within one 2^11 stripe —
+    // exactly the property that makes min/max file stats selective
+    // for predicates on EITHER dim. Also checks the interleave on a
+    // known value: x=3 (bits 0,1), y=1 (bit 0) → z = 1 + 4 + 2 = 7.
+    val spark = TestSpark.spark
+    val rows = operators.Relational2.q71_zorder(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("x_min") >> 11 == r.getAs[Long]("x_max") >> 11)
+      assert(r.getAs[Long]("y_min") >> 11 == r.getAs[Long]("y_max") >> 11)
+    }
+    import spark.implicits._
+    val z = Seq((1L, 3L, 1L)).toDF("event_id", "x", "y")
+      .withColumn("z", (0 until 16).map { i =>
+        (shiftright(col("x"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+          (shiftright(col("y"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+      }.reduce(_ + _)).collect().head.getAs[Long]("z")
+    assert(z == 7L)
+  }
 }

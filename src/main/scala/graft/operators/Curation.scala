@@ -470,6 +470,77 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** t24 — learned quality-classifier scoring (the GPT-3-pipeline
+    * "quality filter", Brown et al. 2020 Appendix A): train a
+    * multinomial Naive-Bayes classifier over hashed bag-of-n-gram
+    * features (unigrams + bigrams → 4096 md5 buckets, t22's feature
+    * space) with the curated sources (numeric suffix % 5 == 0, i.e.
+    * src0/src5/src10/src15) as positives and the rest negative, score
+    * EVERY document by its mean per-feature log-odds, and keep it by
+    * the published Pareto rule — keep iff a Pareto(α=9) sample
+    * exceeds 1 − score — made deterministic by drawing the sample
+    * through d11's Knuth-hash coin on doc_id.
+    *
+    * Everything that crosses the Spark/DuckDB boundary is floored
+    * integer micro-units (log-odds, the sigmoid, the Pareto
+    * quantile), so the keep decision is an exact int64 comparison in
+    * both engines — no float drift can flip it.
+    *
+    * Scale: one feature explode (persisted — the bucket stats and the
+    * scoring join both read it), a ≤4096-row weight table broadcast
+    * back over it, one doc_id-keyed rollup; the coin and the Pareto
+    * quantile are map-only arithmetic. Same linear shape as t22 at
+    * any corpus size: training is a fixed-width aggregate, inference
+    * is a broadcast hash join inside the scan pass.
+    */
+  def t24_quality_classifier: Q = (s, d) =>
+    classifierScores(Tables.documents(s, d))
+
+  private[graft] def classifierScores(docs: DataFrame,
+                                      nBuckets: Int = 4096): DataFrame = {
+    val toksCol = array_remove(split(lower(col("text")), "\\s+"), "")
+    val posCol = substring(col("source"), 4, 10).cast(IntegerType) % 5 === 0
+    val feats = graft.CacheScope.persisted(
+      docs.select(col("doc_id"), posCol.as("pos"), toksCol.as("toks"))
+        .select(col("doc_id"), col("pos"), explode(concat(
+          col("toks"),
+          expr("""zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),
+                 |         slice(toks, 2, greatest(size(toks) - 1, 0)),
+                 |         (a, b) -> concat(a, ' ', b))""".stripMargin)))
+          .as("f"))
+        .select(col("doc_id"), col("pos"),
+          (conv(substring(md5(col("f")), 1, 6), 16, 10).cast(LongType)
+            % nBuckets).as("b")))
+    val buckets = graft.CacheScope.persisted(
+      feats.groupBy(col("b"))
+        .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("pb"),
+          sum(when(col("pos"), 0L).otherwise(1L)).as("nb")))
+    val totals = buckets.agg(sum(col("pb")).as("np"), sum(col("nb")).as("nn"))
+    val weights = buckets
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        floor(log((col("pb") + 1.0) * (col("nn") + nBuckets) /
+          ((col("nb") + 1.0) * (col("np") + nBuckets))) * 1e6)
+          .cast(LongType).as("w_micro"))
+    feats.join(broadcast(weights), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("w_micro")).as("sw"))
+      .select(col("doc_id"), col("n_feats"),
+        floor(col("sw").cast(DoubleType) / col("n_feats"))
+          .cast(LongType).as("mean_micro"))
+      .select(col("doc_id"), col("n_feats"), col("mean_micro"),
+        floor(lit(1e6) / (lit(1.0) + exp(-col("mean_micro") / 1e6)))
+          .cast(LongType).as("s_micro"),
+        floor((pow(lit(1.0) - (col("doc_id") % 2147483648L * 2654435761L
+          % 4294967296L % 1000000L) / 1e6, lit(-1.0 / 9.0)) - 1.0) * 1e6)
+          .cast(LongType).as("p_micro"))
+      .select(col("doc_id"), col("n_feats"),
+        (col("mean_micro") / 1e6).as("logodds"),
+        (col("s_micro") / 1e6).as("score"),
+        (col("p_micro") > lit(1000000L) - col("s_micro")).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** p01 — the preprocessing pipeline END TO END as ONE declarative
     * plan: d08's curation gates (canonical-fingerprint dedup + lang +
     * length + punctuation) → near-dup pruning over d04's verified
@@ -564,6 +635,7 @@ object Curation {
 
   val queries: Map[String, Q] = Map(
     "t22_dsir" -> t22_dsir,
+    "t24_quality_classifier" -> t24_quality_classifier,
     "p01_pipeline" -> p01_pipeline,
     "t17_shards" -> t17_shards,
     "d20_bloom_decontam" -> d20_bloom_decontam,
@@ -610,6 +682,49 @@ object Curation {
         |SELECT doc_id, n_feats, CAST(wm AS DOUBLE) / 1e6 AS weight,
         |  wm > 0 AS selected
         |FROM w ORDER BY doc_id""".stripMargin,
+    "t24_quality_classifier" ->
+      """WITH t AS (
+        |  SELECT doc_id, substr(source, 4)::INT % 5 = 0 AS pos,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> x <> '') AS l
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, pos, unnest(l || list_transform(
+        |    list_zip(l[1:len(l)-1], l[2:len(l)]),
+        |    p -> p[1] || ' ' || p[2])) AS f
+        |  FROM t WHERE len(l) >= 1),
+        |bk AS (
+        |  SELECT doc_id, pos,
+        |    ('0x' || substr(md5(f), 1, 6))::BIGINT % 4096 AS b
+        |  FROM f),
+        |tot AS (
+        |  SELECT SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+        |    SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS nn
+        |  FROM bk),
+        |w AS (
+        |  SELECT bk.b,
+        |    CAST(floor(ln((SUM(CASE WHEN pos THEN 1 ELSE 0 END) + 1.0)
+        |      * (tot.nn + 4096)
+        |      / ((SUM(CASE WHEN pos THEN 0 ELSE 1 END) + 1.0)
+        |         * (tot.np + 4096))) * 1e6) AS BIGINT) AS w_micro
+        |  FROM bk, tot GROUP BY bk.b, tot.np, tot.nn),
+        |sc AS (
+        |  SELECT doc_id, COUNT(*) AS n_feats,
+        |    CAST(floor(CAST(SUM(w_micro) AS DOUBLE) / COUNT(*)) AS BIGINT)
+        |      AS mean_micro
+        |  FROM bk JOIN w USING (b) GROUP BY doc_id),
+        |s2 AS (
+        |  SELECT doc_id, n_feats, mean_micro,
+        |    CAST(floor(1e6 / (1.0 + exp(-mean_micro / 1e6))) AS BIGINT)
+        |      AS s_micro,
+        |    CAST(floor((pow(1.0 - (doc_id % 2147483648 * 2654435761
+        |      % 4294967296 % 1000000) / 1e6, -1.0/9.0) - 1.0) * 1e6)
+        |      AS BIGINT) AS p_micro
+        |  FROM sc)
+        |SELECT doc_id, n_feats, CAST(mean_micro AS DOUBLE) / 1e6 AS logodds,
+        |  CAST(s_micro AS DOUBLE) / 1e6 AS score,
+        |  p_micro > 1000000 - s_micro AS kept
+        |FROM s2 ORDER BY doc_id""".stripMargin,
     "p01_pipeline" -> {
       val (scores, pred) = TextAnalysis.langOracleSql
       s"""WITH scored AS (

@@ -266,6 +266,43 @@ class CurationSpec extends AnyFunSuite {
       "target-LIKE raw doc must be selected regardless of its label")
   }
 
+  test("t24 classifier separates curated-source-like text; Pareto keep is exact") {
+    val goodText = (1 to 10).map(_ => "alpha beta").mkString(" ")   // 20 toks
+    val junkText = (1 to 10).map(_ => "zork quux").mkString(" ")
+    val docs = spark.createDataFrame(
+      java.util.Arrays.asList(
+        // positives: source suffix % 5 == 0
+        Row(1L, goodText, "en", "src0", goodText.length.toLong),
+        Row(2L, goodText, "en", "src5", goodText.length.toLong),
+        Row(3L, junkText, "en", "src1", junkText.length.toLong),
+        Row(4L, junkText, "en", "src2", junkText.length.toLong),
+        // negative-source doc that LOOKS curated: must score high even
+        // though its own source label is negative (that's inference)
+        Row(5L, goodText, "en", "src3", goodText.length.toLong)),
+      docSchema)
+    val got = operators.Curation.classifierScores(docs, nBuckets = 64)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_feats"), r.getAs[Double]("logodds"),
+          r.getAs[Double]("score"), r.getAs[Boolean]("kept")))).toMap
+    CacheScope.releaseAll()
+    assert(got.values.forall(_._1 == 39L))  // 20 unigrams + 19 bigrams
+    assert(got(1L)._2 > 0, "curated-source doc must score positive")
+    assert(got(2L)._2 == got(1L)._2, "identical docs score identically")
+    assert(got(3L)._2 < 0, "junk doc must score negative")
+    assert(got(5L)._2 > 0,
+      "curated-LIKE doc must score positive regardless of source label")
+    assert(got(1L)._3 > got(3L)._3, "sigmoid preserves the ordering")
+    // the keep bit is exactly the published rule, recomputed here from
+    // the output score and the doc_id coin with the same JVM arithmetic
+    got.foreach { case (id, (_, _, score, kept)) =>
+      val sMicro = math.rint(score * 1e6).toLong
+      val u = (id % 2147483648L * 2654435761L % 4294967296L % 1000000L) / 1e6
+      val pMicro = math.floor((math.pow(1.0 - u, -1.0 / 9.0) - 1.0) * 1e6).toLong
+      assert(kept == (pMicro > 1000000L - sMicro), s"doc $id keep bit")
+    }
+  }
+
   test("t17 shard plan is reproducible and complete") {
     val a = operators.Curation.t17_shards(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"), r.getAs[Int]("pos")))

@@ -54,7 +54,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "d20_bloom_decontam", "d21_crossmodal_cc", "d22_substring_pairs",
     "d23_gram_novelty", "d24_line_dedup", "t19_zipf", "t20_heavy_hitters",
     "t21_code_switch", "t22_dsir", "q70_cohort", "d25_pair_rank",
-    "t23_bpe_merges", "s09_pq_codes", "q71_zorder", "p01_pipeline")
+    "t23_bpe_merges", "s09_pq_codes", "q71_zorder", "p01_pipeline",
+    "t24_quality_classifier")
 
   for (name <- targets)
     test(s"$name tolerates zero-row inputs") {

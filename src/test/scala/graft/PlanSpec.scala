@@ -293,6 +293,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"))
   }
 
+  test("t24 classifier weights broadcast over the persisted feature explode") {
+    val p = plan("t24_quality_classifier")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "the ≤4096-row weight table must never shuffle the feature stream")
+    assert(p.contains("InMemoryTableScan"))
+    assert(p.contains("partial_sum"))
+    CacheScope.releaseAll()
+  }
+
   test("q70 cohort joins broadcast (events never shuffle to meet cohort sizes)") {
     val p = plan("q70_cohort")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)

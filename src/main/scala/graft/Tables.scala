@@ -30,24 +30,31 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** `events.ts` is written as parquet INT64 TIMESTAMP(NANOS); Spark has
-    * no nanosecond timestamp type, so read it as a raw long
-    * (`nanosAsLong`) and expose BOTH a µs-truncated `ts` timestamp (for
-    * date_trunc-style bucketing — identical to DuckDB at ≥µs
-    * granularity) and the exact `ts_ns` long.
+  /** `events.ts` arrives in one of two physical encodings depending on
+    * the generator: INT64 TIMESTAMP(NANOS) (read as a raw long via
+    * `nanosAsLong` — Spark has no nanosecond timestamp type) or INT64
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ).
+    * Either way the loader exposes the SAME surface: a µs `ts`
+    * TimestampType column (for date_trunc-style bucketing — identical
+    * to DuckDB at ≥µs granularity; session tz is UTC engine-wide so
+    * the NTZ→instant cast is the identity) and an exact `ts_ns` long.
     *
     * Oracle-parity caveat (verified against DuckDB 1.0.0): DuckDB
-    * reads this TIMESTAMP(NANOS) parquet TRUNCATED to µs — epoch_ns
-    * there is really µs·1000. An oracle-checked query must therefore
-    * never ORDER BY or output raw `ts_ns` without an explicit
-    * tie-break that also resolves sub-µs differences (see
-    * q43_latest_wins: order at µs + event_id); `ts_ns` remains exact
-    * for arithmetic (gaps, ranges) where both sides use the same
-    * bound arithmetic.
+    * truncates TIMESTAMP(NANOS) parquet to µs — epoch_ns there is
+    * really µs·1000. An oracle-checked query must therefore never
+    * ORDER BY or output raw `ts_ns` without an explicit tie-break
+    * that also resolves sub-µs differences (see q43_latest_wins:
+    * order at µs + event_id); `ts_ns` remains exact for arithmetic
+    * (gaps, ranges) where both sides use the same bound arithmetic.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(s, d, "events")
+    normalizeEvents(load(s, d, "events"))
+  }
+
+  /** Normalize any events-shaped frame to the (`ts` TimestampType,
+    * `ts_ns` long) surface regardless of physical encoding. */
+  private[graft] def normalizeEvents(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case LongType =>
         // integral division — `/` on longs casts to double, whose ulp
@@ -55,10 +62,12 @@ object Tables {
         raw.withColumn("ts_ns", col("ts"))
           .withColumn("ts",
             timestamp_micros(call_function("div", col("ts_ns"), lit(1000L))))
+      case _: TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
       case _ =>
         raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
     }
-  }
 
   /** Configured embedding width (`spark.graft.embedding.dim`, default
     * 64 — the width of the driver testdata and of the default engine

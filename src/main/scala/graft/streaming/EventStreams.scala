@@ -21,8 +21,9 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** The events schema as read from the testdata parquet (ts arrives
-    * as INT64 nanos; see graft.Tables.events). */
+  /** The events schema for nanos-staged event parquet (ts as INT64
+    * raw nanos — the shape the streaming specs stage; see
+    * graft.Tables.events for the physical-encoding story). */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
@@ -31,11 +32,13 @@ object EventStreams {
   /** File-source stream over a directory of event parquet files. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventSchema).parquet(dir)
-      .withColumn("ts_ns", col("ts"))
-      // integral div: double division loses µs precision at ns epochs
-      .withColumn("ts",
-        timestamp_micros(call_function("div", col("ts_ns"), lit(1000L))))
+    // Stream sources need an explicit schema, but the physical ts
+    // encoding varies by generator (INT64 nanos vs µs NTZ — see
+    // graft.Tables.events). Peek at the footer with a batch read
+    // (metadata-only, no job) and normalize to the (ts, ts_ns) surface.
+    val physical = spark.read.parquet(dir).schema
+    graft.Tables.normalizeEvents(
+      spark.readStream.schema(physical).parquet(dir))
   }
 
   /** Watermarked tumbling-window aggregate — the streaming form of

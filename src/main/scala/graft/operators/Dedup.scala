@@ -978,22 +978,32 @@ object Dedup {
     pairRank(ngramJaccardPairs(Tables.documents(s, d)))
 
   private[graft] def pairRank(pairs: DataFrame, rounds: Int = 5): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val ed = graft.CacheScope.persisted(edges.join(deg, Seq("src")))
-    var ranks = ed.select(col("src").as("node")).distinct()
+    // deg doubles as the node table (sources of the symmetric edge
+    // list = every node, one row each) — the rank init and the final
+    // deg join read it instead of running E-row distincts
+    val deg = graft.CacheScope.persisted(
+      sym.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    // the standard PageRank layout: edges live hash-partitioned on src
+    // for the whole loop, so each round exchanges only the node-sized
+    // rank table (join probe + groupBy(dst)) — the E-row edge list
+    // never re-shuffles after this one repartition. shuffle_hash on
+    // the rank side keeps the per-round join sort-free (SMJ would
+    // re-sort the cached edges every round).
+    val ed = graft.CacheScope.persisted(
+      sym.join(deg, Seq("src")).repartition(col("src")))
+    var ranks = deg.select(col("src").as("node"))
       .withColumn("rk", lit(1000000L))
     for (_ <- 1 to rounds) {
-      ranks = ed.join(ranks, ed("src") === ranks("node"))
+      ranks = ed.join(ranks.hint("shuffle_hash"), ed("src") === ranks("node"))
         .groupBy(col("dst"))
         .agg((lit(150000L) +
           sum(call_function("div", col("rk") * 17L, col("deg") * 20L)))
           .as("rk"))
         .select(col("dst").as("node"), col("rk"))
     }
-    ranks.join(ed.select(col("src"), col("deg")).distinct(),
-        ranks("node") === col("src"))
+    ranks.join(deg, ranks("node") === deg("src"))
       .select(col("node").as("doc_id"), col("deg"),
         col("rk").as("rank_micro"))
       .orderBy(col("doc_id"))

@@ -632,7 +632,17 @@ object TextAnalysis {
     */
   def t23_bpe_merges: Q = (s, d) => bpeMerges(Tables.documents(s, d))
 
-  private[graft] def bpeMerges(docs: DataFrame, rounds: Int = 4): DataFrame = {
+  private[graft] def bpeMerges(docs: DataFrame, rounds: Int = 4): DataFrame =
+    bpeTrain(docs, rounds, applyLast = false)._1
+      .reduce(_ unionByName _).orderBy(col("round"))
+
+  /** Shared BPE training loop: learns `rounds` merges and returns
+    * (one winner frame per round, final vocab). t23 reads the winners
+    * (skipping the last unconsumed application); t25 applies ALL
+    * rounds (`applyLast = true`) and reads the final vocab's symbol
+    * sequences to encode the corpus. */
+  private def bpeTrain(docs: DataFrame, rounds: Int,
+      applyLast: Boolean): (Seq[DataFrame], DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val tok = array_remove(split(lower(col("text")), "\\s+"), "")
     var w = graft.CacheScope.cut(
@@ -654,9 +664,10 @@ object TextAnalysis {
       winners += win.select(lit(round).as("round"), col("a").as("lhs"),
         col("b").as("rhs"), concat(col("a"), col("b")).as("merged"),
         col("c").as("weight"))
-      // the last round's winner is already recorded — its merge
-      // application would go unconsumed, so only rounds 1..k-1 apply
-      if (round < rounds) {
+      // t23's last winner is already recorded — its merge application
+      // would go unconsumed there, so it only runs when the caller
+      // wants the fully-merged vocab (t25 encode)
+      if (round < rounds || applyLast) {
       // matched positions; greedy = odd ranks within each island of
       // consecutive matches
       val mi = p.join(broadcast(win.select(col("a"), col("b"))), Seq("a", "b"))
@@ -687,10 +698,42 @@ object TextAnalysis {
             s => s.getField("sym")).as("syms")))
       }
     }
-    winners.result().reduce(_ unionByName _).orderBy(col("round"))
+    (winners.result(), w)
+  }
+
+  /** t25 — BPE encoding: apply the k merges t23 learns back to the
+    * corpus (tokenizer train→APPLY — the half of the BPE story t23's
+    * training output doesn't cover). Per doc: word count, symbol
+    * count before any merge (chars), token count after k merges, and
+    * the compression ratio chars/tokens (engine-stable rounding).
+    *
+    * Scale: training cost is t23's (vocab-sized rounds); encoding
+    * never touches symbol sequences per occurrence — it aggregates
+    * the corpus to per-(doc, word) counts first (map-side combine),
+    * joins that to the vocab-sized symbol-count table on the word
+    * key, and folds weighted sums per doc. Two shuffles past
+    * training, both on pre-aggregated rows.
+    */
+  def t25_bpe_encode: Q = (s, d) => bpeEncode(Tables.documents(s, d))
+
+  private[graft] def bpeEncode(docs: DataFrame, rounds: Int = 4): DataFrame = {
+    val enc = bpeTrain(docs, rounds, applyLast = true)._2
+      .select(col("word"), size(col("syms")).as("n_sym"))
+    val tok = array_remove(split(lower(col("text")), "\\s+"), "")
+    val wc = docs.select(col("doc_id"), explode(tok).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("k"))
+    wc.join(enc, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_words"),
+        sum(col("k") * length(col("word"))).as("n_chars"),
+        sum(col("k") * col("n_sym")).as("n_bpe"))
+      .withColumn("compression",
+        Tables.rhalfup(col("n_chars").cast("double") / col("n_bpe"), 4))
+      .orderBy(col("doc_id"))
   }
 
   val queries: Map[String, Q] = Map(
+    "t25_bpe_encode" -> t25_bpe_encode,
     "t23_bpe_merges" -> t23_bpe_merges,
     "t21_code_switch" -> t21_code_switch,
     "t20_heavy_hitters" -> t20_heavy_hitters,
@@ -827,6 +870,29 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "t25_bpe_encode" ->
+      s"""WITH w0 AS (
+         |  SELECT word, COUNT(*) AS cnt, regexp_split_to_array(word, '')
+         |    AS syms
+         |  FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+         |    '\\s+'), x -> x <> '')) AS word FROM documents)
+         |  GROUP BY word),
+         |${(1 to 4).map(i => bpeRoundCte(i, last = false)).mkString(",\n")},
+         |enc AS (SELECT word, len(syms) AS n_sym FROM w4),
+         |wc AS (
+         |  SELECT doc_id, word, COUNT(*) AS k
+         |  FROM (SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+         |    lower(text), '\\s+'), x -> x <> '')) AS word FROM documents)
+         |  GROUP BY doc_id, word)
+         |SELECT doc_id, n_words, n_chars, n_bpe,
+         |  floor(CAST(n_chars AS DOUBLE) / n_bpe * 1e4 + 0.5) / 1e4
+         |    AS compression
+         |FROM (
+         |  SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_words,
+         |    CAST(SUM(k * length(word)) AS BIGINT) AS n_chars,
+         |    CAST(SUM(k * n_sym) AS BIGINT) AS n_bpe
+         |  FROM wc JOIN enc USING (word) GROUP BY doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "t23_bpe_merges" ->
       s"""WITH w0 AS (
          |  SELECT word, COUNT(*) AS cnt, regexp_split_to_array(word, '')

@@ -259,6 +259,27 @@ class TextAnalysisSpec extends AnyFunSuite {
       (4, "aa", "ab", "aaab", 2L)))
   }
 
+  test("t25 BPE encode applies all learned merges: hand-computed token counts") {
+    // same corpus as the t23 test, so the learned merges are known:
+    // r1 bb, r2 aa, r3 ab, r4 aa+ab→aaab — and t25 applies ALL four.
+    // aaab → [aa,a,b] → [aa,ab] → [aaab]: 1 token
+    // abab → [ab,ab] (two non-overlapping r3 merges; r4 finds no
+    //   (aa,ab) pair): 2 tokens
+    // bb   → [bb]: 1 token
+    val df = corpus(
+      1L -> "aaab aaab abab",
+      2L -> "bb bb bb bb bb")
+    val got = operators.TextAnalysis.bpeEncode(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_chars"),
+          r.getAs[Long]("n_bpe"), r.getAs[Double]("compression")))).toMap
+    CacheScope.releaseAll()
+    // doc1: 2×aaab + 1×abab = 3 words, 12 chars, 2·1+1·2 = 4 tokens
+    assert(got(1L) == ((3L, 12L, 4L, 3.0)))
+    // doc2: 5×bb = 5 words, 10 chars, 5·1 = 5 tokens
+    assert(got(2L) == ((5L, 10L, 5L, 2.0)))
+  }
+
   test("t20 count-min estimates dominate exact counts within the ε bound") {
     // skewed corpus: hot token 60×, mid tokens, long tail
     val texts = Seq(

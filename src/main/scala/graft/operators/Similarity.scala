@@ -377,8 +377,23 @@ object Similarity {
     */
   def s09_pq_codes: Q = (s, d) => pqCodes(Tables.embeddings(s, d))
 
-  private[graft] def pqCodes(emb: DataFrame, k: Int = 4,
-                             blockDim: Int = 16, rounds: Int = 2): DataFrame = {
+  /** Assignment under codebook `cents`: exact integer L2 per
+    * (vec, block, code), then rank (dist, j) — ties to the smaller
+    * code. Shared by training rounds (s09/s10) and the final outputs. */
+  private def pqAssign(q: DataFrame, cents: DataFrame): DataFrame = q
+    .join(broadcast(cents), Seq("blk", "dim"))
+    .groupBy(col("vec_id"), col("blk"), col("j"))
+    .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv"))).as("dist"))
+    .withColumn("rn", row_number().over(
+      Window.partitionBy(col("vec_id"), col("blk"))
+        .orderBy(col("dist"), col("j"))))
+
+  /** The s09 training loop: milli-quantized (vec, dim) explode plus
+    * the codebook after `rounds` exact-integer Lloyd rounds. Returns
+    * (q, codebook) so s09 can emit assignments and s10 can run ADC
+    * search against the same trained codes. */
+  private def pqTrain(emb: DataFrame, k: Int, blockDim: Int,
+      rounds: Int): (DataFrame, DataFrame) = {
     val q = graft.CacheScope.persisted(
       emb.select(col("vec_id"), posexplode(col("embedding")))
         .select(col("vec_id"),
@@ -392,17 +407,8 @@ object Similarity {
     var c = graft.CacheScope.cut(
       q.join(init, Seq("vec_id"))
         .select(col("blk"), col("j"), col("dim"), col("qv").as("cv")))
-    // assignment under codebook `cents`: exact integer L2 per
-    // (vec, block, code), then rank (dist, j) — ties to the smaller code
-    def assign(cents: DataFrame): DataFrame = q
-      .join(broadcast(cents), Seq("blk", "dim"))
-      .groupBy(col("vec_id"), col("blk"), col("j"))
-      .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv"))).as("dist"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id"), col("blk"))
-          .orderBy(col("dist"), col("j"))))
     for (_ <- 1 to rounds) {
-      val m = assign(c).filter(col("rn") === 1)
+      val m = pqAssign(q, c).filter(col("rn") === 1)
         .select(col("vec_id"), col("blk"), col("j"))
       val u = q.join(m, Seq("vec_id", "blk"))
         .groupBy(col("blk"), col("j"), col("dim"))
@@ -414,13 +420,68 @@ object Similarity {
           .select(col("blk"), col("j"), col("dim"),
             coalesce(col("uv"), col("cv")).as("cv")))
     }
-    assign(c).filter(col("rn") === 1)
+    (q, c)
+  }
+
+  private[graft] def pqCodes(emb: DataFrame, k: Int = 4,
+                             blockDim: Int = 16, rounds: Int = 2): DataFrame = {
+    val (q, c) = pqTrain(emb, k, blockDim, rounds)
+    pqAssign(q, c).filter(col("rn") === 1)
       .select(col("vec_id"), col("blk").as("block"), col("j").as("code"),
         col("dist"))
       .orderBy(col("vec_id"), col("block"))
   }
 
+  /** s10 — PQ approximate search via asymmetric distance computation
+    * (the SEARCH half of the PQ story s09 trains; Jégou et al. 2011
+    * §IV): queries are the s08 benchmark slice (vec_id % 31 = 0, the
+    * `nQueries` smallest), the database is everything else, and the
+    * approximate distance is the classic ADC sum — per query, one
+    * exact-integer L2 table of (block, code) → distance-to-centroid
+    * (m·k = 16 entries), then each database vector scores as the sum
+    * of 4 table lookups selected by its PQ code. All arithmetic stays
+    * in exact longs, so the ranking is oracle-bearing end to end.
+    *
+    * Scale: this is the PQ promise made concrete — the scored relation
+    * joins the n·m CODE table (one int per block, from the broadcast
+    * codebook assignment) against a broadcast query-side lookup table
+    * (nQueries·m·k rows); the 64-dim embedding column is never read
+    * after training. Fan-out is nQueries per code row (bounded by the
+    * fixed query count), one partial-agg sum per (query, vec), and a
+    * per-query top-k window over ADC scores.
+    */
+  def s10_pq_search: Q = (s, d) => pqSearch(Tables.embeddings(s, d))
+
+  private[graft] def pqSearch(emb: DataFrame, k: Int = 4,
+      blockDim: Int = 16, rounds: Int = 2, nQueries: Int = 8,
+      topK: Int = 5): DataFrame = {
+    val (q, c) = pqTrain(emb, k, blockDim, rounds)
+    val codes = pqAssign(q, c).filter(col("rn") === 1)
+      .filter(col("vec_id") % 31 =!= 0)
+      .select(col("vec_id"), col("blk"), col("j"))
+    val qids = emb.select(col("vec_id").as("query_id"))
+      .filter(col("query_id") % 31 === 0)
+      .orderBy(col("query_id")).limit(nQueries)
+    // the ADC lookup table: per query × block × code, the exact
+    // integer L2 from the query's sub-vector to that code's centroid
+    val qd = q.join(broadcast(qids), q("vec_id") === qids("query_id"))
+      .join(broadcast(c), Seq("blk", "dim"))
+      .groupBy(col("query_id"), col("blk"), col("j"))
+      .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv")))
+        .as("qdist"))
+    codes.join(broadcast(qd), Seq("blk", "j"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("qdist")).as("adc_dist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc_dist"), col("vec_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("adc_dist"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "s10_pq_search" -> s10_pq_search,
     "s09_pq_codes" -> s09_pq_codes,
     "s07_label_centroids" -> s07_label_centroids,
     "s08_semantic_decontam" -> s08_semantic_decontam,
@@ -457,32 +518,66 @@ object Similarity {
        |  LEFT JOIN u$i u ON u.blk = c.blk AND u.j = c.j AND u.dim = c.dim)"""
       .stripMargin
 
+  /** Shared CTE prefix for the PQ oracles: quantized explode, init
+    * codebook, 2 Lloyd rounds, and the final-assignment table `af` —
+    * the exact mirror of pqTrain + pqAssign. */
+  private def pqOracleSetup: String =
+    s"""WITH q AS (
+       |  SELECT vec_id, CAST((g - 1) // 16 AS INT) AS blk,
+       |    CAST(g - 1 AS INT) AS dim,
+       |    CAST(floor(CAST(embedding[g] AS DOUBLE) * 1000) AS BIGINT) AS qv
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) u(g)),
+       |init AS (
+       |  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+       |    AS j
+       |  FROM (SELECT DISTINCT vec_id FROM q ORDER BY vec_id LIMIT 4)),
+       |c0 AS (
+       |  SELECT q.blk, init.j, q.dim, q.qv AS cv
+       |  FROM q JOIN init USING (vec_id)),
+       |${(1 to 2).map(pqRoundCte).mkString(",\n")},
+       |af AS (
+       |  SELECT q.vec_id, q.blk, c.j,
+       |    CAST(SUM((q.qv - c.cv) * (q.qv - c.cv)) AS BIGINT) AS dist
+       |  FROM q JOIN c2 c ON c.blk = q.blk AND c.dim = q.dim
+       |  GROUP BY q.vec_id, q.blk, c.j)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "s09_pq_codes" ->
-      s"""WITH q AS (
-         |  SELECT vec_id, CAST((g - 1) // 16 AS INT) AS blk,
-         |    CAST(g - 1 AS INT) AS dim,
-         |    CAST(floor(CAST(embedding[g] AS DOUBLE) * 1000) AS BIGINT) AS qv
-         |  FROM embeddings, unnest(generate_series(1, len(embedding))) u(g)),
-         |init AS (
-         |  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
-         |    AS j
-         |  FROM (SELECT DISTINCT vec_id FROM q ORDER BY vec_id LIMIT 4)),
-         |c0 AS (
-         |  SELECT q.blk, init.j, q.dim, q.qv AS cv
-         |  FROM q JOIN init USING (vec_id)),
-         |${(1 to 2).map(pqRoundCte).mkString(",\n")},
-         |af AS (
-         |  SELECT q.vec_id, q.blk, c.j,
-         |    CAST(SUM((q.qv - c.cv) * (q.qv - c.cv)) AS BIGINT) AS dist
-         |  FROM q JOIN c2 c ON c.blk = q.blk AND c.dim = q.dim
-         |  GROUP BY q.vec_id, q.blk, c.j)
+      s"""$pqOracleSetup
          |SELECT vec_id, blk AS block, j AS code, dist FROM (
          |  SELECT vec_id, blk, j, dist,
          |    ROW_NUMBER() OVER (PARTITION BY vec_id, blk ORDER BY dist, j)
          |      AS rn
          |  FROM af) WHERE rn = 1
          |ORDER BY vec_id, block""".stripMargin,
+    "s10_pq_search" ->
+      s"""$pqOracleSetup,
+         |codes AS (
+         |  SELECT vec_id, blk, j FROM (
+         |    SELECT vec_id, blk, j,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, blk ORDER BY dist, j)
+         |        AS rn
+         |    FROM af) WHERE rn = 1 AND vec_id % 31 <> 0),
+         |qids AS (
+         |  SELECT vec_id AS query_id FROM embeddings
+         |  WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 8),
+         |qd AS (
+         |  SELECT qi.query_id, q.blk, c.j,
+         |    CAST(SUM((q.qv - c.cv) * (q.qv - c.cv)) AS BIGINT) AS qdist
+         |  FROM q JOIN qids qi ON q.vec_id = qi.query_id
+         |  JOIN c2 c ON c.blk = q.blk AND c.dim = q.dim
+         |  GROUP BY qi.query_id, q.blk, c.j),
+         |adc AS (
+         |  SELECT qd.query_id, codes.vec_id,
+         |    CAST(SUM(qd.qdist) AS BIGINT) AS adc_dist
+         |  FROM codes JOIN qd ON qd.blk = codes.blk AND qd.j = codes.j
+         |  GROUP BY qd.query_id, codes.vec_id)
+         |SELECT query_id, CAST(rk AS INT) AS rank, vec_id, adc_dist FROM (
+         |  SELECT query_id, vec_id, adc_dist,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY adc_dist, vec_id) AS rk
+         |  FROM adc) WHERE rk <= 5
+         |ORDER BY query_id, rank""".stripMargin,
     "s08_semantic_decontam" ->
       s"""WITH b AS (
          |  SELECT CAST(embedding AS DOUBLE[]) AS be FROM embeddings

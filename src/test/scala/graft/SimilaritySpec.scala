@@ -85,6 +85,31 @@ class SimilaritySpec extends AnyFunSuite {
       (4L, 0, 1, 111556L), (4L, 1, 0, 250000L)))
   }
 
+  test("s10 ADC search ranks by exact lookup-table sums with vec_id ties") {
+    import spark.implicits._
+    // 4 dims as 2 two-dim blocks, k=4, 1 round. The 4 init vectors
+    // (ids 0-3) are the exact lattice points 0/1/2/3 per dim, so the
+    // codebook is immediately stable and ids 4/5 (duplicates of v1/v2)
+    // assign with zero error. Query = id 0 (0 % 31 == 0), database =
+    // ids 1-5. ADC lookup per block: j0→0, j1→2·1000², j2→2·2000²,
+    // j3→2·3000². Scores: id1/id4 (code j1,j1) = 4e6 — tie breaks to
+    // the smaller vec_id; id2/id5 = 16e6; id3 = 36e6.
+    val emb = Seq(
+      (0L, Array(0f, 0f, 0f, 0f), 0), (1L, Array(1f, 1f, 1f, 1f), 0),
+      (2L, Array(2f, 2f, 2f, 2f), 0), (3L, Array(3f, 3f, 3f, 3f), 0),
+      (4L, Array(1f, 1f, 1f, 1f), 0), (5L, Array(2f, 2f, 2f, 2f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = operators.Similarity
+      .pqSearch(emb, k = 4, blockDim = 2, rounds = 1, topK = 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Long]("adc_dist"))).toSeq
+    CacheScope.releaseAll()
+    assert(got == Seq(
+      (0L, 1, 1L, 4000000L),
+      (0L, 2, 4L, 4000000L),
+      (0L, 3, 2L, 16000000L)))
+  }
+
   test("s08 semantic decontam flags benchmark twins and clears orthogonals") {
     import spark.implicits._
     // id 0 is benchmark (0 % 31 == 0); id 1 duplicates it exactly,

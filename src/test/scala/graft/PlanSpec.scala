@@ -327,4 +327,42 @@ class PlanSpec extends AnyFunSuite {
     assert("TakeOrderedAndProject\\(limit=1".r.findAllIn(p).size == 4)
     CacheScope.releaseAll()
   }
+
+  test("t25 encode pre-aggregates (doc, word) counts before the vocab join") {
+    val p = plan("t25_bpe_encode")
+    // the corpus collapses to per-(doc, word) counts map-side, so the
+    // vocab join input is distinct words per doc, never raw occurrences
+    assert("HashAggregate\\(keys=\\[doc_id[^\\]]*word[^\\]]*\\], functions=\\[partial_count"
+      .r.findFirstIn(p).isDefined)
+    // weighted char/token sums fold partial+final per doc
+    assert(p.contains("partial_sum(k"))
+    assert(!p.contains("CartesianProduct"))
+    CacheScope.releaseAll()
+  }
+
+  test("s10 ADC search never reads embeddings after training and prunes top-k pre-shuffle") {
+    val p = plan("s10_pq_search")
+    // the query-id scan is the ONLY post-training parquet read, pruned
+    // to vec_id — the 64-float embedding column dies at the train pass
+    assert(p.contains("ReadSchema: struct<vec_id:bigint>"))
+    // the m·k-per-query lookup table ships as a broadcast to the code
+    // table (codebook assignment broadcasts too — never a shuffle join)
+    assert("BroadcastHashJoin \\[blk".r.findAllIn(p).size >= 2)
+    // per-query top-k is rank-limit-pruned before the final exchange
+    assert(p.contains("WindowGroupLimit [query_id"))
+    assert(!p.contains("CartesianProduct"))
+    CacheScope.releaseAll()
+  }
+
+  test("d25 rank rounds hash-build on the node-sized side (edge list never sorts)") {
+    val p = plan("d25_pair_rank")
+    // 5 damped rounds = 5 shuffled-hash joins with the rank table as
+    // build side; an SMJ here would re-sort the E-row edge list every
+    // round
+    assert("ShuffledHashJoin \\[src[^\\]]*\\], \\[node[^\\]]*\\], Inner, BuildRight"
+      .r.findAllIn(p).size == 5)
+    // per-round share sums are partial+final (map-side combine on dst)
+    assert(p.contains("partial_sum((("))
+    CacheScope.releaseAll()
+  }
 }

@@ -1072,13 +1072,17 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "d25_pair_rank" ->
-      s"""WITH pairs AS (
+      // MATERIALIZED: pairs is referenced twice and ed once per round —
+      // inlining would re-run the token self-join up to 6 times, which
+      // exhausts DuckDB's temp disk at 10x-scale corpora
+      s"""WITH pairs AS MATERIALIZED (
          |$d04OracleBody
          |), e AS (
          |  SELECT id_a AS src, id_b AS dst FROM pairs
          |  UNION ALL SELECT id_b, id_a FROM pairs
          |), deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
-         |ed AS (SELECT e.src, e.dst, d.deg FROM e JOIN deg d USING (src)),
+         |ed AS MATERIALIZED (
+         |  SELECT e.src, e.dst, d.deg FROM e JOIN deg d USING (src)),
          |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rk FROM deg),
          |${(1 to 5).map(rankRoundCte).mkString(",\n")}
          |SELECT r5.node AS doc_id, d.deg, r5.rk AS rank_micro

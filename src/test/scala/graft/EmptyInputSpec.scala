@@ -55,7 +55,7 @@ class EmptyInputSpec extends AnyFunSuite {
     "d23_gram_novelty", "d24_line_dedup", "t19_zipf", "t20_heavy_hitters",
     "t21_code_switch", "t22_dsir", "q70_cohort", "d25_pair_rank",
     "t23_bpe_merges", "s09_pq_codes", "q71_zorder", "p01_pipeline",
-    "t24_quality_classifier")
+    "t24_quality_classifier", "t25_bpe_encode", "s10_pq_search")
 
   for (name <- targets)
     test(s"$name tolerates zero-row inputs") {

@@ -547,7 +547,50 @@ object Relational2 {
       .orderBy(col("bucket"))
   }
 
+  /** q72 — MERGE INTO (CDC upsert apply): a change-data batch applied
+    * to the `orders` base table with the three MERGE actions —
+    * matched+U → update, matched+D → delete, not-matched+I → insert —
+    * emitted as the changed-row feed (key, action, post-image). The
+    * delivery here is derived deterministically from the base itself
+    * (update every 13th key, delete every 19th not updated, insert a
+    * remapped copy of every 17th ≡ 3) so the oracle can rebuild it;
+    * in production it arrives as its own table and nothing in the
+    * plan changes.
+    *
+    * Scale: one PK-keyed equi-join per action class against the
+    * delivery (a real CDC batch is delivery-sized → Spark broadcasts
+    * it and the base never shuffles; this corpus-derived delivery is
+    * proportional, so AQE picks a shuffle join — both shapes are one
+    * pass over the base). The anti-join for inserts is keyed the same
+    * way. No window, no skew surface: the PK is unique on both sides.
+    */
+  def q72_merge_upsert: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val k = col("o_orderkey")
+    val upd = o.filter(pmod(k, lit(13L)) === 0L)
+      .select(k.as("mk"),
+        Tables.rhalfup(col("o_totalprice") * 1.05, 2).as("new_price"))
+    val del = o.filter(pmod(k, lit(13L)) =!= 0L && pmod(k, lit(19L)) === 5L)
+      .select(k.as("mk"))
+    val ins = o.filter(pmod(k, lit(17L)) === 3L)
+      .select((k + 10000000000L).as("mk"),
+        col("o_totalprice").as("new_price"))
+    val updated = o.join(upd, k === col("mk"))
+      .select(k.as("o_orderkey"), lit("update").as("action"),
+        col("new_price").as("o_totalprice"), lit("P").as("o_orderstatus"))
+    val deleted = o.join(del, k === col("mk"))
+      .select(k.as("o_orderkey"), lit("delete").as("action"),
+        lit(null).cast(DoubleType).as("o_totalprice"),
+        lit(null).cast(StringType).as("o_orderstatus"))
+    val inserted = ins.join(o, col("mk") === k, "left_anti")
+      .select(col("mk").as("o_orderkey"), lit("insert").as("action"),
+        col("new_price").as("o_totalprice"), lit("N").as("o_orderstatus"))
+    updated.unionByName(deleted).unionByName(inserted)
+      .orderBy(col("o_orderkey"), col("action"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q72_merge_upsert" -> q72_merge_upsert,
     "q71_zorder" -> q71_zorder,
     "q70_cohort" -> q70_cohort,
     "q69_funnel" -> q69_funnel,
@@ -572,6 +615,27 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q72_merge_upsert" ->
+      """WITH upd AS (
+        |  SELECT o_orderkey AS mk,
+        |    floor(o_totalprice * 1.05 * 1e2 + 0.5) / 1e2 AS new_price
+        |  FROM orders WHERE o_orderkey % 13 = 0),
+        |del AS (
+        |  SELECT o_orderkey AS mk FROM orders
+        |  WHERE o_orderkey % 13 <> 0 AND o_orderkey % 19 = 5),
+        |ins AS (
+        |  SELECT o_orderkey + 10000000000 AS mk, o_totalprice AS new_price
+        |  FROM orders WHERE o_orderkey % 17 = 3)
+        |SELECT o.o_orderkey, 'update' AS action,
+        |  u.new_price AS o_totalprice, 'P' AS o_orderstatus
+        |FROM orders o JOIN upd u ON o.o_orderkey = u.mk
+        |UNION ALL
+        |SELECT o.o_orderkey, 'delete', NULL, NULL
+        |FROM orders o JOIN del d ON o.o_orderkey = d.mk
+        |UNION ALL
+        |SELECT i.mk, 'insert', i.new_price, 'N'
+        |FROM ins i ANTI JOIN orders o ON i.mk = o.o_orderkey
+        |ORDER BY o_orderkey, action""".stripMargin,
     "q67_bloom_join" ->
       """SELECT l_returnflag,
         |  CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -33,6 +33,12 @@ class EmptyInputSpec extends AnyFunSuite {
       StructField("event_id", LongType), StructField("ts", TimestampType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType))))
+    write("orders", StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampType),
+      StructField("o_orderpriority", StringType))))
     dir
   }
 
@@ -55,7 +61,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "d23_gram_novelty", "d24_line_dedup", "t19_zipf", "t20_heavy_hitters",
     "t21_code_switch", "t22_dsir", "q70_cohort", "d25_pair_rank",
     "t23_bpe_merges", "s09_pq_codes", "q71_zorder", "p01_pipeline",
-    "t24_quality_classifier", "t25_bpe_encode", "s10_pq_search")
+    "t24_quality_classifier", "t25_bpe_encode", "s10_pq_search",
+    "q72_merge_upsert")
 
   for (name <- targets)
     test(s"$name tolerates zero-row inputs") {

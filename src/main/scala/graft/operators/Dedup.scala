@@ -930,10 +930,12 @@ object Dedup {
     */
   def d24_line_dedup: Q = (s, d) => lineDedup(Tables.documents(s, d))
 
-  private[graft] def lineDedup(docs: DataFrame, lineTok: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Docs split into consecutive `lineTok`-token lines — the shared
+    * front half of the line-granularity ops (d24 first-wins dedup,
+    * d26 boilerplate scrub). Map-only: one posexplode per doc. */
+  private def docLines(docs: DataFrame, lineTok: Int): DataFrame = {
     val toks = array_remove(split(lower(col("text")), "\\s+"), "")
-    val lines = docs
+    docs
       .select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"), posexplode(expr(
         s"""transform(
@@ -941,21 +943,65 @@ object Dedup {
            |  i -> array_join(slice(toks, i * $lineTok + 1, $lineTok), ' '))"""
           .stripMargin)))
       .toDF("doc_id", "line_no", "line")
-    val firstWins = Window.partitionBy(md5(col("line")))
-      .orderBy(col("doc_id"), col("line_no"))
+  }
+
+  /** Docs rebuilt from the lines whose `keep` flag survived — the
+    * shared back half of the line-granularity ops. One doc-keyed agg;
+    * collect_list drops the nulls from the un-kept branch and the
+    * struct sort restores line order partition-order-proof. */
+  private def reassembleKept(lines: DataFrame): DataFrame =
     lines
-      .withColumn("keep", row_number().over(firstWins) === 1)
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_lines"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
-        // collect_list drops the nulls from the un-kept branch; the
-        // struct sort restores line order partition-order-proof.
         array_join(transform(
           array_sort(collect_list(when(col("keep"),
             struct(col("line_no"), col("line"))))),
           s => s.getField("line")), " ").as("clean_text"))
       .orderBy(col("doc_id"))
+
+  private[graft] def lineDedup(docs: DataFrame, lineTok: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstWins = Window.partitionBy(md5(col("line")))
+      .orderBy(col("doc_id"), col("line_no"))
+    reassembleKept(docLines(docs, lineTok)
+      .withColumn("keep", row_number().over(firstWins) === 1))
+  }
+
+  /** d26 — boilerplate scrub (the CCNet/Dolma shard-level filter d24's
+    * first-wins rule is NOT): a line occurring in ≥ `minDocs` DISTINCT
+    * docs is boilerplate — headers, navigation, license footers — and
+    * is removed from EVERY doc, first occurrence included. d24 answers
+    * "keep one copy of shared text"; d26 answers "this text is
+    * template noise, keep zero copies". Docs are reassembled from
+    * their surviving lines; docs scrubbed to nothing still emit a row
+    * (n_kept = 0) so the curation gate downstream sees them.
+    *
+    * Scale: line frequency is one agg keyed by the 16-byte md5 digest
+    * (uniform — the line text never shuffles); the boilerplate set is
+    * tiny by construction (≤ distinct-lines / minDocs, in practice the
+    * handful of shared templates), so the scrub join is a broadcast
+    * left join under AQE and the scan side never re-shuffles; the
+    * reassembly is the same doc-keyed agg as d24. Hot boilerplate
+    * digests never concentrate on a reducer — the frequency agg is
+    * partial+final, the scrub is map-side.
+    */
+  def d26_boilerplate: Q = (s, d) => boilerplateScrub(Tables.documents(s, d))
+
+  private[graft] def boilerplateScrub(docs: DataFrame, lineTok: Int = 10,
+                                      minDocs: Long = 3L): DataFrame = {
+    val lines = docLines(docs, lineTok)
+    val boiler = lines
+      .groupBy(md5(col("line")).as("h"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("h"))
+    reassembleKept(lines
+      .withColumn("h", md5(col("line")))
+      .join(boiler.withColumnRenamed("h", "bh"),
+        col("h") === col("bh"), "left")
+      .withColumn("keep", col("bh").isNull))
   }
 
   /** d25 — duplicate-graph centrality: PageRank over the d04 near-dup
@@ -1012,6 +1058,7 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "d25_pair_rank" -> d25_pair_rank,
     "d24_line_dedup" -> d24_line_dedup,
+    "d26_boilerplate" -> d26_boilerplate,
     "d13_lsh_recall" -> d13_lsh_recall,
     "d07_snapshot_diff" -> d07_snapshot_diff,
     "d01_dedup_exact" -> d01_dedup_exact,
@@ -1088,6 +1135,31 @@ object Dedup {
          |SELECT r5.node AS doc_id, d.deg, r5.rk AS rank_micro
          |FROM r5 JOIN deg d ON d.src = r5.node
          |ORDER BY doc_id""".stripMargin,
+    "d26_boilerplate" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> x <> '') AS l
+        |  FROM documents),
+        |ix AS (
+        |  SELECT doc_id, l, unnest(generate_series(0,
+        |    greatest(CAST(ceil(len(l) / 10.0) AS INT), 1) - 1)) AS i
+        |  FROM t),
+        |ln AS (
+        |  SELECT doc_id, i AS line_no,
+        |    array_to_string(l[(i*10 + 1):least((i+1)*10, len(l))], ' ') AS line
+        |  FROM ix),
+        |boiler AS (
+        |  SELECT md5(line) AS h FROM ln
+        |  GROUP BY md5(line) HAVING COUNT(DISTINCT doc_id) >= 3),
+        |k AS (
+        |  SELECT doc_id, line_no, line,
+        |    md5(line) NOT IN (SELECT h FROM boiler) AS keep
+        |  FROM ln)
+        |SELECT doc_id, COUNT(*) AS n_lines,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  COALESCE(string_agg(line, ' ' ORDER BY line_no)
+        |    FILTER (WHERE keep), '') AS clean_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d24_line_dedup" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),

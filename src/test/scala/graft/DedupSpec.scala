@@ -524,6 +524,29 @@ class DedupSpec extends AnyFunSuite {
     assert(got(3L) == ((1L, 0L, "")))
   }
 
+  test("d26 boilerplate scrub removes >=minDocs lines everywhere, keeps rarer") {
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"n$i").mkString(" ")  // in 3 docs
+    val shared2 = (1 to 10).map(i => s"s$i").mkString(" ") // in only 2
+    val b1 = (1 to 10).map(i => s"a$i").mkString(" ")
+    val b2 = (1 to 10).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler $b1"),
+      (2L, s"$boiler $shared2 $b2"),
+      (3L, s"$boiler $shared2"),
+    ).toDF("doc_id", "text")
+    val got = operators.Dedup.boilerplateScrub(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"),
+          r.getAs[String]("clean_text")))).toMap
+    CacheScope.releaseAll()
+    // boiler (3 docs) scrubbed from ALL — including its first
+    // occurrence, the d24 difference; shared2 (2 docs) kept everywhere
+    assert(got(1L) == ((2L, 1L, b1)))
+    assert(got(2L) == ((3L, 2L, s"$shared2 $b2")))
+    assert(got(3L) == ((2L, 1L, shared2)))
+  }
+
   test("d25 integer pagerank matches hand-computed rounds on a path graph") {
     import spark.implicits._
     // path 1—2—3: deg(1)=deg(3)=1, deg(2)=2. Five damped integer

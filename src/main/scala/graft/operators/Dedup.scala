@@ -1004,6 +1004,82 @@ object Dedup {
       .withColumn("keep", col("bh").isNull))
   }
 
+  /** d27 — asymmetric near-dup via Jaccard CONTAINMENT (Broder 1997's
+    * second resemblance measure): |A∩B| / |A| ≥ 0.9 over distinct
+    * 8-gram shingle sets, reported for the ordered pair (contained
+    * id_a → container id_b, n_a ≤ n_b). This is the dup class
+    * symmetric Jaccard (d04) is structurally blind to: a doc quoted
+    * whole inside a larger aggregator page has containment ~1.0 but
+    * Jaccard bounded by the size ratio. Shingles, not tokens: the
+    * corpus's per-doc DISTINCT-token vocabulary is tiny (≤ ~30), so
+    * token-set containment is vacuously high everywhere (measured
+    * 1.8M accidental pairs at sf0.1), while position-bearing 8-grams
+    * only match on genuinely shared text. Blocked per language;
+    * equal-size mirror pairs are emitted once (id_a < id_b).
+    *
+    * Scale: prefix filtering adapts to containment's asymmetry — only
+    * the CONTAINED side can be prefix-pruned (a candidate must match
+    * one of A's first n_a − ⌈τ'·n_a⌉ + 1 grams in global (df, gram)
+    * order; τ' = 17999/20000 is the exact lower edge rhalfup(·,4) ≥
+    * 0.9 admits), while the container side indexes its FULL gram
+    * set. df-ascending prefix order keeps the index probe on rare
+    * grams — most shingles are near-unique, so candidates ∝ true
+    * shared-text pairs, never n². The verify step touches only
+    * deduped candidates with one array_intersect each.
+    */
+  def d27_containment: Q = (s, d) => containmentPairs(Tables.documents(s, d))
+
+  private[graft] val ContainT = 0.9
+
+  private[graft] def containmentPairs(documents: DataFrame, n: Int = 8): DataFrame = {
+    import graft.functions.TextHashFunctions.word_shingles
+    val toks = array_remove(split(lower(col("text")), "\\s+"), "")
+    val base = graft.CacheScope.persisted(
+      documents
+        .select(col("doc_id"), col("lang"), toks.as("toks"))
+        .filter(size(col("toks")) >= n) // sub-n docs have no shingle
+        .select(col("doc_id"), col("lang"),
+          array_distinct(word_shingles(col("toks"), n)).as("grams"))
+    ) // gram explode + sizes + both verify joins
+    val g = base.select(col("doc_id"), col("lang"),
+      explode(col("grams")).as("gram"))
+    val dfc = g.groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("df"))
+    // same one-agg prefix build as d04: (df, gram) struct sort, then a
+    // map-side slice — no window over the gram stream
+    val perDoc = g.join(dfc, Seq("lang", "gram"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sort_array(collect_list(struct(col("df"), col("gram"))))
+        .as("ord_grams"))
+      .withColumn("n", size(col("ord_grams")).cast(LongType))
+      // prefix size n − ⌈τ'·n⌉ + 1, τ' = 17999/20000 (see scaladoc)
+      .withColumn("p",
+        (col("n") - floor((col("n") * 17999L + 19999L) / 20000L) + 1L)
+          .cast(IntegerType))
+    val prefix = perDoc
+      .select(col("lang"), col("doc_id").as("id_a"),
+        explode(slice(col("ord_grams"), lit(1), col("p"))).as("pt"))
+      .select(col("lang"), col("pt.gram").as("gram"), col("id_a"))
+    val index = g.select(col("lang"), col("gram"), col("doc_id").as("id_b"))
+    val sizes = base.select(col("doc_id"), size(col("grams")).cast(LongType).as("n"))
+    val cand = prefix.join(index, Seq("lang", "gram"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .filter(col("n_a") < col("n_b") ||
+        (col("n_a") === col("n_b") && col("id_a") < col("id_b")))
+    cand
+      .join(base.select(col("doc_id").as("id_a"), col("grams").as("grams_a")), Seq("id_a"))
+      .join(base.select(col("doc_id").as("id_b"), col("grams").as("grams_b")), Seq("id_b"))
+      .withColumn("containment",
+        Tables.rhalfup(
+          size(array_intersect(col("grams_a"), col("grams_b"))) / col("n_a"), 4))
+      .filter(col("containment") >= ContainT)
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+        col("containment"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** d25 — duplicate-graph centrality: PageRank over the d04 near-dup
     * graph, in EXACT integer micro-units so the iteration is
     * bit-identical in any partition order and in the oracle's chained
@@ -1059,6 +1135,7 @@ object Dedup {
     "d25_pair_rank" -> d25_pair_rank,
     "d24_line_dedup" -> d24_line_dedup,
     "d26_boilerplate" -> d26_boilerplate,
+    "d27_containment" -> d27_containment,
     "d13_lsh_recall" -> d13_lsh_recall,
     "d07_snapshot_diff" -> d07_snapshot_diff,
     "d01_dedup_exact" -> d01_dedup_exact,
@@ -1135,6 +1212,47 @@ object Dedup {
          |SELECT r5.node AS doc_id, d.deg, r5.rk AS rank_micro
          |FROM r5 JOIN deg d ON d.src = r5.node
          |ORDER BY doc_id""".stripMargin,
+    "d27_containment" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> x <> '') AS l
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, lang,
+        |    array_to_string(l[i:i+7], ' ') AS gram
+        |  FROM t, unnest(generate_series(1, len(l) - 7)) AS s(i)
+        |  WHERE len(l) >= 8),
+        |df AS (SELECT lang, gram, COUNT(*) AS df FROM g GROUP BY 1, 2),
+        |n AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
+        |ord AS (
+        |  SELECT t.doc_id, t.lang, t.gram, n.n,
+        |    ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.gram)
+        |      AS rn
+        |  FROM g t JOIN df d ON d.lang = t.lang AND d.gram = t.gram
+        |  JOIN n ON n.doc_id = t.doc_id),
+        |pref AS (
+        |  SELECT * FROM ord
+        |  WHERE rn <= n - ((17999 * n + 19999) // 20000) + 1),
+        |cand AS (
+        |  SELECT DISTINCT p.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM pref p JOIN g b ON b.lang = p.lang AND b.gram = p.gram
+        |  WHERE p.doc_id <> b.doc_id),
+        |sized AS (
+        |  SELECT c.id_a, c.id_b, na.n AS n_a, nb.n AS n_b
+        |  FROM cand c JOIN n na ON na.doc_id = c.id_a
+        |  JOIN n nb ON nb.doc_id = c.id_b
+        |  WHERE na.n < nb.n OR (na.n = nb.n AND c.id_a < c.id_b)),
+        |o AS (
+        |  SELECT s.id_a, s.id_b, s.n_a, s.n_b, COUNT(*) AS ov
+        |  FROM sized s JOIN g a ON a.doc_id = s.id_a
+        |  JOIN g b ON b.doc_id = s.id_b AND b.gram = a.gram
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b, n_a, n_b,
+        |  floor(CAST(ov AS DOUBLE) / n_a * 1e4 + 0.5) / 1e4 AS containment
+        |FROM o
+        |WHERE floor(CAST(ov AS DOUBLE) / n_a * 1e4 + 0.5) / 1e4 >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
     "d26_boilerplate" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),

@@ -547,6 +547,26 @@ class DedupSpec extends AnyFunSuite {
     assert(got(3L) == ((2L, 1L, shared2)))
   }
 
+  test("d27 shingle containment finds quoted doc, skips low overlap, folds mirrors") {
+    import spark.implicits._
+    val bigToks = (1 to 30).map(i => s"w$i")
+    val big = bigToks.mkString(" ")              // 23 shingles
+    val quoted = bigToks.take(12).mkString(" ")  // 5 shingles, all ⊂ big
+    val half = (bigToks.take(6) ++ Seq("zz") ++ bigToks.drop(20)).mkString(" ")
+    val docs = Seq(
+      (1L, quoted, "en"),   // contained in 2: C = 5/5 = 1.0
+      (2L, big, "en"),
+      (3L, big, "en"),      // exact dup of 2: mirror emitted once (2,3)
+      (4L, half, "en"),     // shares no 8-run with big → no row
+      (5L, quoted, "fr"),   // other lang block: no cross-lang row
+    ).toDF("doc_id", "text", "lang")
+    val got = operators.Dedup.containmentPairs(docs).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("containment"))).toSet
+    CacheScope.releaseAll()
+    assert(got == Set((1L, 2L, 1.0), (1L, 3L, 1.0), (2L, 3L, 1.0)))
+  }
+
   test("d25 integer pagerank matches hand-computed rounds on a path graph") {
     import spark.implicits._
     // path 1—2—3: deg(1)=deg(3)=1, deg(2)=2. Five damped integer

@@ -480,7 +480,83 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** s11 — MMR diversified retrieval (Carbonell & Goldstein 1998):
+    * top-k per query by maximal marginal relevance, score = λ·rel(c)
+    * − (1−λ)·max_{s∈S} sim(c, s), λ = 0.7 — the anti-redundancy
+    * selection a plain cosine top-k (s01) cannot express: the second
+    * pick is pushed AWAY from the first, so five near-identical
+    * neighbors yield one representative plus four diverse ones.
+    * Training-data use: diversified exemplar sampling from a dense
+    * duplicate neighborhood.
+    *
+    * Exact integer arithmetic end to end: cosines land in
+    * ten-thousandths via the shared floor(x·1e4 + 0.5) form, scores
+    * are 7·rel_m − 3·ms (λ in tenths) on BIGINTs, argmax ties break
+    * on vec_id — so the k greedy rounds are bit-identical in any
+    * partition order and in the oracle's templated round CTEs.
+    *
+    * Scale: one s01-shaped broadcast scan builds the per-query top-C
+    * candidate pool (the only corpus-sized work); the C² pairwise sim
+    * table and the k selection rounds run on |Q|·C ≤ 512 rows —
+    * constant beyond the scan. Each round's lineage is persisted so
+    * the chained plan stays linear in k.
+    */
+  def s11_mmr: Q = (s, d) => mmrDiversified(Tables.embeddings(s, d))
+
+  private[graft] val MmrK = 5
+  private[graft] val MmrC = 16
+
+  /** Cosine in exact ten-thousandths — floor(x·1e4 + 0.5) is the
+    * rhalfup form both engines evaluate bit-identically. */
+  private def cosM(a: Column, b: Column): Column =
+    floor(cosine_similarity(a, b) * 1e4 + 0.5).cast(LongType)
+
+  private[graft] def mmrDiversified(e: DataFrame): DataFrame = {
+    val q = queriesOf(e)
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("rel_m").desc, col("vec_id"))
+    val cand = graft.CacheScope.persisted(
+      e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("rel_m", cosM(col("q_emb"), col("embedding")))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= MmrC)
+        .select(col("q_id"), col("vec_id"), col("rel_m"), col("embedding")))
+    val sims = graft.CacheScope.persisted(
+      cand.select(col("q_id"), col("vec_id").as("va"), col("embedding").as("ea"))
+        .join(cand.select(col("q_id"), col("vec_id").as("vb"),
+          col("embedding").as("eb")), Seq("q_id"))
+        .filter(col("va") =!= col("vb"))
+        .select(col("q_id"), col("va"), col("vb"),
+          cosM(col("ea"), col("eb")).as("sim_m")))
+    val c = cand.select(col("q_id"), col("vec_id"), col("rel_m"))
+    // greedy MMR rounds; sel persisted per round to keep lineage
+    // linear (each round references the selection three times)
+    var sel = c.limit(0)
+      .withColumn("score_m", lit(0L)).withColumn("rk", lit(0))
+    for (r <- 1 to MmrK) {
+      val remaining = c.join(sel.select(col("q_id"), col("vec_id")),
+        Seq("q_id", "vec_id"), "left_anti")
+      val ms = sims
+        .join(sel.select(col("q_id"), col("vec_id").as("vb")), Seq("q_id", "vb"))
+        .groupBy(col("q_id"), col("va")).agg(max(col("sim_m")).as("ms"))
+      val wPick = Window.partitionBy(col("q_id"))
+        .orderBy(col("score_m").desc, col("vec_id"))
+      val pick = remaining
+        .join(ms.select(col("q_id"), col("va").as("vec_id"), col("ms")),
+          Seq("q_id", "vec_id"), "left")
+        .withColumn("score_m",
+          col("rel_m") * 7L - coalesce(col("ms"), lit(0L)) * 3L)
+        .withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("vec_id"), col("rel_m"),
+          col("score_m"), lit(r).as("rk"))
+      sel = graft.CacheScope.persisted(sel.unionByName(pick))
+    }
+    sel.orderBy(col("q_id"), col("rk"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "s11_mmr" -> s11_mmr,
     "s10_pq_search" -> s10_pq_search,
     "s09_pq_codes" -> s09_pq_codes,
     "s07_label_centroids" -> s07_label_centroids,
@@ -541,7 +617,61 @@ object Similarity {
        |  FROM q JOIN c2 c ON c.blk = q.blk AND c.dim = q.dim
        |  GROUP BY q.vec_id, q.blk, c.j)""".stripMargin
 
+  /** One greedy MMR round as SQL reading selection s{i-1} — the
+    * mirror of mmrDiversified's loop body. */
+  private def mmrRoundCte(i: Int): String =
+    s"""r$i AS (
+       |  SELECT c.q_id, c.vec_id, c.rel_m FROM cand c
+       |  ANTI JOIN s${i - 1} s ON s.q_id = c.q_id AND s.vec_id = c.vec_id),
+       |m$i AS (
+       |  SELECT p.q_id, p.va, MAX(p.sim_m) AS ms
+       |  FROM sims p JOIN s${i - 1} s ON s.q_id = p.q_id AND s.vec_id = p.vb
+       |  GROUP BY 1, 2),
+       |x$i AS (
+       |  SELECT r.q_id, r.vec_id, r.rel_m,
+       |    r.rel_m * 7 - COALESCE(m.ms, 0) * 3 AS score_m,
+       |    ROW_NUMBER() OVER (PARTITION BY r.q_id
+       |      ORDER BY r.rel_m * 7 - COALESCE(m.ms, 0) * 3 DESC, r.vec_id)
+       |      AS rn
+       |  FROM r$i r LEFT JOIN m$i m ON m.q_id = r.q_id AND m.va = r.vec_id),
+       |s$i AS (
+       |  SELECT q_id, vec_id, rel_m, score_m, rk FROM s${i - 1}
+       |  UNION ALL
+       |  SELECT q_id, vec_id, rel_m, score_m, $i AS rk FROM x$i
+       |  WHERE rn = 1)""".stripMargin
+
+  private def s11OracleSql: String = {
+    val cosM =
+      """CAST(floor(list_cosine_similarity(CAST(%s AS DOUBLE[]),
+        |    CAST(%s AS DOUBLE[])) * 1e4 + 0.5) AS BIGINT)""".stripMargin
+    val relM = cosM.format("q.embedding", "e.embedding")
+    val simM = cosM.format("a.embedding", "b.embedding")
+    val rounds = (1 to MmrK).map(mmrRoundCte).mkString(",\n")
+    s"""WITH cand AS (
+       |  SELECT q_id, vec_id, rel_m FROM (
+       |    SELECT q.vec_id AS q_id, e.vec_id, $relM AS rel_m,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY $relM DESC, e.vec_id) AS rn
+       |    FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+       |    WHERE q.vec_id % 97 = 0 AND q.vec_id < $QueryIdBound)
+       |  WHERE rn <= $MmrC),
+       |sims AS (
+       |  SELECT c1.q_id, c1.vec_id AS va, c2.vec_id AS vb, $simM AS sim_m
+       |  FROM cand c1
+       |  JOIN cand c2 ON c2.q_id = c1.q_id AND c2.vec_id <> c1.vec_id
+       |  JOIN embeddings a ON a.vec_id = c1.vec_id
+       |  JOIN embeddings b ON b.vec_id = c2.vec_id),
+       |s0 AS (
+       |  SELECT CAST(0 AS BIGINT) AS q_id, CAST(0 AS BIGINT) AS vec_id,
+       |    CAST(0 AS BIGINT) AS rel_m, CAST(0 AS BIGINT) AS score_m,
+       |    0 AS rk WHERE FALSE),
+       |$rounds
+       |SELECT q_id, vec_id, rel_m, score_m, rk FROM s$MmrK
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "s11_mmr" -> s11OracleSql,
     "s09_pq_codes" ->
       s"""$pqOracleSetup
          |SELECT vec_id, blk AS block, j AS code, dist FROM (

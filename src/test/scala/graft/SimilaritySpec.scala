@@ -110,6 +110,26 @@ class SimilaritySpec extends AnyFunSuite {
       (0L, 3, 2L, 16000000L)))
   }
 
+  test("s11 MMR prefers the diverse candidate over the redundant twin") {
+    import spark.implicits._
+    // query id 0 = (1,0). Three candidates with EQUAL relevance
+    // (~0.94): id 1 at +20 deg, id 2 an exact twin of id 1, id 3 the
+    // -20 deg mirror. Plain top-k returns 1,2,3 (tie order); MMR must
+    // pick 1 (lowest id among ties), then 3 (sim to 1 is cos40 ~0.77
+    // vs the twin's 1.0), and only then the redundant 2.
+    val e = Seq(
+      (0L, Array(1f, 0f), 0),
+      (1L, Array(0.94f, 0.342f), 0),
+      (2L, Array(0.94f, 0.342f), 0),
+      (3L, Array(0.94f, -0.342f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = operators.Similarity.mmrDiversified(e).collect()
+      .map(r => (r.getAs[Int]("rk"), r.getAs[Long]("vec_id"))).toSeq
+    CacheScope.releaseAll()
+    // 3 candidates, 5 rounds: rounds 4-5 have empty remainders
+    assert(got == Seq((1, 1L), (2, 3L), (3, 2L)))
+  }
+
   test("s08 semantic decontam flags benchmark twins and clears orthogonals") {
     import spark.implicits._
     // id 0 is benchmark (0 % 31 == 0); id 1 duplicates it exactly,

@@ -354,6 +354,50 @@ class PlanSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("q72 merge actions are PK-keyed joins with pruned, filter-pushed scans") {
+    val p = plan("q72_merge_upsert")
+    // update + delete inner joins and the insert anti join, all keyed
+    // on the order PK; at this SF all three broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3)
+    assert(p.contains("LeftAnti"))
+    // the delivery-derivation predicates reach the scans
+    assert(p.contains("DataFilters: [(pmod(o_orderkey"))
+    // no scan reads more than the key + price
+    assert(!p.contains("o_orderdate"))
+  }
+
+  test("d26 scrub join broadcasts the boilerplate set; no window anywhere") {
+    val p = plan("d26_boilerplate")
+    // line-frequency output (tiny) broadcast into the scrub join
+    assert(p.contains("BroadcastHashJoin [h#") && p.contains("LeftOuter"))
+    // distinct-doc counting is two-phase, keyed on the md5 digest
+    assert(p.contains("partial_count(distinct doc_id"))
+    // the d24 difference: removal everywhere needs no first-wins window
+    assert(!p.contains("Window ["))
+  }
+
+  test("d27 prefix is a map-side slice and candidates dedup partial+final") {
+    val p = plan("d27_containment")
+    // the contained-side prefix never sorts the gram stream — it is a
+    // slice of the (df, gram)-struct-sorted per-doc array
+    assert(p.contains("explode(slice(ord_grams"))
+    // candidate (id_a, id_b) dedup has a map-side phase
+    assert("HashAggregate\\(keys=\\[id_a#\\d+L, id_b#\\d+L\\], functions=\\[\\]"
+      .r.findAllIn(p).size >= 2)
+    CacheScope.releaseAll()
+  }
+
+  test("s11 top-C pool prunes pre-shuffle; query set broadcasts into one scan") {
+    val p = plan("s11_mmr")
+    // rank-16 pruning happens on the map side before the q_id exchange
+    assert(p.contains("row_number(), 16, Partial"))
+    // the 32-query set is the broadcast side of the corpus scan
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"))
+    // the query-budget bound reaches the parquet scan
+    assert(p.contains("LessThan(vec_id,3104)"))
+    CacheScope.releaseAll()
+  }
+
   test("d25 rank rounds hash-build on the node-sized side (edge list never sorts)") {
     val p = plan("d25_pair_rank")
     // 5 damped rounds = 5 shuffled-hash joins with the rank table as

@@ -497,9 +497,9 @@ object Similarity {
     *
     * Scale: one s01-shaped broadcast scan builds the per-query top-C
     * candidate pool (the only corpus-sized work); the C² pairwise sim
-    * table and the k selection rounds run on |Q|·C ≤ 512 rows —
-    * constant beyond the scan. Each round's lineage is persisted so
-    * the chained plan stays linear in k.
+    * table and the k greedy rounds run on |Q|·C ≤ 512 rows — constant
+    * beyond the scan — inside a single typed cogroup keyed on q_id
+    * (see the body for why the rounds are not k chained plans).
     */
   def s11_mmr: Q = (s, d) => mmrDiversified(Tables.embeddings(s, d))
 
@@ -521,42 +521,105 @@ object Similarity {
         .withColumn("rn", row_number().over(wTop))
         .filter(col("rn") <= MmrC)
         .select(col("q_id"), col("vec_id"), col("rel_m"), col("embedding")))
-    val sims = graft.CacheScope.persisted(
-      cand.select(col("q_id"), col("vec_id").as("va"), col("embedding").as("ea"))
-        .join(cand.select(col("q_id"), col("vec_id").as("vb"),
-          col("embedding").as("eb")), Seq("q_id"))
-        .filter(col("va") =!= col("vb"))
-        .select(col("q_id"), col("va"), col("vb"),
-          cosM(col("ea"), col("eb")).as("sim_m")))
-    val c = cand.select(col("q_id"), col("vec_id"), col("rel_m"))
-    // greedy MMR rounds; sel persisted per round to keep lineage
-    // linear (each round references the selection three times)
-    var sel = c.limit(0)
-      .withColumn("score_m", lit(0L)).withColumn("rk", lit(0))
-    for (r <- 1 to MmrK) {
-      val remaining = c.join(sel.select(col("q_id"), col("vec_id")),
-        Seq("q_id", "vec_id"), "left_anti")
-      val ms = sims
-        .join(sel.select(col("q_id"), col("vec_id").as("vb")), Seq("q_id", "vb"))
-        .groupBy(col("q_id"), col("va")).agg(max(col("sim_m")).as("ms"))
-      val wPick = Window.partitionBy(col("q_id"))
-        .orderBy(col("score_m").desc, col("vec_id"))
-      val pick = remaining
-        .join(ms.select(col("q_id"), col("va").as("vec_id"), col("ms")),
-          Seq("q_id", "vec_id"), "left")
-        .withColumn("score_m",
-          col("rel_m") * 7L - coalesce(col("ms"), lit(0L)) * 3L)
-        .withColumn("rn", row_number().over(wPick))
-        .filter(col("rn") === 1)
-        .select(col("q_id"), col("vec_id"), col("rel_m"),
-          col("score_m"), lit(r).as("rk"))
-      sel = graft.CacheScope.persisted(sel.unionByName(pick))
-    }
-    sel.orderBy(col("q_id"), col("rk"))
+    val sims = cand
+      .select(col("q_id"), col("vec_id").as("va"), col("embedding").as("ea"))
+      .join(cand.select(col("q_id"), col("vec_id").as("vb"),
+        col("embedding").as("eb")), Seq("q_id"))
+      .filter(col("va") =!= col("vb"))
+      .select(col("q_id"), col("va"), col("vb"),
+        cosM(col("ea"), col("eb")).as("sim_m"))
+    // The k greedy rounds are inherently SEQUENTIAL (round r's scores
+    // depend on round r−1's pick) over a pool that is ≤ C = 16 rows
+    // per query by construction — so they run as one typed cogroup
+    // keyed on q_id (the documented mapGroups tier for whole-operator
+    // semantics the relational algebra can't express without k round
+    // trips). A declarative per-round formulation (anti join + max
+    // agg + window, persisted per round) measured 13–16 s of pure
+    // multi-job overhead at sf0.1 for the same 105 output rows; the
+    // cogroup is one shuffle of |Q|·C candidate + |Q|·C² sim rows and
+    // the per-group greedy is O(k²·C) integer ops.
+    import e.sparkSession.implicits._
+    val candDs = cand.select(col("q_id"), col("vec_id"), col("rel_m"))
+      .as[(Long, Long, Long)]
+    val simsDs = sims.as[(Long, Long, Long, Long)]
+    candDs.groupByKey(_._1).cogroup(simsDs.groupByKey(_._1)) {
+      (q, cs, ss) =>
+        val pool = cs.toArray
+        val sim = ss.map(s => (s._2, s._3) -> s._4).toMap
+        val selected = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long, Int)]
+        val remaining = scala.collection.mutable.ArrayBuffer(pool: _*)
+        // max sim to the selected set — NEGATIVE maxima are real
+        // (anti-correlated neighbors RAISE the MMR score), so only an
+        // empty/joinless selection maps to 0, exactly like the
+        // oracle's left-join + COALESCE(ms, 0)
+        def maxSim(vid: Long): Long = {
+          val hits = selected.flatMap(s => sim.get((vid, s._2)))
+          if (hits.isEmpty) 0L else hits.max
+        }
+        var r = 1
+        while (r <= MmrK && remaining.nonEmpty) {
+          // same total order as the SQL argmax: score desc, vec_id asc
+          val best = remaining.minBy { case (_, vid, relM) =>
+            (-(relM * 7 - maxSim(vid) * 3), vid)
+          }
+          selected += ((q, best._2, best._3,
+            best._3 * 7 - maxSim(best._2) * 3, r))
+          remaining -= best
+          r += 1
+        }
+        selected.iterator
+    }.toDF("q_id", "vec_id", "rel_m", "score_m", "rk")
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** s12 — embedding drift monitor: per-label distribution shift
+    * between the standing corpus (vec_id % 5 ≠ 0) and the newest
+    * delivery (≡ 0) — the "did the encoder or the data change?" gate
+    * a 100 TB pipeline runs before admitting a delivery into
+    * training. Per label: vector counts on both sides, the L1 shift
+    * of the per-dim mean vector, the largest single-dim shift and its
+    * dim (ties → lowest dim). Means are s07's floored integer
+    * micro-units, so every reported number is an exact BIGINT.
+    *
+    * Scale: one posexplode pass with conditional partial+final aggs
+    * keyed (label, dim) — the corpus is never scanned twice for the
+    * two sides; everything after runs on |labels|·dim rows. Labels
+    * missing either side are excluded (no drift is defined there).
+    */
+  def s12_drift: Q = (s, d) => embeddingDrift(Tables.embeddings(s, d))
+
+  private[graft] def embeddingDrift(e: DataFrame, m: Int = 5): DataFrame = {
+    val x = e.select(col("label"), (col("vec_id") % m === 0).as("is_new"),
+      posexplode(col("embedding")).as(Seq("dim", "v")))
+    val per = graft.CacheScope.persisted(x
+      .groupBy(col("label"), col("dim"))
+      .agg(
+        count(when(!col("is_new"), 1)).as("c_old"),
+        count(when(col("is_new"), 1)).as("c_new"),
+        floor(sum(when(!col("is_new"), floor(col("v") * 1e6)))
+          / count(when(!col("is_new"), 1))).as("mean_old"),
+        floor(sum(when(col("is_new"), floor(col("v") * 1e6)))
+          / count(when(col("is_new"), 1))).as("mean_new"))
+      .filter(col("c_old") > 0 && col("c_new") > 0)
+      .withColumn("delta", abs(col("mean_new") - col("mean_old"))))
+    val agg = per.groupBy(col("label"))
+      .agg(max(col("c_old")).as("n_old"), max(col("c_new")).as("n_new"),
+        sum(col("delta")).as("l1_shift_micro"),
+        max(col("delta")).as("max_shift_micro"))
+    val argDim = per
+      .join(agg.select(col("label"), col("max_shift_micro")), Seq("label"))
+      .filter(col("delta") === col("max_shift_micro"))
+      .groupBy(col("label")).agg(min(col("dim")).as("max_shift_dim"))
+    agg.join(argDim, Seq("label"))
+      .select(col("label"), col("n_old"), col("n_new"),
+        col("l1_shift_micro"), col("max_shift_micro"), col("max_shift_dim"))
+      .orderBy(col("label"))
   }
 
   val queries: Map[String, Q] = Map(
     "s11_mmr" -> s11_mmr,
+    "s12_drift" -> s12_drift,
     "s10_pq_search" -> s10_pq_search,
     "s09_pq_codes" -> s09_pq_codes,
     "s07_label_centroids" -> s07_label_centroids,
@@ -672,6 +735,42 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "s11_mmr" -> s11OracleSql,
+    "s12_drift" ->
+      """WITH x AS (
+        |  SELECT label, vec_id % 5 = 0 AS is_new,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |    CAST(unnest(range(0, len(embedding))) AS INT) AS dim
+        |  FROM embeddings),
+        |per AS (
+        |  SELECT label, dim,
+        |    COUNT(*) FILTER (WHERE NOT is_new) AS c_old,
+        |    COUNT(*) FILTER (WHERE is_new) AS c_new,
+        |    CAST(floor(CAST(SUM(CASE WHEN NOT is_new
+        |        THEN floor(v * 1e6) END) AS DOUBLE)
+        |      / COUNT(*) FILTER (WHERE NOT is_new)) AS BIGINT) AS mean_old,
+        |    CAST(floor(CAST(SUM(CASE WHEN is_new
+        |        THEN floor(v * 1e6) END) AS DOUBLE)
+        |      / COUNT(*) FILTER (WHERE is_new)) AS BIGINT) AS mean_new
+        |  FROM x GROUP BY 1, 2
+        |  HAVING COUNT(*) FILTER (WHERE NOT is_new) > 0
+        |     AND COUNT(*) FILTER (WHERE is_new) > 0),
+        |d AS (
+        |  SELECT label, dim, c_old, c_new,
+        |    abs(mean_new - mean_old) AS delta
+        |  FROM per),
+        |a AS (
+        |  SELECT label, MAX(c_old) AS n_old, MAX(c_new) AS n_new,
+        |    CAST(SUM(delta) AS BIGINT) AS l1_shift_micro,
+        |    MAX(delta) AS max_shift_micro
+        |  FROM d GROUP BY 1),
+        |dm AS (
+        |  SELECT d.label, MIN(d.dim) AS max_shift_dim
+        |  FROM d JOIN a ON a.label = d.label AND d.delta = a.max_shift_micro
+        |  GROUP BY 1)
+        |SELECT a.label, a.n_old, a.n_new, a.l1_shift_micro,
+        |  a.max_shift_micro, dm.max_shift_dim
+        |FROM a JOIN dm ON dm.label = a.label
+        |ORDER BY a.label""".stripMargin,
     "s09_pq_codes" ->
       s"""$pqOracleSetup
          |SELECT vec_id, blk AS block, j AS code, dist FROM (

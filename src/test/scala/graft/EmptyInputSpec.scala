@@ -62,7 +62,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "t21_code_switch", "t22_dsir", "q70_cohort", "d25_pair_rank",
     "t23_bpe_merges", "s09_pq_codes", "q71_zorder", "p01_pipeline",
     "t24_quality_classifier", "t25_bpe_encode", "s10_pq_search",
-    "q72_merge_upsert", "d26_boilerplate", "d27_containment", "s11_mmr")
+    "q72_merge_upsert", "d26_boilerplate", "d27_containment", "s11_mmr",
+    "s12_drift")
 
   for (name <- targets)
     test(s"$name tolerates zero-row inputs") {

@@ -130,6 +130,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == Seq((1, 1L), (2, 3L), (3, 2L)))
   }
 
+  test("s12 drift reports exact micro-unit mean shift, skips one-sided labels") {
+    import spark.implicits._
+    // label 0: old = ids 1,2 (means 0.2/0.3 micro-floored), new = id 5
+    // (0.5/0.6) → delta 300000 on BOTH dims: l1 = 600000, max ties →
+    // dim 0. label 1 has no new-side vector → excluded.
+    val e = Seq(
+      (1L, Array(0.1f, 0.2f), 0), (2L, Array(0.3f, 0.4f), 0),
+      (5L, Array(0.5f, 0.6f), 0),
+      (3L, Array(0.9f, 0.9f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = operators.Similarity.embeddingDrift(e).collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Long]("n_old"),
+        r.getAs[Long]("n_new"), r.getAs[Long]("l1_shift_micro"),
+        r.getAs[Long]("max_shift_micro"), r.getAs[Int]("max_shift_dim")))
+    CacheScope.releaseAll()
+    assert(got.toSeq == Seq((0, 2L, 1L, 600000L, 300000L, 0)))
+  }
+
   test("s08 semantic decontam flags benchmark twins and clears orthogonals") {
     import spark.implicits._
     // id 0 is benchmark (0 % 31 == 0); id 1 duplicates it exactly,

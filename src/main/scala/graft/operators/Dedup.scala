@@ -1080,6 +1080,46 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** d28 — dup-cluster cohesion audit: per d09 cluster, node/edge
+    * counts, edge density 2E/(n(n−1)), clique flag, and a chain-risk
+    * flag (density < 0.5 with ≥3 docs). Transitive clustering has one
+    * classic failure mode — CHAINING: A∼B∼C collapses A with C even
+    * when sim(A,C) is far below threshold. A clique is a true dup
+    * family (safe to keep one canonical doc); a sparse chain needs
+    * review before collapsing. This is the audit that decides.
+    *
+    * Scale: rides d09's two-tier CC (pairs persisted once, shared by
+    * the CC loop and the edge count); the audit itself is two
+    * cluster-keyed aggs + one broadcast-sized join — cluster count ≪
+    * doc count.
+    */
+  def d28_cluster_density: Q = (s, d) =>
+    clusterDensity(graft.CacheScope.persisted(
+      ngramJaccardPairs(Tables.documents(s, d))
+        .select(col("id_a"), col("id_b"))))
+
+  private[graft] def clusterDensity(pairs: DataFrame): DataFrame = {
+    val clusters = dupClusters(pairs)
+    val sizes = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+    // both endpoints of every pair share a cluster by construction —
+    // keying the edge count by id_a's cluster counts each edge once
+    val edges = pairs
+      .join(clusters.withColumnRenamed("doc_id", "id_a"), Seq("id_a"))
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_edges"))
+    sizes.join(edges, Seq("cluster_id"))
+      .withColumn("density", Tables.rhalfup(
+        (col("n_edges") * 2) / (col("n_docs") * (col("n_docs") - 1)), 6))
+      .withColumn("is_clique",
+        col("n_edges") * 2 === col("n_docs") * (col("n_docs") - 1))
+      .withColumn("chain_risk",
+        col("density") < 0.5 && col("n_docs") >= 3)
+      .select(col("cluster_id"), col("n_docs"), col("n_edges"),
+        col("density"), col("is_clique"), col("chain_risk"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** d25 — duplicate-graph centrality: PageRank over the d04 near-dup
     * graph, in EXACT integer micro-units so the iteration is
     * bit-identical in any partition order and in the oracle's chained
@@ -1136,6 +1176,7 @@ object Dedup {
     "d24_line_dedup" -> d24_line_dedup,
     "d26_boilerplate" -> d26_boilerplate,
     "d27_containment" -> d27_containment,
+    "d28_cluster_density" -> d28_cluster_density,
     "d13_lsh_recall" -> d13_lsh_recall,
     "d07_snapshot_diff" -> d07_snapshot_diff,
     "d01_dedup_exact" -> d01_dedup_exact,
@@ -1212,6 +1253,32 @@ object Dedup {
          |SELECT r5.node AS doc_id, d.deg, r5.rk AS rank_micro
          |FROM r5 JOIN deg d ON d.src = r5.node
          |ORDER BY doc_id""".stripMargin,
+    "d28_cluster_density" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$d04OracleBody
+         |), edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs
+         |), reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+         |), cl AS (
+         |  SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+         |), sizes AS (
+         |  SELECT cluster_id, COUNT(*) AS n_docs FROM cl
+         |  GROUP BY 1 HAVING COUNT(*) >= 2
+         |), ec AS (
+         |  SELECT c.cluster_id, COUNT(*) AS n_edges
+         |  FROM pairs p JOIN cl c ON c.doc_id = p.id_a GROUP BY 1)
+         |SELECT s.cluster_id, s.n_docs, e.n_edges,
+         |  floor(CAST(2 * e.n_edges AS DOUBLE) / (s.n_docs * (s.n_docs - 1))
+         |    * 1e6 + 0.5) / 1e6 AS density,
+         |  2 * e.n_edges = s.n_docs * (s.n_docs - 1) AS is_clique,
+         |  (floor(CAST(2 * e.n_edges AS DOUBLE) / (s.n_docs * (s.n_docs - 1))
+         |    * 1e6 + 0.5) / 1e6 < 0.5 AND s.n_docs >= 3) AS chain_risk
+         |FROM sizes s JOIN ec e ON e.cluster_id = s.cluster_id
+         |ORDER BY s.cluster_id""".stripMargin,
     "d27_containment" ->
       """WITH t AS (
         |  SELECT doc_id, lang,

@@ -567,6 +567,22 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Set((1L, 2L, 1.0), (1L, 3L, 1.0), (2L, 3L, 1.0)))
   }
 
+  test("d28 density audit: clique clean, 5-path flagged as chain risk") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L),                    // 3-clique
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L))  // 5-path
+      .toDF("id_a", "id_b")
+    val got = operators.Dedup.clusterDensity(pairs).collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_edges"), r.getAs[Double]("density"),
+        r.getAs[Boolean]("is_clique"), r.getAs[Boolean]("chain_risk"))).toSeq
+    CacheScope.releaseAll()
+    assert(got == Seq(
+      (1L, 3L, 3L, 1.0, true, false),
+      (10L, 5L, 4L, 0.4, false, true)))
+  }
+
   test("d25 integer pagerank matches hand-computed rounds on a path graph") {
     import spark.implicits._
     // path 1—2—3: deg(1)=deg(3)=1, deg(2)=2. Five damped integer

@@ -633,7 +633,105 @@ object Curation {
       .orderBy(col("source"), col("shard"), col("bin"))
   }
 
+  /** p02 — the INCREMENTAL pipeline (p01 is the bootstrap; this is
+    * the daily run): a delivery slice (doc_id % 10 == 7, the d12
+    * convention) screened against the STANDING corpus and a held-out
+    * benchmark (doc_id % 31 == 0), each doc labeled with the first
+    * gate it fails:
+    *   1. `curate`  — d08's gates (lang-ID ≠ und, ≥5 tokens, punct
+    *      ratio < 0.2), delivery-local, map-only;
+    *   2. `exact_dup` — md5(text) already in the standing corpus
+    *      (d12's screen) OR a lower-id delivery twin (first-wins);
+    *   3. `near_dup` — ≥ 70% of the doc's distinct 8-grams already in
+    *      the standing gram index (d23's novelty, inverted);
+    *   4. `contaminated` — d10's distinct-5-gram benchmark overlap
+    *      ≥ 0.05 (count-guarded broadcast, same cap);
+    *   5. `kept`.
+    * Every gate is the proven per-stage operator's exact formula, so
+    * the oracle chains the same CTE fragments.
+    *
+    * Scale: work ∝ delivery size + one distinct over standing
+    * fingerprints/grams (both 16-byte digests on the shuffle; at a
+    * real deployment the standing fp/gram indexes are persisted once,
+    * bucketed, and each delivery probes them shuffle-free on the
+    * corpus side — the same note as d12/d23). The benchmark set
+    * broadcasts; every verdict column is a delivery-keyed agg.
+    */
+  def p02_incremental: Q = (s, d) =>
+    incrementalVerdicts(Tables.documents(s, d))
+
+  private[graft] def incrementalVerdicts(documents: DataFrame): DataFrame = {
+    import graft.functions.TextHashFunctions.word_shingles
+    val docs = graft.CacheScope.persisted(
+      documents
+        .withColumn("is_bench", col("doc_id") % 31 === 0)
+        .withColumn("is_delivery",
+          col("doc_id") % 10 === 7 && col("doc_id") % 31 =!= 0))
+    val standing = docs.filter(!col("is_delivery") && !col("is_bench"))
+    val delivery = docs.filter(col("is_delivery"))
+    // gate 1: d08's curation columns (p01's exact formulas)
+    val nTokW = size(split(col("text"), "\\s+"))
+    val nChars = length(col("text"))
+    val nPunct = size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0)))
+    val wFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    val cur = delivery
+      .select(col("doc_id"), col("source"), md5(col("text")).as("fp"),
+        nTokW.as("n_tokens"),
+        graft.Tables.rhalfup(nPunct.cast(DoubleType) / nChars, 6)
+          .as("punct_ratio"),
+        TextAnalysis.predLangCol(lower(col("text"))).as("pred_lang"))
+      .withColumn("rn", row_number().over(wFp))
+    // gate 2: standing-corpus fingerprints (d12's screen)
+    val corpFp = standing.select(md5(col("text")).as("fp")).distinct()
+      .withColumn("__corp", lit(1))
+    // gate 3: standing 8-gram index (d23's novelty, known-side)
+    val toksLower = array_remove(split(lower(col("text")), "\\s+"), "")
+    def g8(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), toksLower.as("tk"))
+      .filter(size(col("tk")) >= 8)
+      .select(col("doc_id"),
+        explode(array_distinct(word_shingles(col("tk"), 8))).as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("gh"))
+    val standingG = g8(standing).select(col("gh")).distinct()
+      .withColumn("__seen", lit(1))
+    val known = g8(delivery).join(standingG, Seq("gh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n8"), count(col("__seen")).as("n_seen"))
+      .select(col("doc_id"),
+        graft.Tables.rhalfup(col("n_seen") / col("n8"), 6).as("known_frac"))
+    // gate 4: benchmark 5-gram overlap (d10's formula + count guard)
+    def g5(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      array_distinct(word_shingles(toks, 5)).as("grams"))
+    val bench = g5(docs.filter(col("is_bench")))
+      .select(explode(col("grams")).as("g")).distinct()
+      .withColumn("__hit", lit(1))
+    val nBench = bench.count()
+    require(nBench <= D10MaxBenchGrams,
+      s"p02 benchmark n-gram set has $nBench distinct grams > cap " +
+        s"$D10MaxBenchGrams — shrink or sketch the benchmark")
+    val overlap = g5(delivery)
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+      .join(broadcast(bench), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n5"), count(col("__hit")).as("n_hits"))
+      .select(col("doc_id"),
+        graft.Tables.rhalfup(col("n_hits") / col("n5"), 6).as("overlap"))
+    cur.join(corpFp, Seq("fp"), "left")
+      .join(known, Seq("doc_id"), "left")
+      .join(overlap, Seq("doc_id"), "left")
+      .withColumn("verdict",
+        when(col("pred_lang") === "und" || col("n_tokens") < 5 ||
+          col("punct_ratio") >= 0.2, "curate")
+          .when(col("__corp").isNotNull || col("rn") > 1, "exact_dup")
+          .when(coalesce(col("known_frac"), lit(0.0)) >= 0.7, "near_dup")
+          .when(coalesce(col("overlap"), lit(0.0)) >= 0.05, "contaminated")
+          .otherwise("kept"))
+      .select(col("doc_id"), col("source"), col("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "p02_incremental" -> p02_incremental,
     "t22_dsir" -> t22_dsir,
     "t24_quality_classifier" -> t24_quality_classifier,
     "p01_pipeline" -> p01_pipeline,
@@ -650,6 +748,88 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "p02_incremental" -> {
+      val (scores, pred) = TextAnalysis.langOracleSql
+      s"""WITH base AS (
+         |  SELECT doc_id, source, text,
+         |    doc_id % 31 = 0 AS is_bench,
+         |    (doc_id % 10 = 7 AND doc_id % 31 <> 0) AS is_delivery
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, source, $scores,
+         |    md5(text) AS fp,
+         |    len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
+         |    length(text) AS n_chars,
+         |    len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct
+         |  FROM base WHERE is_delivery),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id)
+         |    AS rn
+         |  FROM scored),
+         |corp AS (
+         |  SELECT DISTINCT md5(text) AS fp FROM base
+         |  WHERE NOT is_delivery AND NOT is_bench),
+         |tl AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |      t -> t <> '') AS l,
+         |    string_split(text, ' ') AS lraw
+         |  FROM base),
+         |g8 AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    list_zip(l[1:len(l)-7], l[2:len(l)-6], l[3:len(l)-5],
+         |             l[4:len(l)-4], l[5:len(l)-3], l[6:len(l)-2],
+         |             l[7:len(l)-1], l[8:len(l)]),
+         |    p -> md5(p[1]||' '||p[2]||' '||p[3]||' '||p[4]||' '||p[5]
+         |      ||' '||p[6]||' '||p[7]||' '||p[8])))) AS gh
+         |  FROM tl WHERE len(l) >= 8),
+         |sg AS (
+         |  SELECT DISTINCT g8.gh FROM g8 JOIN base USING (doc_id)
+         |  WHERE NOT is_delivery AND NOT is_bench),
+         |kf AS (
+         |  SELECT g8.doc_id,
+         |    floor(CAST(SUM(CASE WHEN s.gh IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS known_frac
+         |  FROM g8 JOIN base USING (doc_id)
+         |  LEFT JOIN sg s ON g8.gh = s.gh
+         |  WHERE is_delivery
+         |  GROUP BY g8.doc_id),
+         |g5 AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(lraw) < 5 THEN [array_to_string(lraw, ' ')]
+         |    ELSE list_transform(
+         |      list_zip(lraw[1:len(lraw)-4], lraw[2:len(lraw)-3],
+         |               lraw[3:len(lraw)-2], lraw[4:len(lraw)-1],
+         |               lraw[5:len(lraw)]),
+         |      p -> p[1]||' '||p[2]||' '||p[3]||' '||p[4]||' '||p[5])
+         |    END)) AS gram
+         |  FROM tl),
+         |bg AS (
+         |  SELECT DISTINCT g5.gram FROM g5 JOIN base USING (doc_id)
+         |  WHERE is_bench),
+         |ov AS (
+         |  SELECT g5.doc_id,
+         |    floor(COUNT(b.gram) / COUNT(*) * 1e6 + 0.5) / 1e6 AS overlap
+         |  FROM g5 JOIN base USING (doc_id)
+         |  LEFT JOIN bg b ON g5.gram = b.gram
+         |  WHERE is_delivery
+         |  GROUP BY g5.doc_id)
+         |SELECT r.doc_id, r.source,
+         |  CASE
+         |    WHEN ($pred) = 'und' OR r.n_tokens < 5
+         |      OR floor(CAST(r.n_punct AS DOUBLE) / r.n_chars * 1e6 + 0.5)
+         |        / 1e6 >= 0.2
+         |      THEN 'curate'
+         |    WHEN c.fp IS NOT NULL OR r.rn > 1 THEN 'exact_dup'
+         |    WHEN COALESCE(kf.known_frac, 0.0) >= 0.7 THEN 'near_dup'
+         |    WHEN COALESCE(ov.overlap, 0.0) >= 0.05 THEN 'contaminated'
+         |    ELSE 'kept' END AS verdict
+         |FROM ranked r
+         |LEFT JOIN corp c ON c.fp = r.fp
+         |LEFT JOIN kf ON kf.doc_id = r.doc_id
+         |LEFT JOIN ov ON ov.doc_id = r.doc_id
+         |ORDER BY r.doc_id""".stripMargin
+    },
     "t22_dsir" ->
       """WITH t AS (
         |  SELECT doc_id, lang, list_filter(regexp_split_to_array(lower(text),

@@ -303,6 +303,29 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("p02 labels each delivery doc with the first failing gate") {
+    import spark.implicits._
+    val s1 = "the " + (1 to 19).map(i => s"s$i").mkString(" ")  // standing
+    val m  = "the " + (1 to 29).map(i => s"m$i").mkString(" ")  // standing
+    val b  = "the b1 b2 b3 b4 b5 b6 b7 b8 b9"                   // benchmark
+    val f  = "the " + (1 to 10).map(i => s"f$i").mkString(" ")  // fresh
+    val docs = Seq(
+      (1L, "web", s1), (2L, "web", m),            // standing corpus
+      (62L, "web", b),                            // benchmark (62 % 31 = 0)
+      (7L, "web", f),                             // kept
+      (17L, "web", s1),                           // exact_dup (corpus fp)
+      (27L, "web", f),                            // exact_dup (delivery twin)
+      (37L, "web", m.split(" ").dropRight(1).mkString(" ") + " zz"), // 22/23 grams known
+      (47L, "web", "the c1 c2 c3 c4 c5 c6 b1 b2 b3 b4 b5"), // 1/8 bench 5-grams
+      (57L, "web", "the x y"),                    // 3 tokens: curate
+    ).toDF("doc_id", "source", "text")
+    val got = operators.Curation.incrementalVerdicts(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    CacheScope.releaseAll()
+    assert(got == Map(7L -> "kept", 17L -> "exact_dup", 27L -> "exact_dup",
+      37L -> "near_dup", 47L -> "contaminated", 57L -> "curate"))
+  }
+
   test("t17 shard plan is reproducible and complete") {
     val a = operators.Curation.t17_shards(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"), r.getAs[Int]("pos")))

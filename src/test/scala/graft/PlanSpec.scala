@@ -398,6 +398,28 @@ class PlanSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("s12 scans the corpus once: both sides come from conditional partial aggs") {
+    val p = plan("s12_drift")
+    // old- and new-side stats are CASE-gated partials of ONE pass —
+    // a second corpus scan for the delivery side would show up as a
+    // second ungated partial_count
+    assert(p.contains("partial_count(CASE WHEN NOT is_new"))
+    assert(p.contains("partial_count(CASE WHEN is_new"))
+    assert(p.contains("partial_sum(CASE WHEN NOT is_new"))
+    CacheScope.releaseAll()
+  }
+
+  test("p02 delivery twins dedup on a fingerprint window; gates join doc-keyed") {
+    val p = plan("p02_incremental")
+    // within-delivery first-wins runs on the md5 fingerprint
+    assert(p.contains("windowspecdefinition(fp"))
+    // the three gate signals attach as left joins (verdict is a CASE,
+    // not a filter cascade that would re-scan the delivery)
+    assert("BroadcastHashJoin \\[doc_id#\\d+L\\], \\[doc_id#\\d+L\\], LeftOuter"
+      .r.findAllIn(p).size == 2)
+    CacheScope.releaseAll()
+  }
+
   test("d25 rank rounds hash-build on the node-sized side (edge list never sorts)") {
     val p = plan("d25_pair_rank")
     // 5 damped rounds = 5 shuffled-hash joins with the rank table as

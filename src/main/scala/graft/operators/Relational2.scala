@@ -589,7 +589,52 @@ object Relational2 {
       .orderBy(col("o_orderkey"), col("action"))
   }
 
+  /** q73 — incremental aggregate maintenance: a standing per-key
+    * aggregate (count / decimal-exact sum / min / max per customer)
+    * updated with a delivery slice by MERGING PARTIAL AGGREGATES —
+    * count adds, sum adds, min/max fold — instead of recomputing over
+    * the union. This is how a 100 TB rollup absorbs a daily delivery:
+    * work ∝ delivery + |touched keys|, never the standing fact table.
+    * The full-outer merge is exact because every aggregate here is
+    * decomposable (the same property Spark's own partial_sum/merge
+    * phases rely on); the oracle RECOMPUTES over the union, proving
+    * merge ≡ recompute.
+    *
+    * Scale: base and delta aggregate independently (partial+final each
+    * side), then one key-keyed full-outer join; the delta side is
+    * delivery-sized → broadcast-shaped.
+    */
+  def q73_incremental_agg: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val delivery = col("o_orderkey") % 10 === 7
+    def aggOf(df: DataFrame): DataFrame = df
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(28, 6))).as("sum_d"),
+        min(col("o_totalprice")).as("min_p"),
+        max(col("o_totalprice")).as("max_p"))
+    val base = aggOf(o.filter(!delivery))
+      .withColumnRenamed("n", "n_b").withColumnRenamed("sum_d", "s_b")
+      .withColumnRenamed("min_p", "mn_b").withColumnRenamed("max_p", "mx_b")
+    val delta = aggOf(o.filter(delivery))
+      .withColumnRenamed("n", "n_d").withColumnRenamed("sum_d", "s_d")
+      .withColumnRenamed("min_p", "mn_d").withColumnRenamed("max_p", "mx_d")
+    base.join(delta, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L)))
+          .as("n_orders"),
+        (coalesce(col("s_b"), lit(0).cast(DecimalType(28, 6)))
+          + coalesce(col("s_d"), lit(0).cast(DecimalType(28, 6))))
+          .cast(DoubleType).as("sum_price"),
+        least(coalesce(col("mn_b"), col("mn_d")),
+          coalesce(col("mn_d"), col("mn_b"))).as("min_price"),
+        greatest(coalesce(col("mx_b"), col("mx_d")),
+          coalesce(col("mx_d"), col("mx_b"))).as("max_price"))
+      .orderBy(col("o_custkey"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q73_incremental_agg" -> q73_incremental_agg,
     "q72_merge_upsert" -> q72_merge_upsert,
     "q71_zorder" -> q71_zorder,
     "q70_cohort" -> q70_cohort,
@@ -615,6 +660,17 @@ object Relational2 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q73_incremental_agg" ->
+      // the PROOF side: a flat recompute over all orders must equal
+      // the Spark side's base⊕delta partial-aggregate merge
+      """SELECT o_custkey,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+        |    AS sum_price,
+        |  MIN(o_totalprice) AS min_price,
+        |  MAX(o_totalprice) AS max_price
+        |FROM orders
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q72_merge_upsert" ->
       """WITH upd AS (
         |  SELECT o_orderkey AS mk,

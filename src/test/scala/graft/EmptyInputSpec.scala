@@ -63,7 +63,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "t23_bpe_merges", "s09_pq_codes", "q71_zorder", "p01_pipeline",
     "t24_quality_classifier", "t25_bpe_encode", "s10_pq_search",
     "q72_merge_upsert", "d26_boilerplate", "d27_containment", "s11_mmr",
-    "s12_drift", "d28_cluster_density", "p02_incremental")
+    "s12_drift", "d28_cluster_density", "p02_incremental",
+    "q73_incremental_agg")
 
   for (name <- targets)
     test(s"$name tolerates zero-row inputs") {

@@ -289,6 +289,48 @@ object TextAnalysis {
       .orderBy(col("bigram"))
   }
 
+  /** t26 — interpolated Kneser–Ney bigram LM (Kneser & Ney 1995, the
+    * Chen & Goodman 1999 benchmark winner and the KenLM default):
+    * P(w2|w1) = (c12 − D)/c1 + (D·N1+(w1·)/c1)·(N1+(·w2)/N1+(··)),
+    * D = 0.75. The continuation probability counts how many DISTINCT
+    * contexts a word completes — the "Francisco problem" fix add-one
+    * smoothing (t09) cannot express: a word frequent only inside one
+    * collocation gets a LOW continuation weight no raw unigram count
+    * reveals. Every input (c12, c1, N1+ head/cont, type total) is an
+    * integer off the one bigram table; both engines run the identical
+    * double op sequence and land on rhalfup-6, so the table is
+    * hash-exact.
+    *
+    * Scale: t09's shape exactly — one bigram-count shuffle, two tiny
+    * reaggregations, a scalar type-count broadcast. Seen bigrams only
+    * (c12 ≥ 1 > D, so the max(·,0) clamp is vacuous); the backoff
+    * weight for UNSEEN pairs is λ(w1) = D·N1+(w1·)/c1, the second
+    * addend's head factor, recoverable from the emitted columns.
+    */
+  def t26_kneser_ney: Q = (s, d) => kneserNey(Tables.documents(s, d))
+
+  private[graft] def kneserNey(docs: DataFrame): DataFrame = {
+    val c = graft.CacheScope.persisted(
+      bigramCounts(docs)
+        .withColumn("w1", substring_index(col("bigram"), " ", 1))
+        .withColumn("w2", substring_index(col("bigram"), " ", -1)))
+    val heads = c.groupBy(col("w1"))
+      .agg(sum(col("c_bigram")).as("c_head"),
+        count(lit(1)).as("n1p_head"))
+    val conts = c.groupBy(col("w2")).agg(count(lit(1)).as("n_cont"))
+    val types = c.agg(count(lit(1)).as("n_types"))
+    c.join(heads, Seq("w1")).join(conts, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .filter(col("c_bigram") >= 5)
+      .select(col("bigram"), col("c_bigram"), col("c_head"),
+        col("n1p_head"), col("n_cont"),
+        graft.Tables.rhalfup(
+          (col("c_bigram") - 0.75) / col("c_head")
+            + (lit(0.75) * col("n1p_head") / col("c_head"))
+            * (col("n_cont") / col("n_types")), 6).as("p_kn"))
+      .orderBy(col("bigram"))
+  }
+
   /** Collocation mining by pointwise mutual information over adjacent
     * bigrams: pmi = ln(p(xy) / (p(x)·p(y))) = ln((c_xy/c_x)·(T/c_y)).
     * Head/tail marginals and the total T all derive from the one
@@ -744,6 +786,7 @@ object TextAnalysis {
     "d08_curation" -> d08_curation,
     "t08_tfidf" -> t08_tfidf,
     "t09_bigram_lm" -> t09_bigram_lm,
+    "t26_kneser_ney" -> t26_kneser_ney,
     "t10_pmi" -> t10_pmi,
     "t07_vocab" -> t07_vocab,
     "t06_chunking" -> t06_chunking,
@@ -1056,6 +1099,30 @@ object TextAnalysis {
         |FROM tf JOIN dlen USING (doc_id) JOIN dfc USING (tok) CROSS JOIN n
         |QUALIFY rk <= 3
         |ORDER BY doc_id, rk""".stripMargin,
+    "t26_kneser_ney" ->
+      s"""WITH $bigramOracleCte,
+        |h AS (
+        |  SELECT split_part(bigram, ' ', 1) AS w1,
+        |    CAST(SUM(c_bigram) AS BIGINT) AS c_head,
+        |    COUNT(*) AS n1p_head
+        |  FROM c GROUP BY 1),
+        |ct AS (
+        |  SELECT split_part(bigram, ' ', 2) AS w2,
+        |    COUNT(*) AS n_cont
+        |  FROM c GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS n_types FROM c)
+        |SELECT bigram, CAST(c_bigram AS BIGINT) AS c_bigram, c_head,
+        |  n1p_head, n_cont,
+        |  floor(((c_bigram - CAST(0.75 AS DOUBLE)) / c_head
+        |    + (CAST(0.75 AS DOUBLE) * n1p_head / c_head)
+        |    * (CAST(n_cont AS DOUBLE) / n_types)) * 1e6 + 0.5) / 1e6
+        |    AS p_kn
+        |FROM c
+        |JOIN h ON split_part(c.bigram, ' ', 1) = h.w1
+        |JOIN ct ON split_part(c.bigram, ' ', 2) = ct.w2
+        |CROSS JOIN t
+        |WHERE c_bigram >= 5
+        |ORDER BY bigram""".stripMargin,
     "t09_bigram_lm" ->
       s"""WITH $bigramOracleCte,
         |h AS (

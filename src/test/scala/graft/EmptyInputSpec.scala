@@ -64,7 +64,7 @@ class EmptyInputSpec extends AnyFunSuite {
     "t24_quality_classifier", "t25_bpe_encode", "s10_pq_search",
     "q72_merge_upsert", "d26_boilerplate", "d27_containment", "s11_mmr",
     "s12_drift", "d28_cluster_density", "p02_incremental",
-    "q73_incremental_agg")
+    "q73_incremental_agg", "t26_kneser_ney")
 
   for (name <- targets)
     test(s"$name tolerates zero-row inputs") {

@@ -280,6 +280,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(2L) == ((5L, 10L, 5L, 2.0)))
   }
 
+  test("t26 Kneser-Ney matches the hand-computed interpolated probability") {
+    import spark.implicits._
+    // one doc "x y x y x y x y x y x": bigrams "x y"x5, "y x"x5.
+    // For "x y": c12=5, c_head(x)=5, N1+(x.)=1, N1+(.y)=1, types=2
+    // -> (5-0.75)/5 + (0.75*1/5)*(1/2) = 0.85 + 0.075 = 0.925
+    val docs = Seq((1L, ("x y " * 5 + "x").trim))
+      .toDF("doc_id", "text")
+    val got = operators.TextAnalysis.kneserNey(docs).collect()
+      .map(r => (r.getAs[String]("bigram"), r.getAs[Long]("c_bigram"),
+        r.getAs[Long]("c_head"), r.getAs[Long]("n1p_head"),
+        r.getAs[Long]("n_cont"), r.getAs[Double]("p_kn"))).toSeq
+    CacheScope.releaseAll()
+    assert(got == Seq(
+      ("x y", 5L, 5L, 1L, 1L, 0.925),
+      ("y x", 5L, 5L, 1L, 1L, 0.925)))
+  }
+
   test("t20 count-min estimates dominate exact counts within the ε bound") {
     // skewed corpus: hot token 60×, mid tokens, long tail
     val texts = Seq(

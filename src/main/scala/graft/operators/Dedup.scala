@@ -231,7 +231,18 @@ object Dedup {
   def d05_embedding_neardup: Q = (s, d) =>
     embeddingNearDup(Tables.embeddings(s, d), D05MaxExactBlock)
 
-  private[graft] def embeddingNearDup(e: DataFrame, maxBlock: Long): DataFrame = {
+  private[graft] def embeddingNearDup(e: DataFrame, maxBlock: Long): DataFrame =
+    blockedKnn(e, 1, maxBlock)
+      .select(col("vec_id"), col("nn_id"), col("cos"))
+      .orderBy(col("vec_id"))
+
+  /** Shared blocked-kNN core: exact within-`label` top-k for blocks
+    * under `maxBlock`, hyperplane-LSH multi-probe for blocks over it —
+    * the [[d05_embedding_neardup]] plan generalized from top-1 to
+    * top-k. Returns (vec_id, nn_id, cos, rk) unordered; callers
+    * project/order. [[Similarity.s14_knn_graph]] consumes it at k=3.
+    */
+  private[graft] def blockedKnn(e: DataFrame, k: Int, maxBlock: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sized = e.join(
       broadcast(e.groupBy(col("label")).agg(count(lit(1)).as("__bn"))),
@@ -241,8 +252,8 @@ object Dedup {
       .filter(col("vec_id") =!= col("nn_id"))
       .withColumn("cos", round(cosine_similarity(col("emb_a"), col("emb_b")), 4))
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("nn_id"), col("cos"))
+      .filter(col("rk") <= k)
+      .select(col("vec_id"), col("nn_id"), col("cos"), col("rk"))
 
     val small = sized.filter(col("__bn") <= maxBlock)
     val exact = top1(
@@ -270,7 +281,7 @@ object Dedup {
     import graft.functions.VectorFunctions.hyperplane_sigs
     def signature(emb: Column): Column =
       when(size(emb) > dim, raise_error(concat(
-        lit(s"embeddingNearDup: embedding wider than configured " +
+        lit(s"blockedKnn: embedding wider than configured " +
           s"spark.graft.embedding.dim=$dim (got "),
         size(emb).cast("string"),
         lit(") — hashing a prefix would corrupt LSH buckets"))))
@@ -284,7 +295,7 @@ object Dedup {
           col("sig").bitwiseXOR(shiftleft(lit(1), p))): _*)).as("bucket"))
     val approx = top1(corpus.join(probes, Seq("label", "bucket")))
 
-    exact.unionByName(approx).orderBy(col("vec_id"))
+    exact.unionByName(approx)
   }
 
   /** Corpus-level (group-vs-group) similarity via the custom
@@ -1004,6 +1015,64 @@ object Dedup {
       .withColumn("keep", col("bh").isNull))
   }
 
+  /** d30 — cross-document duplicated-SPAN removal: any token position
+    * covered by an 8-gram occurring in ≥ 2 DISTINCT docs is cut, and
+    * docs are reassembled from the surviving tokens. This is the
+    * span-granularity member of the scrub family — d24 keeps one copy
+    * of a shared line, d26 deletes template lines everywhere, d30
+    * deletes *verbatim shared runs* at token resolution (the
+    * "deduplicate training data at the substring level" transform;
+    * exact-substring span dedup à la Lee et al. 2022, with the fixed
+    * 8-token window standing in for their ≥ 50-token suffix-array
+    * spans — same semantics, window-join shape instead of a global
+    * suffix array). Within-doc self-repetition does NOT trigger
+    * removal (distinct-doc count, not occurrence count) — that class
+    * is t11's job.
+    *
+    * Scale: the per-position gram rows are corpus-linear (one row per
+    * token, 16-byte digest computed scan-side — gram text never
+    * shuffles); the dup-gram set is a partial+final agg on the
+    * digest; covered positions explode only dup-hit grams (∝ shared
+    * text volume, ×8 constant); the anti-join and the reassembly agg
+    * are both keyed (doc_id, pos) / doc_id, so AQE coalesces them
+    * into doc-local work. No pair of documents is ever joined.
+    */
+  def d30_span_scrub: Q = (s, d) => spanScrub(Tables.documents(s, d))
+
+  private[graft] def spanScrub(docs: DataFrame, n: Int = 8): DataFrame = {
+    import graft.functions.TextHashFunctions.word_shingles
+    val toks = array_remove(split(lower(col("text")), "\\s+"), "")
+    val base = graft.CacheScope.persisted(
+      docs.select(col("doc_id"), toks.as("toks")))
+    val grams = graft.CacheScope.persisted(
+      base.filter(size(col("toks")) >= n)
+        .select(col("doc_id"), posexplode(word_shingles(col("toks"), n)))
+        .select(col("doc_id"), col("pos"), md5(col("col")).as("gh")))
+    val dup = grams.groupBy(col("gh"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("gh"))
+    val covered = grams.join(dup, Seq("gh"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("pos"))
+      .distinct()
+    val kept = base
+      .select(col("doc_id"), posexplode(col("toks")))
+      .toDF("doc_id", "pos", "tok")
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("clean_text"))
+    base.select(col("doc_id"), size(col("toks")).cast(LongType).as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** d27 — asymmetric near-dup via Jaccard CONTAINMENT (Broder 1997's
     * second resemblance measure): |A∩B| / |A| ≥ 0.9 over distinct
     * 8-gram shingle sets, reported for the ordered pair (contained
@@ -1120,6 +1189,51 @@ object Dedup {
       .orderBy(col("cluster_id"))
   }
 
+  /** d29 — canonical-record selection: once near-duplicate clusters
+    * exist (d09), a curation pipeline keeps ONE representative per
+    * cluster. The keep rule is the d08 quality score (length ×
+    * punctuation-cleanliness, exact integer ratios rounded half-up)
+    * with min doc_id as the tiebreak — "keep the best copy",
+    * superseding d09's min-id convention and cheaper than d25's
+    * centrality when ranks aren't already standing. Docs in no
+    * cluster are their own canonical (singletons), so the output is a
+    * total doc_id → canonical_id map over the corpus — the join table
+    * every downstream consumer rewrites references through.
+    *
+    * Scale: the cluster map is pair-derived (≪ corpus); the corpus
+    * left-joins it on doc_id and the argmax is one window over
+    * cluster_id whose partitions are duplicate-family-sized (the
+    * singleton majority is one row per partition key) — no skew. Two
+    * shuffles beyond the shared pair pipeline.
+    */
+  def d29_canonicalize: Q = (s, d) =>
+    canonicalize(Tables.documents(s, d))
+
+  private[graft] def canonicalize(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = dupClusters(
+      ngramJaccardPairs(docs).select(col("id_a"), col("id_b")))
+    val nTok = size(split(col("text"), "\\s+"))
+    val nPunct = size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0)))
+    // the d08 quality formula verbatim (same integer inputs → same
+    // IEEE ops in both engines; rhalfup, not round — see Tables)
+    val scored = docs.select(col("doc_id"),
+      Tables.rhalfup(least(nTok.cast(DoubleType) / 50.0, lit(1.0)) *
+        (lit(1.0) - nPunct.cast(DoubleType) / length(col("text"))), 4)
+        .as("quality_score"))
+    val w = Window.partitionBy(col("cluster_id"))
+    scored.join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("quality_score").desc, col("doc_id"))))
+      .withColumn("canonical_id",
+        max(when(col("rn") === 1, col("doc_id"))).over(w))
+      .select(col("doc_id"), col("cluster_id"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("is_canonical"),
+        col("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
   /** d25 — duplicate-graph centrality: PageRank over the d04 near-dup
     * graph, in EXACT integer micro-units so the iteration is
     * bit-identical in any partition order and in the oracle's chained
@@ -1194,6 +1308,8 @@ object Dedup {
     "d21_crossmodal_cc" -> d21_crossmodal_cc,
     "d22_substring_pairs" -> d22_substring_pairs,
     "d23_gram_novelty" -> d23_gram_novelty,
+    "d29_canonicalize" -> d29_canonicalize,
+    "d30_span_scrub" -> d30_span_scrub,
   )
 
   /** The d04 pair query without its final ORDER BY, parameterized on
@@ -1494,6 +1610,77 @@ object Dedup {
          |)
          |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach
          |GROUP BY id ORDER BY doc_id""".stripMargin,
+    "d29_canonicalize" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$d04OracleBody
+         |), edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs
+         |), reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+         |), cl AS (
+         |  SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+         |), scored AS (
+         |  SELECT doc_id,
+         |    floor(least(CAST(len(regexp_split_to_array(text, '\\s+'))
+         |        AS DOUBLE) / 50.0, 1.0) *
+         |      (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]'))
+         |        AS DOUBLE) / length(text)) * 1e4 + 0.5) / 1e4
+         |      AS quality_score
+         |  FROM documents
+         |), base AS (
+         |  SELECT s.doc_id, COALESCE(cl.cluster_id, s.doc_id) AS cluster_id,
+         |    s.quality_score
+         |  FROM scored s LEFT JOIN cl USING (doc_id)
+         |), canon AS (
+         |  SELECT cluster_id, doc_id AS canonical_id FROM (
+         |    SELECT cluster_id, doc_id, ROW_NUMBER() OVER (
+         |      PARTITION BY cluster_id
+         |      ORDER BY quality_score DESC, doc_id) AS rn
+         |    FROM base) WHERE rn = 1
+         |)
+         |SELECT b.doc_id, b.cluster_id, c.canonical_id,
+         |  b.doc_id = c.canonical_id AS is_canonical, b.quality_score
+         |FROM base b JOIN canon c USING (cluster_id)
+         |ORDER BY b.doc_id""".stripMargin,
+    "d30_span_scrub" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    t -> t <> '') AS l
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+        |    SELECT doc_id, unnest(list_transform(range(0, len(l) - 7),
+        |      i -> {'pos': i, 'gram': l[i+1]||' '||l[i+2]||' '||l[i+3]||' '
+        |        ||l[i+4]||' '||l[i+5]||' '||l[i+6]||' '||l[i+7]||' '||l[i+8]}))
+        |      AS u
+        |    FROM toks WHERE len(l) >= 8)),
+        |dup AS (SELECT gram FROM g GROUP BY gram
+        |  HAVING COUNT(DISTINCT doc_id) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT g.doc_id, g.pos + s.s AS pos
+        |  FROM g JOIN dup USING (gram)
+        |  CROSS JOIN (SELECT unnest(range(0, 8)) AS s) s),
+        |tp AS (
+        |  SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+        |    SELECT doc_id, unnest(list_transform(range(0, len(l)),
+        |      i -> {'pos': i, 'tok': l[i+1]})) AS u
+        |    FROM toks)),
+        |kept AS (
+        |  SELECT tp.doc_id, tp.pos, tp.tok FROM tp
+        |  WHERE NOT EXISTS (SELECT 1 FROM cov
+        |    WHERE cov.doc_id = tp.doc_id AND cov.pos = tp.pos)),
+        |ka AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, len(l) AS n_tokens,
+        |  len(l) - COALESCE(ka.n_kept, 0) AS n_removed,
+        |  COALESCE(ka.clean_text, '') AS clean_text
+        |FROM toks t LEFT JOIN ka USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     "d21_crossmodal_cc" ->
       s"""WITH RECURSIVE pairs AS (
          |$d04OracleBody

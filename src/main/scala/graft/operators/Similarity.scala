@@ -617,7 +617,29 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** Neighbors per node in [[s14_knn_graph]]. k trades graph density
+    * against the O(k·n) output size; 3 is the common SemDeDup /
+    * community-detection working degree. */
+  private val KnnGraphK = 3
+
+  /** s14 — k-NN graph construction: every vector's top-k exact-cosine
+    * neighbors within its `label` block, the standing graph that
+    * semantic dedup (d15), cluster density audits (d28) and
+    * community detection consume. One row per (node, rank).
+    *
+    * Plan: [[Dedup.blockedKnn]] — the d05 two-tier shape generalized
+    * to top-k. Blocks under the exact ceiling pay B²·k ranking inside
+    * the block (one shuffle on label, window on vec_id); blocks over
+    * it route through hyperplane-LSH multi-probe, so at 100 TB cost
+    * stays ∝ bucket collisions, never corpus². The oracle runs at SFs
+    * where every block is exact, identical to the d05 guarantee.
+    */
+  def s14_knn_graph: Q = (s, d) =>
+    Dedup.blockedKnn(Tables.embeddings(s, d), KnnGraphK, Dedup.D05MaxExactBlock)
+      .orderBy(col("vec_id"), col("rk"))
+
   val queries: Map[String, Q] = Map(
+    "s14_knn_graph" -> s14_knn_graph,
     "s11_mmr" -> s11_mmr,
     "s12_drift" -> s12_drift,
     "s10_pq_search" -> s10_pq_search,
@@ -865,6 +887,19 @@ object Similarity {
         |    AS avg_norm,
         |  MIN(norm) AS min_norm, MAX(norm) AS max_norm
         |FROM n GROUP BY label ORDER BY label""".stripMargin,
+    "s14_knn_graph" ->
+      s"""SELECT vec_id, nn_id, cos, rk FROM (
+         |  SELECT a.vec_id, b.vec_id AS nn_id,
+         |    round(list_cosine_similarity(
+         |      CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4)
+         |      AS cos,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |      ORDER BY round(list_cosine_similarity(
+         |        CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4)
+         |        DESC, b.vec_id) AS INT) AS rk
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id <> b.vec_id) t
+         |WHERE rk <= $KnnGraphK ORDER BY vec_id, rk""".stripMargin,
     "s01_ann_bruteforce" ->
       s"""SELECT q_id, vec_id, cos, rk FROM (
          |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,

@@ -616,4 +616,81 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.head.getAs[Long]("n_docs") == 3L)
     assert(rows.head.getAs[Long]("first_doc") == 1L)
   }
+
+  test("d29 canonical is the best-quality cluster member; singletons self-map") {
+    import spark.implicits._
+    // docs 1/2: identical token SET (jaccard 1.0, same block) but doc 2
+    // is twice as long → higher d08 quality → canonical; cluster label
+    // stays min-id (1). doc 3 is an unrelated singleton.
+    val set5 = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (1L, set5),
+      (2L, set5 + " " + set5),
+      (3L, "zeta eta theta iota kappa"),
+    ).map { case (id, t) => (id, t, "en", "src0") }
+      .toDF("doc_id", "text", "lang", "source")
+    val got = operators.Dedup.canonicalize(docs)
+      .select("doc_id", "cluster_id", "canonical_id", "is_canonical")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 2L, false),
+      (2L, 1L, 2L, true),
+      (3L, 3L, 3L, true)))
+  }
+
+  test("d29 quality tie breaks to the smaller doc_id") {
+    import spark.implicits._
+    val t = (1 to 12).map(i => s"q$i").mkString(" ")
+    val docs = Seq((7L, t), (4L, t))
+      .map { case (id, x) => (id, x, "en", "src0") }
+      .toDF("doc_id", "text", "lang", "source")
+    val got = operators.Dedup.canonicalize(docs)
+      .select("doc_id", "canonical_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((4L, 4L), (7L, 4L)))
+  }
+
+  test("d30 removes cross-doc shared spans, keeps within-doc repetition") {
+    import spark.implicits._
+    val run = (1 to 8).map(i => s"t$i").mkString(" ")
+    val rep = (1 to 8).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 $run a3 a4"),     // shares run with doc 2
+      (2L, s"b1 $run b2"),           // shares run with doc 1
+      (3L, s"c1 $rep c2 $rep c3"),   // rep twice but only in doc 3
+      (4L, "d1 d2 d3"),              // shorter than the gram window
+    ).map { case (id, t) => (id, t, "en", "src0") }
+      .toDF("doc_id", "text", "lang", "source")
+    val got = operators.Dedup.spanScrub(docs)
+      .select("doc_id", "n_tokens", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((12L, 8L, "a1 a2 a3 a4")))
+    assert(got(2L) == ((10L, 8L, "b1 b2")))
+    assert(got(3L) == ((19L, 0L, s"c1 $rep c2 $rep c3")))
+    assert(got(4L) == ((3L, 0L, "d1 d2 d3")))
+  }
+
+  test("d30 scrubs overlapping shared spans to the exact covered union") {
+    import spark.implicits._
+    // doc 1 holds a 9-token run; doc 2 shares its first 8 tokens, doc 3
+    // its last 8 — every position of doc 1's run is covered by some
+    // shared gram (two overlapping gram windows), so all 9 go
+    val r9 = (1 to 9).map(i => s"v$i").mkString(" ")
+    val first8 = (1 to 8).map(i => s"v$i").mkString(" ")
+    val last8 = (2 to 9).map(i => s"v$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"x1 $r9 x2"),
+      (2L, s"y1 $first8 y2"),
+      (3L, s"z1 $last8 z2"),
+    ).map { case (id, t) => (id, t, "en", "src0") }
+      .toDF("doc_id", "text", "lang", "source")
+    val got = operators.Dedup.spanScrub(docs)
+      .select("doc_id", "n_removed", "clean_text")
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((9L, "x1 x2")))
+    assert(got(2L) == ((8L, "y1 y2")))
+    assert(got(3L) == ((8L, "z1 z2")))
+  }
 }

@@ -64,7 +64,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "t24_quality_classifier", "t25_bpe_encode", "s10_pq_search",
     "q72_merge_upsert", "d26_boilerplate", "d27_containment", "s11_mmr",
     "s12_drift", "d28_cluster_density", "p02_incremental",
-    "q73_incremental_agg", "t26_kneser_ney")
+    "q73_incremental_agg", "t26_kneser_ney",
+    "d29_canonicalize", "d30_span_scrub", "s14_knn_graph")
 
   for (name <- targets)
     test(s"$name tolerates zero-row inputs") {

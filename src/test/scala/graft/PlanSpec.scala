@@ -420,6 +420,44 @@ class PlanSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("d30 gram text dies at the scan; spans anti-join on (doc_id, pos)") {
+    val p = plan("d30_span_scrub")
+    // the per-position gram is digested in the scan-side projection —
+    // only the 16-byte gh ever reaches an exchange
+    assert(p.contains("md5(cast(col"))
+    assert(!"Exchange hashpartitioning\\(col#".r.findFirstIn(p).isDefined,
+      "raw gram text crossed a shuffle")
+    // covered positions remove tokens via an anti-join, not a filter scan
+    assert(p.contains("LeftAnti"))
+    assert(!p.contains("CartesianProduct"))
+    CacheScope.releaseAll()
+  }
+
+  test("d29 argmax shares ONE cluster_id exchange across both windows") {
+    val p = plan("d29_canonicalize")
+    // rn (row_number) and canonical_id (max) both partition on
+    // cluster_id — the planner must reuse a single hash exchange
+    assert("Exchange hashpartitioning\\(cluster_id".r.findAllIn(p).size == 1,
+      "windows re-shuffled instead of sharing the cluster_id partition")
+    // the pair-derived cluster map broadcasts into the corpus scan
+    assert("BroadcastHashJoin \\[doc_id#\\d+L\\], \\[doc_id#\\d+L\\], LeftOuter"
+      .r.findFirstIn(p).isDefined)
+    CacheScope.releaseAll()
+  }
+
+  test("s14 top-k prunes per-partition BEFORE the rank shuffle") {
+    val p = plan("s14_knn_graph")
+    // WindowGroupLimit Partial under the exchange: each map task keeps
+    // only its local top-3 per vec_id, so the rank shuffle moves O(k·n)
+    // rows, not the full B² block fan-out
+    val ex = p.indexOf("Exchange hashpartitioning(vec_id")
+    assert(ex > 0)
+    assert(p.indexOf("WindowGroupLimit", ex) > 0,
+      "no partial top-k below the rank exchange")
+    assert(!p.contains("CartesianProduct"))
+    CacheScope.releaseAll()
+  }
+
   test("d25 rank rounds hash-build on the node-sized side (edge list never sorts)") {
     val p = plan("d25_pair_rank")
     // 5 damped rounds = 5 shuffled-hash joins with the rank table as

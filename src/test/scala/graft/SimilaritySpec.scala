@@ -190,4 +190,55 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.length == labels * dim)
     assert(rows.forall(r => math.abs(r.getAs[Double]("centroid")) < 1.0))
   }
+
+  test("s14 kNN graph matches the naive blocked top-3 on the exact tier") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.cosine_similarity
+    val e = Tables.embeddings(spark, sfDir)
+    val got = operators.Similarity.s14_knn_graph(spark, sfDir)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val a = e.select(col("label"), col("vec_id"), col("embedding").as("emb_a"))
+    val b = e.select(col("label"), col("vec_id").as("nn_id"),
+      col("embedding").as("emb_b"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nn_id"))
+    val want = a.join(b, Seq("label"))
+      .filter(col("vec_id") =!= col("nn_id"))
+      .withColumn("cos", round(cosine_similarity(col("emb_a"), col("emb_b")), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("vec_id"), col("nn_id"), col("cos"), col("rk"))
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
+  test("s14 LSH tier emits ranked prefixes with true cosines") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.cosine_similarity
+    val e = Tables.embeddings(spark, sfDir)
+    // ceiling 0: every block routes through LSH multi-probe
+    val approx = operators.Dedup.blockedKnn(e, 3, 0L)
+    val rows = approx.as[(Long, Long, Double, Int)].collect()
+    assert(rows.nonEmpty, "LSH path returned nothing")
+    // per node: ranks are a prefix 1..m, m <= 3, neighbors distinct
+    rows.groupBy(_._1).foreach { case (id, ns) =>
+      assert(ns.map(_._4).sorted.toSeq == (1 to ns.length),
+        s"node $id ranks not a prefix")
+      assert(ns.map(_._2).distinct.length == ns.length)
+      assert(ns.length <= 3)
+    }
+    // reported cosines are the true cosines and labels match
+    val verify = approx
+      .join(e.select(col("vec_id"), col("label").as("la"),
+        col("embedding").as("ea")), Seq("vec_id"))
+      .join(e.select(col("vec_id").as("nn_id"), col("label").as("lb"),
+        col("embedding").as("eb")), Seq("nn_id"))
+      .withColumn("true_cos", round(cosine_similarity(col("ea"), col("eb")), 4))
+    assert(verify.filter(col("la") =!= col("lb")).count() == 0)
+    assert(verify.filter(col("cos") =!= col("true_cos")).count() == 0)
+  }
 }

@@ -617,6 +617,74 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** RRF rank constant (Cormack et al. 2009's k=60) and fused list
+    * depth for [[s13_hybrid_rrf]]. */
+  private val RrfConst = 60
+  private val FuseK = 5
+
+  /** s13 — hybrid retrieval with reciprocal-rank fusion: each query in
+    * the fixed eval set is answered by TWO independent rankers — dense
+    * (exact cosine top-K over the embedding of the same id space, the
+    * s01 machinery) and lexical (shared RARE-token count between the
+    * query's document and candidate documents) — and the lists merge
+    * by RRF score Σ 1/(60 + rank) in exact integer micro-units
+    * (floor(1e6/(60+rank)); both engines floor the same small-integer
+    * division), ties to the smaller doc_id. The standard RAG-stack
+    * first-stage: lexical catches exact-term matches dense embeddings
+    * smear out, dense catches paraphrases lexical can't see.
+    *
+    * Scale: the query set is the s01 fixed budget (broadcast); the
+    * dense arm is one corpus scan. The lexical arm joins postings
+    * RESTRICTED to rare tokens (df ≤ max(2, 5% of corpus)) — the
+    * d04/t05 df-fraction discipline — so candidate volume is
+    * Σ_rare-token df · |query rare tokens|, never |corpus| per query;
+    * hot tokens never build postings. Fusion touches only the two
+    * top-K lists (≤ 2·K rows per query).
+    */
+  def s13_hybrid_rrf: Q = (s, d) =>
+    hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d))
+
+  private[graft] def hybridRrf(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val q = queriesOf(emb)
+    val wD = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    val dense = emb.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(cosine_similarity(col("q_emb"), col("embedding")), 4))
+      .withColumn("dense_rk", row_number().over(wD))
+      .filter(col("dense_rk") <= K)
+      .select(col("q_id"), col("vec_id").as("doc_id"), col("dense_rk"))
+
+    val tok = docs.select(col("doc_id"), explode(array_distinct(
+      array_remove(split(lower(col("text")), "\\s+"), ""))).as("tok"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val rare = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .filter(col("df") <= greatest(lit(2), floor(col("n_docs") * 0.05)))
+      .select(col("tok"))
+    val rtok = tok.join(rare, Seq("tok"))
+    val qtok = rtok.join(broadcast(q.select(col("q_id"))),
+        col("doc_id") === col("q_id"))
+      .select(col("q_id"), col("tok"))
+    val wL = Window.partitionBy(col("q_id")).orderBy(col("ov").desc, col("doc_id"))
+    val lex = rtok.join(qtok, Seq("tok"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("doc_id")).agg(count(lit(1)).as("ov"))
+      .withColumn("lex_rk", row_number().over(wL))
+      .filter(col("lex_rk") <= K)
+      .select(col("q_id"), col("doc_id"), col("lex_rk"))
+
+    val wF = Window.partitionBy(col("q_id")).orderBy(col("rrf_micro").desc, col("doc_id"))
+    dense.join(lex, Seq("q_id", "doc_id"), "full_outer")
+      .select(col("q_id"), col("doc_id"),
+        (coalesce(floor(lit(1000000.0) / (lit(RrfConst) + col("dense_rk"))), lit(0L)) +
+          coalesce(floor(lit(1000000.0) / (lit(RrfConst) + col("lex_rk"))), lit(0L)))
+          .cast(LongType).as("rrf_micro"),
+        coalesce(col("dense_rk"), lit(0)).as("dense_rk"),
+        coalesce(col("lex_rk"), lit(0)).as("lex_rk"))
+      .withColumn("fused_rank", row_number().over(wF))
+      .filter(col("fused_rank") <= FuseK)
+      .orderBy(col("q_id"), col("fused_rank"))
+  }
+
   /** Neighbors per node in [[s14_knn_graph]]. k trades graph density
     * against the O(k·n) output size; 3 is the common SemDeDup /
     * community-detection working degree. */
@@ -639,6 +707,7 @@ object Similarity {
       .orderBy(col("vec_id"), col("rk"))
 
   val queries: Map[String, Q] = Map(
+    "s13_hybrid_rrf" -> s13_hybrid_rrf,
     "s14_knn_graph" -> s14_knn_graph,
     "s11_mmr" -> s11_mmr,
     "s12_drift" -> s12_drift,
@@ -887,6 +956,55 @@ object Similarity {
         |    AS avg_norm,
         |  MIN(norm) AS min_norm, MAX(norm) AS max_norm
         |FROM n GROUP BY label ORDER BY label""".stripMargin,
+    "s13_hybrid_rrf" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+         |  WHERE vec_id % 97 = 0 AND vec_id < $QueryIdBound
+         |), dense AS (
+         |  SELECT q_id, vec_id AS doc_id, rk AS dense_rk FROM (
+         |    SELECT q.q_id, e.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+         |        round(list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
+         |          CAST(e.embedding AS DOUBLE[])), 4) DESC,
+         |        e.vec_id) AS rk
+         |    FROM q JOIN embeddings e ON e.vec_id <> q.q_id) t
+         |  WHERE rk <= $K
+         |), tok AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |      t -> t <> '')) AS tok
+         |  FROM documents
+         |), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |dfc AS (SELECT tok, COUNT(*) AS df FROM tok GROUP BY tok),
+         |rare AS (SELECT tok FROM dfc CROSS JOIN n
+         |  WHERE df <= greatest(2, floor(0.05 * n_docs))),
+         |rtok AS (SELECT t.* FROM tok t JOIN rare USING (tok)),
+         |qtok AS (SELECT q.q_id, t.tok FROM rtok t JOIN q ON t.doc_id = q.q_id),
+         |lexs AS (
+         |  SELECT qt.q_id, t.doc_id, COUNT(*) AS ov
+         |  FROM rtok t JOIN qtok qt ON t.tok = qt.tok AND t.doc_id <> qt.q_id
+         |  GROUP BY qt.q_id, t.doc_id
+         |), lex AS (
+         |  SELECT q_id, doc_id, rk AS lex_rk FROM (
+         |    SELECT q_id, doc_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY ov DESC, doc_id) AS rk
+         |    FROM lexs) t WHERE rk <= $K
+         |), fused AS (
+         |  SELECT COALESCE(d.q_id, l.q_id) AS q_id,
+         |    COALESCE(d.doc_id, l.doc_id) AS doc_id,
+         |    CAST(COALESCE(floor(1000000.0 / ($RrfConst + d.dense_rk)), 0) +
+         |         COALESCE(floor(1000000.0 / ($RrfConst + l.lex_rk)), 0)
+         |      AS BIGINT) AS rrf_micro,
+         |    CAST(COALESCE(d.dense_rk, 0) AS INT) AS dense_rk,
+         |    CAST(COALESCE(l.lex_rk, 0) AS INT) AS lex_rk
+         |  FROM dense d FULL OUTER JOIN lex l
+         |    ON d.q_id = l.q_id AND d.doc_id = l.doc_id
+         |)
+         |SELECT q_id, doc_id, rrf_micro, dense_rk, lex_rk,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY rrf_micro DESC, doc_id) AS INT) AS fused_rank
+         |FROM fused QUALIFY fused_rank <= $FuseK
+         |ORDER BY q_id, fused_rank""".stripMargin,
     "s14_knn_graph" ->
       s"""SELECT vec_id, nn_id, cos, rk FROM (
          |  SELECT a.vec_id, b.vec_id AS nn_id,

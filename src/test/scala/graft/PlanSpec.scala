@@ -458,6 +458,19 @@ class PlanSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("s13 arms prune top-K pre-shuffle; fusion joins two K-lists only") {
+    val p = plan("s13_hybrid_rrf")
+    // dense arm broadcasts the fixed query set into one corpus scan
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // all three rankings (dense, lexical, fused) keep only local top-K
+    // per query before their q_id exchange
+    assert("WindowGroupLimit .*row_number\\(\\), 5, Partial".r
+      .findAllIn(p).size == 3,
+      "an arm shuffles its full candidate list instead of local top-K")
+    CacheScope.releaseAll()
+  }
+
   test("d25 rank rounds hash-build on the node-sized side (edge list never sorts)") {
     val p = plan("d25_pair_rank")
     // 5 damped rounds = 5 shuffled-hash joins with the rank table as

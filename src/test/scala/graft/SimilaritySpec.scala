@@ -191,6 +191,53 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.forall(r => math.abs(r.getAs[Double]("centroid")) < 1.0))
   }
 
+  test("s13 RRF fuses dense and lexical ranks with exact micro-unit scores") {
+    import spark.implicits._
+    // vec 0 is the one eval query (0 % 97 = 0). doc 1 is close in BOTH
+    // arms, doc 2 only dense, doc 3 only lexical. 4 docs → rare cap
+    // max(2, 0.05·4) = 2, and every content token has df <= 2.
+    val docs = Seq(
+      (0L, "foo bar baz"),        // the query document
+      (1L, "foo bar qux"),        // shares 2 rare tokens
+      (2L, "unrelated words here"),
+      (3L, "baz quux zap"),       // shares 1 rare token
+    ).map { case (id, t) => (id, t, "en", "src0") }
+      .toDF("doc_id", "text", "lang", "source")
+    val emb = Seq(
+      (0L, Array(1f, 0f), 0),
+      (1L, Array(1f, 0.01f), 0),  // dense rank 1
+      (2L, Array(1f, 0.1f), 0),   // dense rank 2
+      (3L, Array(0f, 1f), 0),     // dense rank 3 (cos 0)
+    ).toDF("vec_id", "embedding", "label")
+    val got = operators.Similarity.hybridRrf(docs, emb)
+      .as[(Long, Long, Long, Int, Int, Int)].collect().toSeq
+    def rrf(r: Int) = math.floor(1e6 / (60 + r)).toLong
+    assert(got == Seq(
+      (0L, 1L, rrf(1) + rrf(1), 1, 1, 1),
+      (0L, 3L, rrf(3) + rrf(2), 3, 2, 2),
+      (0L, 2L, rrf(2), 2, 0, 3)))
+  }
+
+  test("s13 on the corpus: both-arm hits always outrank single-arm hits") {
+    // floor(1e6/65)·2 = 30768 > 16393 = floor(1e6/61): ANY doc found
+    // by both rankers beats ANY doc found by one — check it holds in
+    // the produced scores, and that per-query output is a ranked
+    // prefix of <= 5
+    val rows = operators.Similarity.s13_hybrid_rrf(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rrf_micro"),
+        r.getAs[Int]("dense_rk"), r.getAs[Int]("lex_rk"),
+        r.getAs[Int]("fused_rank")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.length <= 5)
+      assert(rs.map(_._5).sorted.toSeq == (1 to rs.length))
+      val minBoth = rs.filter(r => r._3 > 0 && r._4 > 0).map(_._2)
+      val maxSingle = rs.filter(r => r._3 == 0 || r._4 == 0).map(_._2)
+      if (minBoth.nonEmpty && maxSingle.nonEmpty)
+        assert(minBoth.min > maxSingle.max, s"query $q fusion inverted")
+    }
+  }
+
   test("s14 kNN graph matches the naive blocked top-3 on the exact tier") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

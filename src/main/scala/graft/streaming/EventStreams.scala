@@ -274,4 +274,52 @@ object EventStreams {
           }
       }
   }
+
+  /** Schema of a streamed document delivery: the batch `documents`
+    * columns plus the delivery's `arrival` event time (used only to
+    * bound the candidate-dedup state). */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("arrival", TimestampType)))
+
+  /** File-source stream over a directory of delivery parquet files. */
+  def readDocStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(docSchema).parquet(dir)
+
+  /** Streaming incremental near-duplicate screen — the streaming twin
+    * of [[graft.operators.Dedup.d16_incremental_neardup]]: documents
+    * arrive as a micro-batched delivery stream, band into the same
+    * 16×4 MinHash buckets, probe the STANDING corpus index (the
+    * static join side) and emit one row per VERIFIED match
+    * (shingle-Jaccard ≥ 0.5) in append mode. A doc that emits no row
+    * is accepted — d16's verdict, streamed.
+    *
+    * State/scale: the stream-static band join itself holds ZERO
+    * streaming state (at 100 TB the static side is the bucketed
+    * standing index, re-resolved per micro-batch — new corpus
+    * snapshots are picked up without restarting the query). The only
+    * state is the candidate dedup — a pair colliding in k bands must
+    * emit once — which dropDuplicatesWithinWatermark bounds to the
+    * watermark horizon instead of growing forever. Per-batch cost is
+    * band collisions, exactly the batch d16 shape.
+    */
+  def neardupScreenStream(delivery: DataFrame, corpus: DataFrame): DataFrame = {
+    import graft.functions.TextHashFunctions.{array_jaccard, minhash_bands, word_shingles}
+    def sh(text: org.apache.spark.sql.Column) =
+      word_shingles(split(lower(text), "\\s+"), 3)
+    val index = corpus.select(col("doc_id").as("corpus_id"),
+        sh(col("text")).as("sh_c"))
+      .withColumn("bh", explode(array_distinct(minhash_bands(col("sh_c"), 16, 4))))
+    val probes = delivery
+      .withWatermark("arrival", "1 hour")
+      .select(col("doc_id"), col("arrival"), sh(col("text")).as("sh_d"))
+      .withColumn("bh", explode(array_distinct(minhash_bands(col("sh_d"), 16, 4))))
+    probes.join(index, Seq("bh"))
+      .filter(col("doc_id") =!= col("corpus_id"))
+      .dropDuplicatesWithinWatermark("doc_id", "corpus_id")
+      .filter(array_jaccard(col("sh_d"), col("sh_c")) >= 0.5)
+      .select(col("doc_id"), col("corpus_id"), col("arrival"),
+        round(array_jaccard(col("sh_d"), col("sh_c")), 4).as("jaccard"))
+  }
 }

@@ -22,6 +22,57 @@ class StreamingSpec extends AnyFunSuite {
     dir
   }
 
+  test("streaming near-dup screen matches the batch d16 verdicts") {
+    import graft.functions.TextHashFunctions.{array_jaccard, minhash_bands, word_shingles}
+    val all = Tables.documents(spark, sfDir)
+    val corpus = all.filter(col("doc_id") % 17 =!= 0)
+    // stage the d16 delivery slice as the arriving stream
+    val dir = Files.createTempDirectory("graft-docstream").toString
+    all.filter(col("doc_id") % 17 === 0)
+      .withColumn("arrival", to_timestamp(lit("2026-01-01 00:00:00")))
+      .select("doc_id", "text", "lang", "source", "arrival")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = EventStreams.neardupScreenStream(
+        EventStreams.readDocStream(spark, dir), corpus)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("screen_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("screen_out")
+        .select(col("doc_id"), col("corpus_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // every pair exactly once despite multi-band collisions
+      assert(streamed.length == streamed.distinct.length)
+      // truth: the batch band-join + exact verify on the same data
+      def sh(c: org.apache.spark.sql.Column) =
+        word_shingles(split(lower(c), "\\s+"), 3)
+      val idx = corpus.select(col("doc_id").as("corpus_id"),
+          sh(col("text")).as("sh_c"))
+        .withColumn("bh", explode(array_distinct(minhash_bands(col("sh_c"), 16, 4))))
+      val want = all.filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id"), sh(col("text")).as("sh_d"))
+        .withColumn("bh", explode(array_distinct(minhash_bands(col("sh_d"), 16, 4))))
+        .join(idx, Seq("bh"))
+        .filter(col("doc_id") =!= col("corpus_id"))
+        .select(col("doc_id"), col("corpus_id"), col("sh_d"), col("sh_c"))
+        .distinct()
+        .filter(array_jaccard(col("sh_d"), col("sh_c")) >= 0.5)
+        .select(col("doc_id"), col("corpus_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(want.nonEmpty, "no near-dup matches in the fixture — vacuous")
+      assert(streamed.toSet == want)
+      // and the rejected-doc set is exactly batch d16's accepted=false
+      val d16Rejected = operators.Dedup.d16_incremental_neardup(spark, sfDir)
+        .filter(!col("accepted")).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(streamed.map(_._1).toSet == d16Rejected)
+    } finally {
+      q.stop()
+      CacheScope.releaseAll()
+      spark.catalog.clearCache()
+    }
+  }
+
   test("streaming windowed counts == batch q18 aggregate") {
     val dir = stageDir()
     val q = EventStreams.windowedCounts(EventStreams.readEventStream(spark, dir))

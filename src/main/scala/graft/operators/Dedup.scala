@@ -1234,6 +1234,61 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** d31 — per-source corpus health report: the one-row-per-source
+    * dashboard a data team reads before a training run. For each
+    * `source`: how many docs, how many are exact duplicates of
+    * something in the corpus (d01's content hash, corpus-wide), how
+    * many sit in a near-duplicate pair (d04's verified pairs), how
+    * many contain at least one boilerplate line (d26's ≥ 3-distinct-
+    * docs rule), and the mean d08 quality in exact integer
+    * 1e-4 units (sum of per-doc quality micros, floor-divided — no
+    * float accumulation, so the report is oracle-exact).
+    *
+    * Scale: every signal is an existing scale-shaped pipeline (hash
+    * agg / prefix-filtered pairs / digest-keyed line agg) reduced to
+    * a doc_id set; the report joins those sets back to the corpus as
+    * broadcast-sized sides and aggregates once on `source` (partial+
+    * final — source count is tiny). Nothing quadratic is added on
+    * top of the d04 pair cost.
+    */
+  def d31_corpus_report: Q = (s, d) => corpusReport(Tables.documents(s, d))
+
+  private[graft] def corpusReport(docs: DataFrame): DataFrame = {
+    val base = graft.CacheScope.persisted(
+      docs.select(col("doc_id"), col("source"), col("text"),
+        md5(col("text")).as("fp")))
+    val dupHash = base.groupBy(col("fp")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select(col("fp"))
+    val exactIds = base.join(dupHash, Seq("fp")).select(col("doc_id"))
+    val pairs = ngramJaccardPairs(docs)
+    val nearIds = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct()
+    val lines = docLines(docs, 10)
+    val boiler = lines.groupBy(md5(col("line")).as("lh"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 3).select(col("lh"))
+    val boilIds = lines.join(boiler, md5(col("line")) === col("lh"))
+      .select(col("doc_id")).distinct()
+    val nTok = size(split(col("text"), "\\s+"))
+    val nPunct = size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0)))
+    val q4 = floor((least(nTok.cast(DoubleType) / 50.0, lit(1.0)) *
+      (lit(1.0) - nPunct.cast(DoubleType) / length(col("text")))) * 1e4 + 0.5)
+      .cast(LongType)
+    base.select(col("doc_id"), col("source"), q4.as("q4"))
+      .join(exactIds.withColumn("is_exact", lit(1L)), Seq("doc_id"), "left")
+      .join(nearIds.withColumn("is_near", lit(1L)), Seq("doc_id"), "left")
+      .join(boilIds.withColumn("is_boiler", lit(1L)), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_exact"), lit(0L))).as("exact_dup_docs"),
+        sum(coalesce(col("is_near"), lit(0L))).as("neardup_docs"),
+        sum(coalesce(col("is_boiler"), lit(0L))).as("boiler_docs"),
+        call_function("div", sum(col("q4")), count(lit(1)))
+          .as("mean_quality_q4"))
+      .orderBy(col("source"))
+  }
+
   /** d25 — duplicate-graph centrality: PageRank over the d04 near-dup
     * graph, in EXACT integer micro-units so the iteration is
     * bit-identical in any partition order and in the oracle's chained
@@ -1310,6 +1365,7 @@ object Dedup {
     "d23_gram_novelty" -> d23_gram_novelty,
     "d29_canonicalize" -> d29_canonicalize,
     "d30_span_scrub" -> d30_span_scrub,
+    "d31_corpus_report" -> d31_corpus_report,
   )
 
   /** The d04 pair query without its final ORDER BY, parameterized on
@@ -1645,6 +1701,55 @@ object Dedup {
          |  b.doc_id = c.canonical_id AS is_canonical, b.quality_score
          |FROM base b JOIN canon c USING (cluster_id)
          |ORDER BY b.doc_id""".stripMargin,
+    "d31_corpus_report" ->
+      s"""WITH pairs AS (
+         |$d04OracleBody
+         |), near AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT id_a AS doc_id FROM pairs
+         |    UNION SELECT id_b FROM pairs) u
+         |), fp AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+         |dup AS (SELECT h FROM fp GROUP BY h HAVING COUNT(*) >= 2),
+         |exact AS (SELECT doc_id FROM fp JOIN dup USING (h)),
+         |t AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |    x -> x <> '') AS l
+         |  FROM documents),
+         |ix AS (
+         |  SELECT doc_id, l, unnest(generate_series(0,
+         |    greatest(CAST(ceil(len(l) / 10.0) AS INT), 1) - 1)) AS i
+         |  FROM t),
+         |ln AS (
+         |  SELECT doc_id, i AS line_no,
+         |    array_to_string(l[(i*10 + 1):least((i+1)*10, len(l))], ' ') AS line
+         |  FROM ix),
+         |boiler AS (
+         |  SELECT md5(line) AS h2 FROM ln
+         |  GROUP BY md5(line) HAVING COUNT(DISTINCT doc_id) >= 3),
+         |bdocs AS (
+         |  SELECT DISTINCT ln.doc_id FROM ln
+         |  JOIN boiler ON md5(ln.line) = boiler.h2),
+         |q AS (
+         |  SELECT doc_id,
+         |    CAST(floor(least(CAST(len(regexp_split_to_array(text, '\\s+'))
+         |        AS DOUBLE) / 50.0, 1.0) *
+         |      (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]'))
+         |        AS DOUBLE) / length(text)) * 1e4 + 0.5) AS BIGINT) AS q4
+         |  FROM documents)
+         |SELECT d.source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS exact_dup_docs,
+         |  CAST(SUM(CASE WHEN nr.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS neardup_docs,
+         |  CAST(SUM(CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS boiler_docs,
+         |  CAST(SUM(q.q4) // COUNT(*) AS BIGINT) AS mean_quality_q4
+         |FROM documents d
+         |JOIN q ON q.doc_id = d.doc_id
+         |LEFT JOIN exact e ON e.doc_id = d.doc_id
+         |LEFT JOIN near nr ON nr.doc_id = d.doc_id
+         |LEFT JOIN bdocs b ON b.doc_id = d.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "d30_span_scrub" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),

@@ -774,7 +774,45 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t27 — tokenizer fertility audit per (lang, source) slice: after
+    * BPE training (the t23/t25 exact-integer machinery), how many
+    * subword symbols does a word of this slice cost? `fertility` =
+    * BPE symbols per word (the multilingual-tokenizer-bias metric: a
+    * slice whose fertility is 2× pays 2× the context budget for the
+    * same text), `compression` = chars per symbol, `single_tok` =
+    * word occurrences encoded as ONE symbol (vocabulary-covered).
+    * All ratios derive from exact integer sums, so the audit is
+    * oracle-bearing end-to-end including the 4 training rounds.
+    *
+    * Scale: the corpus contributes one (lang, source, word) count agg
+    * (corpus-linear, one shuffle); the encoding join is against the
+    * vocab-sized `enc` table (broadcast); the final agg is
+    * slice-count-sized. Training cost is t23's, shared shape.
+    */
+  def t27_fertility: Q = (s, d) => bpeFertility(Tables.documents(s, d))
+
+  private[graft] def bpeFertility(docs: DataFrame, rounds: Int = 4): DataFrame = {
+    val enc = bpeTrain(docs, rounds, applyLast = true)._2
+      .select(col("word"), size(col("syms")).as("n_sym"))
+    val tok = array_remove(split(lower(col("text")), "\\s+"), "")
+    val wc = docs.select(col("lang"), col("source"), explode(tok).as("word"))
+      .groupBy(col("lang"), col("source"), col("word"))
+      .agg(count(lit(1)).as("k"))
+    wc.join(enc, Seq("word"))
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(col("k")).as("n_words"),
+        sum(col("k") * length(col("word"))).as("n_chars"),
+        sum(col("k") * col("n_sym")).as("n_bpe"),
+        sum(when(col("n_sym") === 1, col("k")).otherwise(0L)).as("single_tok"))
+      .withColumn("fertility",
+        Tables.rhalfup(col("n_bpe").cast("double") / col("n_words"), 4))
+      .withColumn("compression",
+        Tables.rhalfup(col("n_chars").cast("double") / col("n_bpe"), 4))
+      .orderBy(col("lang"), col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t27_fertility" -> t27_fertility,
     "t25_bpe_encode" -> t25_bpe_encode,
     "t23_bpe_merges" -> t23_bpe_merges,
     "t21_code_switch" -> t21_code_switch,
@@ -913,6 +951,33 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "t27_fertility" ->
+      s"""WITH w0 AS (
+         |  SELECT word, COUNT(*) AS cnt, regexp_split_to_array(word, '')
+         |    AS syms
+         |  FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+         |    '\\s+'), x -> x <> '')) AS word FROM documents)
+         |  GROUP BY word),
+         |${(1 to 4).map(i => bpeRoundCte(i, last = false)).mkString(",\n")},
+         |enc AS (SELECT word, len(syms) AS n_sym FROM w4),
+         |wc AS (
+         |  SELECT lang, source, word, COUNT(*) AS k
+         |  FROM (SELECT lang, source, unnest(list_filter(regexp_split_to_array(
+         |    lower(text), '\\s+'), x -> x <> '')) AS word FROM documents)
+         |  GROUP BY lang, source, word)
+         |SELECT lang, source, n_words, n_chars, n_bpe, single_tok,
+         |  floor(CAST(n_bpe AS DOUBLE) / n_words * 1e4 + 0.5) / 1e4
+         |    AS fertility,
+         |  floor(CAST(n_chars AS DOUBLE) / n_bpe * 1e4 + 0.5) / 1e4
+         |    AS compression
+         |FROM (
+         |  SELECT lang, source, CAST(SUM(k) AS BIGINT) AS n_words,
+         |    CAST(SUM(k * length(word)) AS BIGINT) AS n_chars,
+         |    CAST(SUM(k * n_sym) AS BIGINT) AS n_bpe,
+         |    CAST(SUM(CASE WHEN n_sym = 1 THEN k ELSE 0 END) AS BIGINT)
+         |      AS single_tok
+         |  FROM wc JOIN enc USING (word) GROUP BY lang, source)
+         |ORDER BY lang, source""".stripMargin,
     "t25_bpe_encode" ->
       s"""WITH w0 AS (
          |  SELECT word, COUNT(*) AS cnt, regexp_split_to_array(word, '')

@@ -671,6 +671,41 @@ class DedupSpec extends AnyFunSuite {
     assert(got(4L) == ((3L, 0L, "d1 d2 d3")))
   }
 
+  test("d31 report counts exact/near/boilerplate docs and exact mean quality") {
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"bp$i").mkString(" ")
+    val n10 = (1 to 10).map(i => s"n$i")
+    val docs = Seq(
+      (1L, "srcA", "alpha beta gamma delta"),
+      (2L, "srcA", "alpha beta gamma delta"), // exact (and near) dup of 1
+      (3L, "srcA", boiler + " tail3 x3"),     // boilerplate line holder
+      (7L, "srcA", boiler + " tail7 y7"),     // boilerplate line holder
+      (4L, "srcB", n10.mkString(" ")),
+      (5L, "srcB", n10.reverse.mkString(" ")), // near dup of 4 (same set)
+      (6L, "srcB", boiler + " tail6 z6"),      // 3rd boiler doc
+    ).map { case (id, src, t) => (id, t, "en", src) }
+      .toDF("doc_id", "text", "lang", "source")
+    def q4(t: String): Long = {
+      val nTok = t.split("\\s+").length
+      val nPunct = t.count(c => ".,!?;:".contains(c))
+      math.floor(math.min(nTok / 50.0, 1.0) *
+        (1.0 - nPunct.toDouble / t.length) * 1e4 + 0.5).toLong
+    }
+    val rows = operators.Dedup.corpusReport(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    CacheScope.releaseAll()
+    val qa = Seq("alpha beta gamma delta", "alpha beta gamma delta",
+      boiler + " tail3 x3", boiler + " tail7 y7").map(q4)
+    val qb = Seq(n10.mkString(" "), n10.reverse.mkString(" "),
+      boiler + " tail6 z6").map(q4)
+    // srcA: docs 1/2 exact+near dups; docs 3/7 hold the boiler line
+    // (3/7 jaccard 10/14 < 0.8 — shared boilerplate is NOT near-dup)
+    assert(rows("srcA") == ((4L, 2L, 2L, 2L, qa.sum / 4)))
+    // srcB: 4/5 near (same token set, different text), 6 boiler
+    assert(rows("srcB") == ((3L, 0L, 2L, 1L, qb.sum / 3)))
+  }
+
   test("d30 scrubs overlapping shared spans to the exact covered union") {
     import spark.implicits._
     // doc 1 holds a 9-token run; doc 2 shares its first 8 tokens, doc 3

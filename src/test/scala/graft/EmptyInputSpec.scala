@@ -65,7 +65,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "q72_merge_upsert", "d26_boilerplate", "d27_containment", "s11_mmr",
     "s12_drift", "d28_cluster_density", "p02_incremental",
     "q73_incremental_agg", "t26_kneser_ney",
-    "d29_canonicalize", "d30_span_scrub", "s13_hybrid_rrf", "s14_knn_graph")
+    "d29_canonicalize", "d30_span_scrub", "s13_hybrid_rrf", "s14_knn_graph",
+    "t27_fertility", "d31_corpus_report")
 
   for (name <- targets)
     test(s"$name tolerates zero-row inputs") {

@@ -471,6 +471,32 @@ class PlanSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("d31 report aggregates once on source with map-side combine") {
+    val p = plan("d31_corpus_report")
+    // one exchange keyed on source ALONE (the pair pipeline's
+    // (source, lang, …) block exchanges also start with source) fed
+    // by a partial agg over ALL signals
+    val m = "Exchange hashpartitioning\\(source#\\d+, \\d+\\)".r
+      .findAllMatchIn(p).toSeq
+    assert(m.size == 1, s"expected 1 source-only exchange, got ${m.size}")
+    assert(p.indexOf("partial_sum", m.head.start) > 0,
+      "signal sums not combined map-side before the source shuffle")
+    assert(!p.contains("CartesianProduct"))
+    CacheScope.releaseAll()
+  }
+
+  test("t27 fertility pre-aggregates slice word counts under the vocab join") {
+    val p = plan("t27_fertility")
+    // (lang, source, word) counts combine map-side; the final slice
+    // agg is partial+final too — the corpus shuffles counts, not words
+    assert("HashAggregate\\(keys=\\[lang#\\d+, source#\\d+, word#\\d+\\], functions=\\[partial_count"
+      .r.findFirstIn(p).isDefined)
+    assert("HashAggregate\\(keys=\\[lang#\\d+, source#\\d+\\], functions=\\[partial_sum"
+      .r.findFirstIn(p).isDefined)
+    assert(!p.contains("CartesianProduct"))
+    CacheScope.releaseAll()
+  }
+
   test("d25 rank rounds hash-build on the node-sized side (edge list never sorts)") {
     val p = plan("d25_pair_rank")
     // 5 damped rounds = 5 shuffled-hash joins with the rank table as

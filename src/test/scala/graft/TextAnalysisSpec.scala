@@ -280,6 +280,41 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(2L) == ((5L, 10L, 5L, 2.0)))
   }
 
+  test("t27 fertility aggregates the t25 encoding per slice with exact ratios") {
+    // same corpus as t23/t25, one (en, src0) slice. Encodings known:
+    // aaab→1 sym ×2, abab→2 syms ×1, bb→1 sym ×5 → 8 words, 22 chars,
+    // 9 symbols, 7 single-symbol occurrences.
+    val df = corpus(
+      1L -> "aaab aaab abab",
+      2L -> "bb bb bb bb bb")
+    val rows = operators.TextAnalysis.bpeFertility(df).collect()
+    CacheScope.releaseAll()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("lang") == "en" && r.getAs[String]("source") == "src0")
+    assert((r.getAs[Long]("n_words"), r.getAs[Long]("n_chars"),
+      r.getAs[Long]("n_bpe"), r.getAs[Long]("single_tok")) == ((8L, 22L, 9L, 7L)))
+    assert(r.getAs[Double]("fertility") == 1.125)       // 9/8
+    assert(r.getAs[Double]("compression") == 2.4444)    // 22/9 half-up
+  }
+
+  test("t27 slice totals reconcile with t25 per-doc totals on the corpus") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val slices = operators.TextAnalysis.bpeFertility(docs).collect()
+    CacheScope.releaseAll()
+    val perDoc = operators.TextAnalysis.bpeEncode(docs).collect()
+    CacheScope.releaseAll()
+    assert(slices.nonEmpty)
+    assert(slices.map(_.getAs[Long]("n_bpe")).sum ==
+      perDoc.map(_.getAs[Long]("n_bpe")).sum)
+    assert(slices.map(_.getAs[Long]("n_words")).sum ==
+      perDoc.map(_.getAs[Long]("n_words")).sum)
+    slices.foreach { r =>
+      assert(r.getAs[Long]("single_tok") <= r.getAs[Long]("n_words"))
+      assert(r.getAs[Double]("fertility") >= 1.0)
+    }
+  }
+
   test("t26 Kneser-Ney matches the hand-computed interpolated probability") {
     import spark.implicits._
     // one doc "x y x y x y x y x y x": bigrams "x y"x5, "y x"x5.

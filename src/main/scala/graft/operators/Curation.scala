@@ -574,7 +574,10 @@ object Curation {
       docs
         .select(col("doc_id"), col("source"), col("lang"), col("text"),
           fpc.as("fp"), nTokW.as("n_tokens"),
-          graft.Tables.rhalfup(nPunct.cast(DoubleType) / nChars, 6)
+          // try_divide: empty-text rows NULL (and fail the gate)
+          // instead of ANSI-throwing — mirrors DuckDB x/0
+          graft.Tables.rhalfup(try_divide(nPunct.cast(DoubleType),
+            nChars.cast(DoubleType)), 6)
             .as("punct_ratio"),
           TextAnalysis.predLangCol(lower(col("text"))).as("pred_lang"))
         .withColumn("rn", row_number().over(wFp))
@@ -677,7 +680,8 @@ object Curation {
     val cur = delivery
       .select(col("doc_id"), col("source"), md5(col("text")).as("fp"),
         nTokW.as("n_tokens"),
-        graft.Tables.rhalfup(nPunct.cast(DoubleType) / nChars, 6)
+        graft.Tables.rhalfup(try_divide(nPunct.cast(DoubleType),
+          nChars.cast(DoubleType)), 6)
           .as("punct_ratio"),
         TextAnalysis.predLangCol(lower(col("text"))).as("pred_lang"))
       .withColumn("rn", row_number().over(wFp))

@@ -1216,10 +1216,13 @@ object Dedup {
     val nTok = size(split(col("text"), "\\s+"))
     val nPunct = size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0)))
     // the d08 quality formula verbatim (same integer inputs → same
-    // IEEE ops in both engines; rhalfup, not round — see Tables)
+    // IEEE ops in both engines; rhalfup, not round — see Tables;
+    // try_divide so an empty-text row NULLs instead of ANSI-throwing,
+    // mirroring DuckDB's x/0)
     val scored = docs.select(col("doc_id"),
       Tables.rhalfup(least(nTok.cast(DoubleType) / 50.0, lit(1.0)) *
-        (lit(1.0) - nPunct.cast(DoubleType) / length(col("text"))), 4)
+        (lit(1.0) - try_divide(nPunct.cast(DoubleType),
+          length(col("text")).cast(DoubleType))), 4)
         .as("quality_score"))
     val w = Window.partitionBy(col("cluster_id"))
     scored.join(clusters, Seq("doc_id"), "left")
@@ -1273,7 +1276,8 @@ object Dedup {
     val nTok = size(split(col("text"), "\\s+"))
     val nPunct = size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0)))
     val q4 = floor((least(nTok.cast(DoubleType) / 50.0, lit(1.0)) *
-      (lit(1.0) - nPunct.cast(DoubleType) / length(col("text")))) * 1e4 + 0.5)
+      (lit(1.0) - try_divide(nPunct.cast(DoubleType),
+        length(col("text")).cast(DoubleType)))) * 1e4 + 0.5)
       .cast(LongType)
     base.select(col("doc_id"), col("source"), q4.as("q4"))
       .join(exactIds.withColumn("is_exact", lit(1L)), Seq("doc_id"), "left")
@@ -1426,7 +1430,7 @@ object Dedup {
          |FROM r5 JOIN deg d ON d.src = r5.node
          |ORDER BY doc_id""".stripMargin,
     "d28_cluster_density" ->
-      s"""WITH RECURSIVE pairs AS (
+      s"""WITH RECURSIVE pairs AS MATERIALIZED (
          |$d04OracleBody
          |), edges AS (
          |  SELECT id_a AS src, id_b AS dst FROM pairs
@@ -1654,7 +1658,7 @@ object Dedup {
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
     "d04_ngram_jaccard" -> (d04OracleBody + "\nORDER BY id_a, id_b"),
     "d09_dup_clusters" ->
-      s"""WITH RECURSIVE pairs AS (
+      s"""WITH RECURSIVE pairs AS MATERIALIZED (
          |$d04OracleBody
          |), edges AS (
          |  SELECT id_a AS src, id_b AS dst FROM pairs
@@ -1667,7 +1671,7 @@ object Dedup {
          |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach
          |GROUP BY id ORDER BY doc_id""".stripMargin,
     "d29_canonicalize" ->
-      s"""WITH RECURSIVE pairs AS (
+      s"""WITH RECURSIVE pairs AS MATERIALIZED (
          |$d04OracleBody
          |), edges AS (
          |  SELECT id_a AS src, id_b AS dst FROM pairs
@@ -1702,7 +1706,9 @@ object Dedup {
          |FROM base b JOIN canon c USING (cluster_id)
          |ORDER BY b.doc_id""".stripMargin,
     "d31_corpus_report" ->
-      s"""WITH pairs AS (
+      // MATERIALIZED like d25's: `near` scans pairs twice and the
+      // inlined token self-join spills DuckDB's temp disk at 10x
+      s"""WITH pairs AS MATERIALIZED (
          |$d04OracleBody
          |), near AS (
          |  SELECT DISTINCT doc_id FROM (
@@ -1787,7 +1793,7 @@ object Dedup {
         |FROM toks t LEFT JOIN ka USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
     "d21_crossmodal_cc" ->
-      s"""WITH RECURSIVE pairs AS (
+      s"""WITH RECURSIVE pairs AS MATERIALIZED (
          |$d04OracleBody
          |), fpg AS (
          |  SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS gkey,

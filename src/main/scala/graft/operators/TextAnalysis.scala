@@ -59,12 +59,17 @@ object TextAnalysis {
         col("doc_id"),
         nChars.as("n_chars_m"),
         nTok.as("n_tokens"),
-        // rhalfup, not round: pure integer ratios — see Tables.rhalfup
-        graft.Tables.rhalfup(nPunct.cast(DoubleType) / nChars, 6).as("punct_ratio"),
+        // rhalfup, not round: pure integer ratios — see Tables.rhalfup.
+        // try_divide on the /nChars ratios: empty text NULLs the row's
+        // ratios (DuckDB x/0 parity) instead of risking an ANSI throw.
+        // nTok is never 0 (split('') is ['']) so /nTok stays bare.
+        graft.Tables.rhalfup(try_divide(nPunct.cast(DoubleType),
+          nChars.cast(DoubleType)), 6).as("punct_ratio"),
         graft.Tables.rhalfup(nStop.cast(DoubleType) / nTok, 6).as("stopword_ratio"),
         graft.Tables.rhalfup(
           least(nTok.cast(DoubleType) / 50.0, lit(1.0)) *
-            (lit(1.0) - nPunct.cast(DoubleType) / nChars), 4).as("quality_score"))
+            (lit(1.0) - try_divide(nPunct.cast(DoubleType),
+              nChars.cast(DoubleType))), 4).as("quality_score"))
       .orderBy(col("doc_id"))
   }
 
@@ -215,10 +220,15 @@ object TextAnalysis {
     Tables.documents(s, d)
       .select(col("doc_id"),
         fp.as("fp"), nTok.as("n_tokens"),
-        // rhalfup, not round: pure integer ratios — see Tables.rhalfup
-        graft.Tables.rhalfup(nPunct.cast(DoubleType) / nChars, 6).as("punct_ratio"),
+        // rhalfup, not round: pure integer ratios — see Tables.rhalfup.
+        // try_divide, not /: an empty-text row makes nChars 0 and ANSI
+        // division would kill the whole job; NULL mirrors DuckDB's
+        // x/0 and the punct_ratio filter then drops the row.
+        graft.Tables.rhalfup(try_divide(nPunct.cast(DoubleType),
+          nChars.cast(DoubleType)), 6).as("punct_ratio"),
         graft.Tables.rhalfup(least(nTok.cast(DoubleType) / 50.0, lit(1.0)) *
-          (lit(1.0) - nPunct.cast(DoubleType) / nChars), 4).as("quality_score"),
+          (lit(1.0) - try_divide(nPunct.cast(DoubleType),
+            nChars.cast(DoubleType))), 4).as("quality_score"),
         predLangCol(lower(col("text"))).as("pred_lang"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("pred_lang") =!= "und" &&

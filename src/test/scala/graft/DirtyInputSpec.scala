@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dirty-row robustness: at 100 TB a delivery routinely carries NULL
+  * text, empty strings, whitespace-only docs, null group keys, empty
+  * or null embedding arrays. Operators must not throw on them — a
+  * poisoned row that kills a 1000-executor job hours in is the worst
+  * failure mode a pipeline has. This spec feeds every text/embedding
+  * operator a corpus that is MOSTLY dirty (plus two clean rows so the
+  * plans execute their joins) and asserts the query completes.
+  *
+  * It does NOT pin per-op dirty-row semantics (drop vs null-group vs
+  * empty-output all legitimate per op); the EmptyInput/oracle gates
+  * own semantics. This gate owns "never crash".
+  */
+class DirtyInputSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  private lazy val dirtyDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dirty").toString
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val docs = java.util.Arrays.asList(
+      Row(1L, null, "en", "src0", 0L),                 // null text
+      Row(2L, "", "en", "src0", 0L),                   // empty text
+      Row(3L, "   \t  ", "en", "src0", 6L),            // whitespace only
+      Row(4L, "one clean document about spark rows and joins here ok", null,
+        "src0", 54L),                                  // null lang
+      Row(5L, "another clean document about spark rows and joins here yes",
+        "en", null, 58L),                              // null source
+      Row(6L, "clean text shared clean text shared clean text shared",
+        "en", "src0", 54L),
+      Row(7L, "clean text shared clean text shared clean text shared",
+        "en", "src0", 54L))                            // dup of 6
+    spark.createDataFrame(docs, docSchema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val embs = java.util.Arrays.asList(
+      Row(1L, null, 0),                                 // null vector
+      Row(2L, Seq.empty[Float], 0),                     // empty vector
+      Row(3L, Seq(1f, 0f), null),                       // null label
+      Row(4L, Seq(1f, 2f), 0),
+      Row(5L, Seq(2f, 1f), 0))
+    spark.createDataFrame(embs, embSchema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private val docTargets = Seq(
+    "d01_dedup_exact", "d02_minhash_lsh", "d03_simhash", "d04_ngram_jaccard",
+    "d09_dup_clusters", "d19_repeated_ngrams", "d22_substring_pairs",
+    "d24_line_dedup", "d26_boilerplate", "d27_containment",
+    "d29_canonicalize", "d30_span_scrub", "d31_corpus_report",
+    "t01_lang_id", "t02_quality", "t03_tokens", "t04_fingerprint",
+    "t05_winnow_neardup", "t07_vocab", "t08_tfidf", "t16_bm25",
+    "t19_zipf", "t23_bpe_merges", "t25_bpe_encode", "t27_fertility",
+    "d08_curation", "p01_pipeline", "p02_incremental", "t14_lm_quality",
+    "t18_lm_perplexity", "t21_code_switch", "t24_quality_classifier")
+
+  private val embTargets = Seq(
+    "d05_embedding_neardup", "d15_semantic_dedup", "s01_ann_bruteforce",
+    "s04_norm_stats", "s06_quantize_int8", "s07_label_centroids",
+    "s13_hybrid_rrf", "s14_knn_graph")
+
+  for (name <- docTargets ++ embTargets)
+    test(s"$name survives null/empty/whitespace rows") {
+      val n = SparkEntry.queries(name)(spark, dirtyDir).count()
+      CacheScope.releaseAll()
+      spark.catalog.clearCache()
+      assert(n >= 0) // completing without throwing is the contract
+    }
+}

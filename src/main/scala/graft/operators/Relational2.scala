@@ -604,6 +604,42 @@ object Relational2 {
     * side), then one key-keyed full-outer join; the delta side is
     * delivery-sized → broadcast-shaped.
     */
+  /** q74 — mergeable distinct-count rollup: per-(day, event_type) HLL
+    * sketches of the user set built in ONE pass over events, then
+    * MERGED up to event_type totals without touching the fact table
+    * again. This is q73's incremental-maintenance story extended to
+    * the non-algebraic DISTINCT: daily distinct counts cannot be
+    * added, but their sketches union losslessly — the standing
+    * per-day sketch table absorbs each new day and any rollup window
+    * (week, month, all-time) is a sketch-merge, never a fact re-scan.
+    * The exact recount rides along as the audit column.
+    *
+    * Scale: daily sketches are a partial+final agg keyed (day, type)
+    * — each executor contributes one ~1 KB sketch per group, so the
+    * shuffle moves sketches, not user ids; the merge agg is
+    * group-count-sized. The exact audit is the only distinct shuffle
+    * and exists to measure the sketch, not to serve queries.
+    * Rows-only (sketch estimates are engine-specific); the spec pins
+    * estimate-vs-exact relative error ≤ 5% and merge ≡ direct-sketch.
+    */
+  def q74_sketch_rollup: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("event_type"), col("user_id"))
+    val daily = ev.groupBy(col("day"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        count(lit(1)).as("n_events"))
+    val merged = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("n_events")).as("n_events"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_distinct"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("exact_distinct"))
+    merged.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("n_events"),
+        col("est_distinct"), col("exact_distinct"))
+      .orderBy(col("event_type"))
+  }
+
   def q73_incremental_agg: Q = (s, d) => {
     val o = Tables.orders(s, d)
     val delivery = col("o_orderkey") % 10 === 7
@@ -635,6 +671,7 @@ object Relational2 {
 
   val queries: Map[String, Q] = Map(
     "q73_incremental_agg" -> q73_incremental_agg,
+    "q74_sketch_rollup" -> q74_sketch_rollup,
     "q72_merge_upsert" -> q72_merge_upsert,
     "q71_zorder" -> q71_zorder,
     "q70_cohort" -> q70_cohort,

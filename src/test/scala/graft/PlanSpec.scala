@@ -497,6 +497,19 @@ class PlanSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("q74 daily sketches combine map-side: user ids never shuffle") {
+    val p = plan("q74_sketch_rollup")
+    // the (day, type) exchange must be fed by a partial sketch agg —
+    // each map task ships ~1 KB sketches, not its user_id stream
+    val ex = p.indexOf("Exchange hashpartitioning(day")
+    assert(ex > 0)
+    assert(p.indexOf("partial_hll_sketch_agg", ex) > 0,
+      "sketches built only after the shuffle — user ids crossed the wire")
+    // ...and the rollup is a sketch-union agg, also partial+final
+    assert(p.contains("partial_hll_union_agg"))
+    CacheScope.releaseAll()
+  }
+
   test("d25 rank rounds hash-build on the node-sized side (edge list never sorts)") {
     val p = plan("d25_pair_rank")
     // 5 damped rounds = 5 shuffled-hash joins with the rank table as

@@ -801,7 +801,10 @@ object Similarity {
     val relM = cosM.format("q.embedding", "e.embedding")
     val simM = cosM.format("a.embedding", "b.embedding")
     val rounds = (1 to MmrK).map(mmrRoundCte).mkString(",\n")
-    s"""WITH cand AS (
+    // cand/sims MATERIALIZED: every greedy round references them, and
+    // inlining re-instantiates the corpus cosine join per round —
+    // which exhausts DuckDB memory on 10x-scale parity runs
+    s"""WITH cand AS MATERIALIZED (
        |  SELECT q_id, vec_id, rel_m FROM (
        |    SELECT q.vec_id AS q_id, e.vec_id, $relM AS rel_m,
        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
@@ -809,7 +812,7 @@ object Similarity {
        |    FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
        |    WHERE q.vec_id % 97 = 0 AND q.vec_id < $QueryIdBound)
        |  WHERE rn <= $MmrC),
-       |sims AS (
+       |sims AS MATERIALIZED (
        |  SELECT c1.q_id, c1.vec_id AS va, c2.vec_id AS vb, $simM AS sim_m
        |  FROM cand c1
        |  JOIN cand c2 ON c2.q_id = c1.q_id AND c2.vec_id <> c1.vec_id

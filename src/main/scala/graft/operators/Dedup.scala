@@ -1201,16 +1201,18 @@ object Dedup {
     * every downstream consumer rewrites references through.
     *
     * Scale: the cluster map is pair-derived (≪ corpus); the corpus
-    * left-joins it on doc_id and the argmax is one window over
-    * cluster_id whose partitions are duplicate-family-sized (the
-    * singleton majority is one row per partition key) — no skew. Two
-    * shuffles beyond the shared pair pipeline.
+    * left-joins it on doc_id and the argmax is a PARTIAL+FINAL
+    * struct-max aggregate — max(struct(quality, −doc_id)) picks the
+    * best-quality/min-id member with map-side combine, so even a
+    * pathological million-doc duplicate cluster never lands whole on
+    * one task (the window formulation would). The cluster→canonical
+    * map is cluster-count-sized and broadcasts back. Two shuffles
+    * beyond the shared pair pipeline.
     */
   def d29_canonicalize: Q = (s, d) =>
     canonicalize(Tables.documents(s, d))
 
   private[graft] def canonicalize(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val clusters = dupClusters(
       ngramJaccardPairs(docs).select(col("id_a"), col("id_b")))
     val nTok = size(split(col("text"), "\\s+"))
@@ -1224,13 +1226,15 @@ object Dedup {
         (lit(1.0) - try_divide(nPunct.cast(DoubleType),
           length(col("text")).cast(DoubleType))), 4)
         .as("quality_score"))
-    val w = Window.partitionBy(col("cluster_id"))
-    scored.join(clusters, Seq("doc_id"), "left")
+    val withCl = scored.join(clusters, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
-      .withColumn("rn", row_number().over(
-        w.orderBy(col("quality_score").desc, col("doc_id"))))
-      .withColumn("canonical_id",
-        max(when(col("rn") === 1, col("doc_id"))).over(w))
+    // argmax by (quality DESC, doc_id ASC) as a combinable struct max:
+    // NULL quality (dirty row) folds to -1 < every real score ∈ [0, 1]
+    val canon = withCl.groupBy(col("cluster_id"))
+      .agg(max(struct(coalesce(col("quality_score"), lit(-1.0)).as("q"),
+        (-col("doc_id")).as("nd"))).as("m"))
+      .select(col("cluster_id"), (-col("m.nd")).as("canonical_id"))
+    withCl.join(canon, Seq("cluster_id"))
       .select(col("doc_id"), col("cluster_id"), col("canonical_id"),
         (col("doc_id") === col("canonical_id")).as("is_canonical"),
         col("quality_score"))

@@ -433,12 +433,15 @@ class PlanSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
-  test("d29 argmax shares ONE cluster_id exchange across both windows") {
+  test("d29 canonical argmax is a combinable struct max, never a window") {
     val p = plan("d29_canonicalize")
-    // rn (row_number) and canonical_id (max) both partition on
-    // cluster_id — the planner must reuse a single hash exchange
-    assert("Exchange hashpartitioning\\(cluster_id".r.findAllIn(p).size == 1,
-      "windows re-shuffled instead of sharing the cluster_id partition")
+    // max(struct(quality, -doc_id)) combines map-side — a giant
+    // duplicate cluster never lands whole on one task, which the
+    // window formulation this replaced would force
+    assert(p.contains("partial_max(struct"),
+      "argmax not combined map-side")
+    assert(!p.contains("windowspecdefinition(cluster_id"),
+      "argmax regressed to a cluster-keyed window (skew-prone)")
     // the pair-derived cluster map broadcasts into the corpus scan
     assert("BroadcastHashJoin \\[doc_id#\\d+L\\], \\[doc_id#\\d+L\\], LeftOuter"
       .r.findFirstIn(p).isDefined)

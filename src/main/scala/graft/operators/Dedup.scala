@@ -973,11 +973,21 @@ object Dedup {
       .orderBy(col("doc_id"))
 
   private[graft] def lineDedup(docs: DataFrame, lineTok: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val firstWins = Window.partitionBy(md5(col("line")))
-      .orderBy(col("doc_id"), col("line_no"))
-    reassembleKept(docLines(docs, lineTok)
-      .withColumn("keep", row_number().over(firstWins) === 1))
+    // first-wins as a combinable min(struct(doc_id, line_no)) per line
+    // digest instead of a digest-keyed window: the exact lines this op
+    // exists for (boilerplate repeated in millions of docs) are hot
+    // window keys that would land whole on one task, while the agg
+    // combines map-side and the 1-row-per-digest winner table joins
+    // back skew-tolerantly (AQE splits a hot probe side; a window
+    // partition cannot be split).
+    val lines = docLines(docs, lineTok).withColumn("lh", md5(col("line")))
+    val first = lines.groupBy(col("lh"))
+      .agg(min(struct(col("doc_id"), col("line_no"))).as("w"))
+    reassembleKept(lines
+      .join(first, Seq("lh"))
+      .withColumn("keep", col("doc_id") === col("w.doc_id") &&
+        col("line_no") === col("w.line_no"))
+      .drop("lh", "w"))
   }
 
   /** d26 — boilerplate scrub (the CCNet/Dolma shard-level filter d24's

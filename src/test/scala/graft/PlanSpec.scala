@@ -274,13 +274,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"))
   }
 
-  test("d24 first-wins window partitions on the digest, never the line text") {
+  test("d24 first-wins combines map-side; line text never keys a shuffle") {
     val p = plan("d24_line_dedup")
-    // the window key is the projected md5 column (_w0), 16 bytes/row
-    assert(p.contains("Exchange hashpartitioning(_w0"))
+    // first-wins is min(struct(doc_id, line_no)) per digest with a
+    // map-side partial — the boilerplate hot keys this op targets
+    // would land whole on one task under the old digest window
+    assert(p.contains("partial_min(struct"))
+    assert(!p.contains("windowspecdefinition"),
+      "first-wins regressed to a digest-keyed window (skew-prone)")
     assert(!"Exchange hashpartitioning\\(line".r.findFirstIn(p).isDefined,
       "raw line text crossed a shuffle as a key")
-    assert("FileScan parquet".r.findAllIn(p).size == 1)
     assert(p.contains("partial_collect_list"))
   }
 

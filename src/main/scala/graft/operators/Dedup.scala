@@ -980,7 +980,8 @@ object Dedup {
     // combines map-side and the 1-row-per-digest winner table joins
     // back skew-tolerantly (AQE splits a hot probe side; a window
     // partition cannot be split).
-    val lines = docLines(docs, lineTok).withColumn("lh", md5(col("line")))
+    val lines = graft.CacheScope.persisted(
+      docLines(docs, lineTok).withColumn("lh", md5(col("line"))))
     val first = lines.groupBy(col("lh"))
       .agg(min(struct(col("doc_id"), col("line_no"))).as("w"))
     reassembleKept(lines

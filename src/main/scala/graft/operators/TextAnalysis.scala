@@ -98,14 +98,19 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
       .orderBy(col("fingerprint"))
 
-  /** Rolling-hash document fingerprinting (winnowing / MOSS): per-doc
-    * fingerprint sets from the native expression, then an inverted
-    * index over fingerprints with high-document-frequency fingerprints
-    * dropped (the "common substring" stoplist — without it, boilerplate
-    * floods the index), and pairs ranked by shared-fingerprint count.
-    * No oracle (hash-scheme specific); rows-only check.
+  /** Full winnowing pair listing: per-doc fingerprint sets from the
+    * native rolling-hash expression, then an inverted index over
+    * fingerprints with high-document-frequency fingerprints dropped
+    * (the "common substring" stoplist — without it, boilerplate floods
+    * the index), and pairs ranked by shared-fingerprint count.
+    *
+    * OUTPUT IS CORPUS-SHAPED (one row per matching pair — a
+    * duplicate-heavy 100 TB corpus emits billions), so this is NOT the
+    * default query surface: [[t05_winnow_neardup]] serves the bounded
+    * per-doc summary; callers that need every pair write them straight
+    * to parquet via [[winnowPairsWriter]] instead of returning them.
     */
-  def t05_winnow_neardup: Q = (s, d) => {
+  def winnowPairs(s: SparkSession, d: String): DataFrame = {
     import graft.functions.TextHashFunctions.winnow_fingerprints
     val docs = graft.CacheScope.persisted(
       Tables.documents(s, d)
@@ -138,7 +143,53 @@ object TextAnalysis {
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= 5)
-      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Opt-in full pair listing, written directly executor→parquet so
+    * the corpus-shaped result never flows back through the driver's
+    * consumer. Returns the output row count.
+    */
+  def winnowPairsWriter(s: SparkSession, d: String, out: String): Long = {
+    winnowPairs(s, d).write.mode("overwrite").parquet(out)
+    val n = s.read.parquet(out).count()
+    graft.CacheScope.releaseAll()
+    n
+  }
+
+  /** Rolling-hash near-duplicate detection (winnowing / MOSS), bounded
+    * default surface: the pair listing from [[winnowPairs]] reduced to
+    * ONE row per matched document — partner count, best score, and the
+    * top-3 exemplar partners. The full pair listing grows with the
+    * corpus's duplicate-family mass (measured 46,000× at 25× data —
+    * the scaled corpus's families, not a plan defect), so the default
+    * query emits O(docs) rows no matter how duplicate-heavy the corpus
+    * is; the complete listing is an explicit parquet sink
+    * ([[winnowPairsWriter]]).
+    *
+    * Exemplars come from the bounded [[graft.functions.TopKPairsAgg]]
+    * (O(k) buffer, map-side combinable) rather than a per-doc window —
+    * a boilerplate-hub doc with millions of partners costs k slots,
+    * not a single-task sort. No oracle (hash-scheme specific);
+    * rows-only check + DedupSpec subset-of-truth vs the full listing.
+    */
+  def t05_winnow_neardup: Q = (s, d) => {
+    import graft.functions.TopKPairsAgg.top_k_by
+    // persisted: the symmetrize union references `pairs` twice — one
+    // inverted-index build, not two
+    val pairs = graft.CacheScope.persisted(winnowPairs(s, d))
+    val sym = pairs.select(col("id_a").as("doc_id"),
+        col("id_b").as("partner"), col("shared_fps"))
+      .unionAll(pairs.select(col("id_b").as("doc_id"),
+        col("id_a").as("partner"), col("shared_fps")))
+    sym.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        max(col("shared_fps")).as("max_shared"),
+        top_k_by(col("shared_fps"), col("partner"), 3).as("topk"))
+      .select(col("doc_id"), col("n_matches"), col("max_shared"),
+        transform(col("topk"), x =>
+          struct(x("_2").as("partner"), x("_1").as("shared_fps")))
+          .as("exemplars"))
+      .orderBy(col("doc_id"))
   }
 
   /** Fixed-size overlapping character chunks — the training-data prep

@@ -160,6 +160,46 @@ class DedupSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("t05 bounded summary agrees with the full winnowing pair listing") {
+    import spark.implicits._
+    // truth: the corpus-shaped pair listing t05 now reduces
+    val full = operators.TextAnalysis.winnowPairs(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    CacheScope.releaseAll()
+    assert(full.nonEmpty, "fixture produced no winnowing pairs — vacuous")
+    val byDoc = (full.map { case (a, b, n) => (a, (b, n)) } ++
+      full.map { case (a, b, n) => (b, (a, n)) })
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val got = operators.TextAnalysis.t05_winnow_neardup(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(got.map(_.getAs[Long]("doc_id")).toSet == byDoc.keySet,
+      "summary docs != docs appearing in the pair listing")
+    got.foreach { r =>
+      val doc = r.getAs[Long]("doc_id")
+      val partners = byDoc(doc)
+      assert(r.getAs[Long]("n_matches") == partners.length.toLong)
+      assert(r.getAs[Long]("max_shared") == partners.map(_._2).max)
+      val ex = r.getSeq[org.apache.spark.sql.Row](3)
+        .map(e => (e.getAs[Long]("partner"), e.getAs[Long]("shared_fps")))
+      // exemplars must be EXACTLY the top-k of the truth (score desc,
+      // partner asc) — not merely a subset
+      val wantTop = partners.sortBy { case (p, n) => (-n, p) }.take(3).toSeq
+      assert(ex == wantTop, s"doc $doc exemplars $ex != truth top-k $wantTop")
+    }
+  }
+
+  test("winnowPairsWriter round-trips the full listing through parquet") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-winnow").toString
+    val n = operators.TextAnalysis.winnowPairsWriter(spark, sfDir, out)
+    val back = spark.read.parquet(out)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = operators.TextAnalysis.winnowPairs(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSet
+    CacheScope.releaseAll()
+    assert(n == want.size.toLong && back == want)
+  }
+
   test("d02 verified pairs are a subset of brute-force shingle-Jaccard truth") {
     import graft.functions.TextHashFunctions.{word_shingles, array_jaccard}
     import spark.implicits._

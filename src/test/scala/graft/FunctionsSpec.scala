@@ -187,6 +187,30 @@ class FunctionsSpec extends AnyFunSuite {
     assert(fps("abcdefghij") != fps("abcdefghiX"))
   }
 
+  test("TopKPairsAgg: exact top-k across partitions, bounded ties broken by id") {
+    import graft.functions.TopKPairsAgg.top_k_by
+    val rnd = new scala.util.Random(7)
+    val rows = for (g <- 0 until 5; i <- 0 until 40)
+      yield (g.toLong, rnd.nextInt(10).toLong, (g * 1000 + i).toLong)
+    // repartition(8) forces the merge path (partial buffers combined
+    // across tasks), not just single-buffer reduce
+    val got = rows.toDF("g", "score", "id").repartition(8)
+      .groupBy($"g").agg(top_k_by($"score", $"id", 3).as("topk"))
+      .collect()
+      .map(r => r.getAs[Long]("g") ->
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(e => (e.getAs[Long]("_1"), e.getAs[Long]("_2")))).toMap
+    val want = rows.groupBy(_._1).view.mapValues(
+      _.map(t => (t._2, t._3)).sortBy { case (s, id) => (-s, id) }.take(3).toSeq).toMap
+    assert(got == want)
+    // k larger than the group: returns everything, still sorted
+    val small = Seq((1L, 5L, 10L), (1L, 9L, 11L)).toDF("g", "score", "id")
+      .groupBy($"g").agg(top_k_by($"score", $"id", 4).as("topk"))
+      .first().getSeq[org.apache.spark.sql.Row](1)
+      .map(e => (e.getAs[Long]("_1"), e.getAs[Long]("_2")))
+    assert(small == Seq((9L, 11L), (5L, 10L)))
+  }
+
   test("MinHashUnionAgg: union signature == signature of the union") {
     import graft.functions.TextHashFunctions.minhash_signature
     import graft.functions.MinHashUnionAgg.minhash_union

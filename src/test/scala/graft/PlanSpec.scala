@@ -274,6 +274,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"))
   }
 
+  test("t05 summary aggregates with the bounded top-k agg, never a doc-keyed window") {
+    val p = plan("t05_winnow_neardup")
+    // exemplars come from the O(k)-buffer TopKPairsAgg with a map-side
+    // partial; a hot doc (boilerplate hub with millions of partners)
+    // must never fund a single-task window sort or an unbounded
+    // collect_list buffer
+    assert(p.contains("topkpairsagg"))
+    assert(!p.contains("windowspecdefinition"),
+      "t05 exemplars regressed to a doc-keyed window (skew-prone)")
+    assert(!p.contains("collect_list"),
+      "t05 buffers unbounded partner lists")
+    CacheScope.releaseAll()
+  }
+
   test("d24 first-wins combines map-side; line text never keys a shuffle") {
     val p = plan("d24_line_dedup")
     // first-wins is min(struct(doc_id, line_no)) per digest with a

@@ -1282,11 +1282,15 @@ object Dedup {
     val nearIds = pairs
       .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
       .distinct()
-    val lines = docLines(docs, 10)
-    val boiler = lines.groupBy(md5(col("line")).as("lh"))
+    // persisted with the digest precomputed: the boilerplate df-agg and
+    // the flag-back join are two consumers — one line-chunking+md5 pass,
+    // not two (same discipline as d24's line stream)
+    val lines = graft.CacheScope.persisted(
+      docLines(docs, 10).select(col("doc_id"), md5(col("line")).as("lh")))
+    val boiler = lines.groupBy(col("lh"))
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 3).select(col("lh"))
-    val boilIds = lines.join(boiler, md5(col("line")) === col("lh"))
+    val boilIds = lines.join(boiler, Seq("lh"))
       .select(col("doc_id")).distinct()
     val nTok = size(split(col("text"), "\\s+"))
     val nPunct = size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0)))
@@ -1303,6 +1307,10 @@ object Dedup {
         sum(coalesce(col("is_exact"), lit(0L))).as("exact_dup_docs"),
         sum(coalesce(col("is_near"), lit(0L))).as("neardup_docs"),
         sum(coalesce(col("is_boiler"), lit(0L))).as("boiler_docs"),
+        // sum(q4)/count(*): a NULL q4 (empty text → try_divide NULL)
+        // intentionally counts as ZERO quality in the source mean —
+        // dirty rows drag the health score down rather than vanishing
+        // from it (and SUM-skips-NULL matches DuckDB exactly)
         call_function("div", sum(col("q4")), count(lit(1)))
           .as("mean_quality_q4"))
       .orderBy(col("source"))

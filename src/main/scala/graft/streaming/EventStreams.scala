@@ -299,10 +299,13 @@ object EventStreams {
     * streaming state (at 100 TB the static side is the bucketed
     * standing index, re-resolved per micro-batch — new corpus
     * snapshots are picked up without restarting the query). The only
-    * state is the candidate dedup — a pair colliding in k bands must
-    * emit once — which dropDuplicatesWithinWatermark bounds to the
-    * watermark horizon instead of growing forever. Per-batch cost is
-    * band collisions, exactly the batch d16 shape.
+    * state is the candidate dedup — a pair colliding in k bands emits
+    * once WITHIN THE WATERMARK HORIZON (1 hour here): bounding the
+    * dedup state is what keeps it from growing forever, and the price
+    * is that a re-delivered doc (or band collision) arriving more than
+    * a horizon after the first emit produces a duplicate match row —
+    * downstream consumers must be idempotent on (doc_id, corpus_id).
+    * Per-batch cost is band collisions, exactly the batch d16 shape.
     */
   def neardupScreenStream(delivery: DataFrame, corpus: DataFrame): DataFrame = {
     import graft.functions.TextHashFunctions.{array_jaccard, minhash_bands, word_shingles}

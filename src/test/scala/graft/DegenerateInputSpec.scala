@@ -82,9 +82,11 @@ class DegenerateInputSpec extends AnyFunSuite {
 
   for (name <- targets)
     test(s"$name survives constant/zero-range slices") {
-      val n = SparkEntry.queries(name)(spark, degDir).count()
+      // the contract is count() completing without throwing (constant
+      // slices hit zero variance / zero range paths); the value itself
+      // carries no signal
+      val _ = SparkEntry.queries(name)(spark, degDir).count()
       CacheScope.releaseAll()
       spark.catalog.clearCache()
-      assert(n >= 0)
     }
 }

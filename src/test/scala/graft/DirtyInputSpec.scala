@@ -73,9 +73,11 @@ class DirtyInputSpec extends AnyFunSuite {
 
   for (name <- docTargets ++ embTargets)
     test(s"$name survives null/empty/whitespace rows") {
-      val n = SparkEntry.queries(name)(spark, dirtyDir).count()
+      // the contract is count() completing without throwing — the
+      // value itself carries no signal (dirty rows may legitimately
+      // filter to zero)
+      val _ = SparkEntry.queries(name)(spark, dirtyDir).count()
       CacheScope.releaseAll()
       spark.catalog.clearCache()
-      assert(n >= 0) // completing without throwing is the contract
     }
 }

@@ -97,15 +97,45 @@ object Dedup {
     * sees surviving pairs.
     * No oracle: fingerprint depends on the hash function.
     */
-  def d03_simhash: Q = (s, d) => {
+  def d03_simhash: Q = (s, d) =>
+    simhashPairs(Tables.documents(s, d), D03MaxCandidates)
+
+  /** Ceiling on [[d03_simhash]]'s chunk-collision candidate volume.
+    * 16-bit chunk blocking has 4·65,536 buckets, so candidate pairs
+    * grow ~quadratically in corpus size once buckets saturate — the
+    * one blocking scheme here whose candidate set DENSIFIES with scale
+    * (d04 prefix-filters, d02 re-bands). The gate counts Σ df·(df−1)/2
+    * over chunk keys (one count-only aggregate on the map-side chunk
+    * stream — no candidate row materializes) and fails loudly past the
+    * cap: 50M candidates ≈ a few GB of verify-join traffic, past which
+    * the right fix is more/wider chunks (e.g. 8×8-bit pigeonhole for
+    * hamming ≤ 7) or pre-partitioning by a signature prefix, not a
+    * silently quadratic join. */
+  private[graft] val D03MaxCandidates = 50000000L
+
+  private[graft] def simhashPairs(documents: DataFrame,
+      maxCandidates: Long): DataFrame = {
     import graft.functions.TextHashFunctions.simhash64
-    val docs = Tables.documents(s, d)
-    val sigs = docs.select(col("doc_id"),
+    val sigs = documents.select(col("doc_id"),
       simhash64(tokens(col("text"))).as("simhash"))
     val chunks = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(j =>
         shiftrightunsigned(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("chunk_idx", "chunk")))
+    val nCand = chunks.groupBy(col("chunk_idx"), col("chunk"))
+      .agg(count(lit(1)).as("df"))
+      .agg(sum(col("df") * (col("df") - 1) / 2).as("n"))
+      .first().getAs[Any]("n") match {
+        case null => 0L
+        case d: java.math.BigDecimal => d.longValueExact()
+        case l: java.lang.Long => l.longValue()
+        case d: java.lang.Double => d.toLong
+      }
+    require(nCand <= maxCandidates,
+      s"d03 chunk-collision candidate volume $nCand exceeds cap " +
+        s"$maxCandidates — 16-bit chunk buckets have densified at this " +
+        "corpus size; widen the pigeonhole blocking before the join " +
+        "goes quadratic")
     val a = chunks.select(col("chunk_idx"), col("chunk"),
       col("doc_id").as("id_a"), col("simhash").as("fp_a"))
     val b = chunks.select(col("chunk_idx"), col("chunk"),

@@ -160,6 +160,25 @@ class DedupSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("d03 collision gate trips on a planted hot chunk, passes under the cap") {
+    import spark.implicits._
+    // 40 near-identical docs: every signature shares chunks, so
+    // candidate volume ≈ 4·(40·39/2) — far over a cap of 100
+    val hot = (0 until 40).map(i =>
+        (i.toLong, s"the same boilerplate text repeated everywhere $i",
+          "en", "web", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val e = intercept[IllegalArgumentException] {
+      operators.Dedup.simhashPairs(hot, 100L).count()
+    }
+    assert(e.getMessage.contains("candidate volume"),
+      s"gate threw the wrong message: ${e.getMessage}")
+    // the same corpus under the real cap completes (and still finds
+    // the planted near-dups)
+    assert(operators.Dedup.simhashPairs(hot, operators.Dedup.D03MaxCandidates)
+      .count() > 0L)
+  }
+
   test("t05 bounded summary agrees with the full winnowing pair listing") {
     import spark.implicits._
     // truth: the corpus-shaped pair listing t05 now reduces

@@ -706,7 +706,68 @@ object Similarity {
     Dedup.blockedKnn(Tables.embeddings(s, d), KnnGraphK, Dedup.D05MaxExactBlock)
       .orderBy(col("vec_id"), col("rk"))
 
+  /** Synchronous rounds for [[s15_communities]]. Fixed (not
+    * run-to-convergence) so the whole query is ONE lazy plan the
+    * oracle mirrors round-for-round — the d25 discipline. */
+  private[graft] val LpaRounds = 4
+
+  /** s15 — topic communities over the s14 k-NN graph: synchronous
+    * label propagation (Raghavan et al. 2007), the clustering primitive
+    * SemDeDup-style curation reads after the graph is built. Unlike
+    * connected components (d09's primitive — which would merge ANY
+    * path-connected vectors into one blob), LPA votes each node into
+    * the label carried by the PLURALITY of its neighbors, so two dense
+    * neighborhoods joined by a thin bridge keep distinct communities.
+    *
+    * Determinism (what makes this oracle-able where textbook async LPA
+    * is not): labels start as vec_id, all nodes update simultaneously
+    * per round from the PREVIOUS round's labels, and the vote argmax
+    * breaks ties (count DESC, label ASC). Output: one row per vector
+    * with its community label and the community's size.
+    *
+    * Scale: the symmetrized edge list is persisted hash-partitioned on
+    * `dst` ONCE; each of the 4 rounds shuffles only the node-sized
+    * label table into it (shuffle_hash — no per-round sort of the
+    * cached edges), and the vote argmax is a combinable
+    * max(struct(n, −lbl)) — a viral community's hub node costs a
+    * partial-agg slot, never a single-task window sort. Cost is
+    * k·O(E) like d25, with E = 2·k·V from the top-k graph — linear in
+    * the corpus.
+    */
+  def s15_communities: Q = (s, d) =>
+    communitiesOf(Tables.embeddings(s, d))
+
+  private[graft] def communitiesOf(e: DataFrame): DataFrame = {
+    val knn = Dedup.blockedKnn(e, KnnGraphK, Dedup.D05MaxExactBlock)
+      .select(col("vec_id").as("src"), col("nn_id").as("dst"))
+    val edges = graft.CacheScope.persisted(
+      knn.unionAll(knn.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .repartition(col("dst")))
+    var labels = e
+      .select(col("vec_id").as("node"), col("vec_id").as("lbl"))
+    for (_ <- 1 to LpaRounds) {
+      val votes = edges
+        .join(labels.hint("shuffle_hash"), edges("dst") === labels("node"))
+        .groupBy(col("src"), col("lbl"))
+        .agg(count(lit(1)).as("n"))
+      val winner = votes.groupBy(col("src"))
+        .agg(max(struct(col("n").as("n"), (-col("lbl")).as("nl"))).as("w"))
+        .select(col("src").as("node"), (-col("w.nl")).as("wl"))
+      // left join: a vector whose block had no other member (no edges)
+      // keeps its own label
+      labels = labels.join(winner, Seq("node"), "left")
+        .select(col("node"), coalesce(col("wl"), col("lbl")).as("lbl"))
+    }
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("csize"))
+    labels.join(sizes, Seq("lbl"))
+      .select(col("node").as("vec_id"), col("lbl").as("community"),
+        col("csize"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "s15_communities" -> s15_communities,
     "s13_hybrid_rrf" -> s13_hybrid_rrf,
     "s14_knn_graph" -> s14_knn_graph,
     "s11_mmr" -> s11_mmr,
@@ -826,6 +887,27 @@ object Similarity {
        |SELECT q_id, vec_id, rel_m, score_m, rk FROM s$MmrK
        |ORDER BY q_id, rk""".stripMargin
   }
+
+  /** One synchronous label-propagation round as SQL reading labels
+    * from CTE l{i-1} — the exact mirror of the s15 loop body
+    * (vote count per neighbor label, argmax with count-DESC label-ASC
+    * tie-break, keep own label when no neighbors). MATERIALIZED:
+    * each l{i} is referenced twice (next round's votes + its carry
+    * join), which at 10×-scale oracle runs otherwise re-inlines the
+    * whole prefix per reference. */
+  private def lpaRoundCte(i: Int): String =
+    s"""v$i AS (
+       |  SELECT e.src, l.lbl, COUNT(*) AS n
+       |  FROM edges e JOIN l${i - 1} l ON l.node = e.dst
+       |  GROUP BY 1, 2),
+       |l$i AS MATERIALIZED (
+       |  SELECT l.node, COALESCE(w.wl, l.lbl) AS lbl
+       |  FROM l${i - 1} l LEFT JOIN (
+       |    SELECT src AS node, lbl AS wl FROM (
+       |      SELECT src, lbl, ROW_NUMBER() OVER (PARTITION BY src
+       |        ORDER BY n DESC, lbl) AS rn
+       |      FROM v$i) t WHERE rn = 1) w ON w.node = l.node)"""
+      .stripMargin
 
   val oracles: Map[String, String] = Map(
     "s11_mmr" -> s11OracleSql,
@@ -1008,6 +1090,28 @@ object Similarity {
          |    ORDER BY rrf_micro DESC, doc_id) AS INT) AS fused_rank
          |FROM fused QUALIFY fused_rank <= $FuseK
          |ORDER BY q_id, fused_rank""".stripMargin,
+    "s15_communities" ->
+      s"""WITH knn AS MATERIALIZED (
+         |  SELECT vec_id, nn_id FROM (
+         |    SELECT a.vec_id, b.vec_id AS nn_id,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |        ORDER BY round(list_cosine_similarity(
+         |          CAST(a.embedding AS DOUBLE[]),
+         |          CAST(b.embedding AS DOUBLE[])), 4) DESC, b.vec_id) AS rk
+         |    FROM embeddings a JOIN embeddings b
+         |      ON a.label = b.label AND a.vec_id <> b.vec_id) t
+         |  WHERE rk <= $KnnGraphK),
+         |edges AS MATERIALIZED (
+         |  SELECT vec_id AS src, nn_id AS dst FROM knn
+         |  UNION
+         |  SELECT nn_id, vec_id FROM knn),
+         |l0 AS (SELECT vec_id AS node, vec_id AS lbl FROM embeddings),
+         |${(1 to LpaRounds).map(lpaRoundCte).mkString(",\n")}
+         |SELECT l.node AS vec_id, l.lbl AS community, c.csize
+         |FROM l$LpaRounds l JOIN (
+         |  SELECT lbl, COUNT(*) AS csize FROM l$LpaRounds GROUP BY 1) c
+         |  ON c.lbl = l.lbl
+         |ORDER BY vec_id""".stripMargin,
     "s14_knn_graph" ->
       s"""SELECT vec_id, nn_id, cos, rk FROM (
          |  SELECT a.vec_id, b.vec_id AS nn_id,

@@ -78,7 +78,7 @@ class DegenerateInputSpec extends AnyFunSuite {
     "s07_label_centroids",
     "d05_embedding_neardup", // cosine with zero-norm vector
     "d15_semantic_dedup",
-    "s14_knn_graph")
+    "s14_knn_graph", "s15_communities")
 
   for (name <- targets)
     test(s"$name survives constant/zero-range slices") {

@@ -288,6 +288,23 @@ class PlanSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("s15 LPA rounds hash-join the cached edges; vote argmax is combinable") {
+    val p = plan("s15_communities")
+    // the symmetrized edge list is persisted once and every round's
+    // label join reads it back shuffle-hash (no per-round sort of the
+    // edges)
+    assert(p.contains("InMemoryTableScan"))
+    assert(p.contains("ShuffledHashJoin"))
+    // the winner-label argmax must be the combinable max(struct(n,-lbl))
+    // — a viral community's hub node gets a partial-agg slot, not a
+    // single-task window sort (only blockedKnn's bounded per-vector
+    // top-k window may appear)
+    assert(p.contains("partial_max(struct(n"))
+    assert(!p.contains("windowspecdefinition(src"),
+      "s15 vote argmax regressed to a src-keyed window (skew-prone)")
+    CacheScope.releaseAll()
+  }
+
   test("d24 first-wins combines map-side; line text never keys a shuffle") {
     val p = plan("d24_line_dedup")
     // first-wins is min(struct(doc_id, line_no)) per digest with a

@@ -238,6 +238,74 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("s15 matches reference LPA and splits bridge-connected clusters CC would merge") {
+    import spark.implicits._
+    def nrm(v: Array[Double]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(x => (x / n).toFloat)
+    }
+    // two dense angular clusters, plus two midway nodes chaining them
+    // into ONE connected component: 12 sits at the exact bisector (its
+    // cosine ties route to cluster-A ids by the id tie-break), 13 sits
+    // nearest 12 and then cluster B — so every node is reachable from
+    // every other, yet the dense neighborhoods outvote the bridge
+    val vecs: Seq[(Long, Array[Float], Int)] =
+      (0 until 6).map(i => (i.toLong, nrm(Array(1.0, 0.002 * i, 0.0)), 0)) ++
+        (6 until 12).map(j =>
+          (j.toLong, nrm(Array(0.0, 1.0, 0.002 * (j - 6))), 0)) ++
+        Seq((12L, nrm(Array(1.0, 1.0, 0.0)), 0),
+          (13L, nrm(Array(0.5, 0.8660254, 0.0)), 0))
+    val e = vecs.toDF("vec_id", "embedding", "label")
+    val got = operators.Similarity.communitiesOf(e).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("community"),
+        r.getAs[Long]("csize"))).toSet
+    CacheScope.releaseAll()
+    // reference: same rounded top-3 graph + synchronous LPA rounds
+    val ids = vecs.map(_._1)
+    val byId = vecs.map(v => v._1 -> v._2).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      dot / math.sqrt(na * nb)
+    }
+    def r4(x: Double): BigDecimal =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val knn = ids.flatMap { a =>
+      ids.filter(_ != a)
+        .map(b => (b, r4(cos(byId(a), byId(b)))))
+        .sortBy { case (b, c) => (-c, b) }
+        .take(3).map { case (b, _) => (a, b) }
+    }
+    val edges = (knn ++ knn.map(p => (p._2, p._1))).distinct
+    val nbrs = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lbl = ids.map(i => i -> i).toMap
+    for (_ <- 1 to operators.Similarity.LpaRounds) {
+      lbl = ids.map { v =>
+        v -> (nbrs.get(v) match {
+          case None => lbl(v)
+          case Some(ns) =>
+            ns.groupBy(lbl).view.mapValues(_.size).toSeq
+              .sortBy { case (l, n) => (-n, l) }.head._1
+        })
+      }.toMap
+    }
+    val sizes = lbl.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = ids.map(i => (i, lbl(i), sizes(lbl(i)))).toSet
+    assert(got == want, s"s15 diverged from reference LPA:\n got=$got\nwant=$want")
+    // the property connected components cannot give: the graph is one
+    // component, yet LPA keeps more than one community
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+    assert(ids.map(find(_)).toSet.size == 1,
+      "fixture graph must be ONE connected component (bridged)")
+    assert(lbl.values.toSet.size > 1,
+      "LPA must keep the bridged dense clusters distinct")
+  }
+
   test("s14 kNN graph matches the naive blocked top-3 on the exact tier") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

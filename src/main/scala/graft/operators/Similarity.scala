@@ -188,18 +188,19 @@ object Similarity {
   }
 
   /** [[s03_ann_ivf]] knobs, set by a grid sweep (SweepIvf harness,
-    * round 6) over (ncells, nprobe, iters) ∈ {16,32}×{4,6,8}×{2,4,6}:
-    * recall@5 = 0.733 at sf0.001 / 0.838 at sf0.1 — the near-orthogonal
+    * round 7) over (ncells, nprobe, iters) ∈ {16,32}×{8,10,12}×{4,6}:
+    * recall@5 = 0.867 at sf0.001 / 0.905 at sf0.1 — the near-orthogonal
     * synthetic geometry (top-1 cosine 0.13-0.48) is adversarial for
-    * coarse quantization, so hitting ≥0.7 costs probing nprobe/ncells
-    * = 1/2 of the cells; real clustered embeddings reach the same
-    * recall at 1/8-1/16. Lloyd iterations cost one map-only corpus
-    * pass each (2→4 bought +0.17 recall); production IVF trains on a
-    * sample, not the corpus. SimilaritySpec floors the measurement at
-    * 0.7 — the sweep values are deterministic (fixed seeds), so the
-    * gate is exact, not noisy. */
+    * coarse quantization, so hitting ≥0.8 costs probing nprobe/ncells
+    * = 5/8 of the cells; real clustered embeddings reach the same
+    * recall at 1/8-1/16. 32 cells needed probe 12 for 0.80 flat —
+    * probing a LARGER fraction of a finer index for less recall, so
+    * 16×10 wins. Lloyd iterations cost one map-only corpus pass each;
+    * production IVF trains on a sample, not the corpus. SimilaritySpec
+    * floors the measurement at 0.8 — the sweep values are
+    * deterministic (fixed seeds), so the gate is exact, not noisy. */
   private[graft] val IvfNCells = 16
-  private[graft] val IvfNProbe = 8
+  private[graft] val IvfNProbe = 10
   private[graft] val IvfKmeansIters = 4
 
   /** s06 — int8 scalar quantization of the embedding column with an
@@ -722,45 +723,55 @@ object Similarity {
     * Determinism (what makes this oracle-able where textbook async LPA
     * is not): labels start as vec_id, all nodes update simultaneously
     * per round from the PREVIOUS round's labels, and the vote argmax
-    * breaks ties (count DESC, label ASC). Output: one row per vector
-    * with its community label and the community's size.
+    * breaks ties (count DESC, label ASC). The graph carries a SELF-LOOP
+    * per node (the self-vote LPA variant): each node's own label is one
+    * vote, which damps 2-cycle oscillation AND — the plan-shape reason —
+    * makes the winner aggregate cover every node, so each round
+    * references the previous round's labels exactly ONCE. (A carry
+    * left-join for isolated nodes would be a SECOND reference, and
+    * with lazy evaluation the round chain re-evaluates 2^rounds
+    * subtrees — measured 16 s vs ~4 s on sf0.1.) Output: one row per
+    * vector with its community label and the community's size.
     *
-    * Scale: the symmetrized edge list is persisted hash-partitioned on
-    * `dst` ONCE; each of the 4 rounds shuffles only the node-sized
-    * label table into it (shuffle_hash — no per-round sort of the
-    * cached edges), and the vote argmax is a combinable
-    * max(struct(n, −lbl)) — a viral community's hub node costs a
-    * partial-agg slot, never a single-task window sort. Cost is
-    * k·O(E) like d25, with E = 2·k·V from the top-k graph — linear in
-    * the corpus.
+    * Scale: the symmetrized+self-looped edge list is persisted
+    * hash-partitioned on `dst` ONCE; each of the 4 rounds shuffles
+    * only the node-sized label table into it (shuffle_hash — no
+    * per-round sort of the cached edges), and the vote argmax is a
+    * combinable max(struct(n, −lbl)) — a viral community's hub node
+    * costs a partial-agg slot, never a single-task window sort. Cost
+    * is k·O(E) like d25, with E = (2·k+1)·V from the top-k graph —
+    * linear in the corpus.
     */
   def s15_communities: Q = (s, d) =>
     communitiesOf(Tables.embeddings(s, d))
 
   private[graft] def communitiesOf(e: DataFrame): DataFrame = {
-    val knn = Dedup.blockedKnn(e, KnnGraphK, Dedup.D05MaxExactBlock)
-      .select(col("vec_id").as("src"), col("nn_id").as("dst"))
+    // single-pass symmetrize: explode each directed top-k edge into
+    // both orientations (one reference to the kNN build, not two)
+    val sym = Dedup.blockedKnn(e, KnnGraphK, Dedup.D05MaxExactBlock)
+      .select(explode(array(
+        struct(col("vec_id").as("src"), col("nn_id").as("dst")),
+        struct(col("nn_id").as("src"), col("vec_id").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val self = e.select(col("vec_id").as("src"), col("vec_id").as("dst"))
     val edges = graft.CacheScope.persisted(
-      knn.unionAll(knn.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct()
-        .repartition(col("dst")))
+      sym.unionAll(self).distinct().repartition(col("dst")))
     var labels = e
       .select(col("vec_id").as("node"), col("vec_id").as("lbl"))
     for (_ <- 1 to LpaRounds) {
-      val votes = edges
+      labels = edges
         .join(labels.hint("shuffle_hash"), edges("dst") === labels("node"))
         .groupBy(col("src"), col("lbl"))
         .agg(count(lit(1)).as("n"))
-      val winner = votes.groupBy(col("src"))
+        .groupBy(col("src"))
         .agg(max(struct(col("n").as("n"), (-col("lbl")).as("nl"))).as("w"))
-        .select(col("src").as("node"), (-col("w.nl")).as("wl"))
-      // left join: a vector whose block had no other member (no edges)
-      // keeps its own label
-      labels = labels.join(winner, Seq("node"), "left")
-        .select(col("node"), coalesce(col("wl"), col("lbl")).as("lbl"))
+        .select(col("src").as("node"), (-col("w.nl")).as("lbl"))
     }
-    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("csize"))
-    labels.join(sizes, Seq("lbl"))
+    // persisted: the community-size rollup is a second consumer of the
+    // final labels — without it the whole round chain runs twice
+    val fin = graft.CacheScope.persisted(labels)
+    val sizes = fin.groupBy(col("lbl")).agg(count(lit(1)).as("csize"))
+    fin.join(sizes, Seq("lbl"))
       .select(col("node").as("vec_id"), col("lbl").as("community"),
         col("csize"))
       .orderBy(col("vec_id"))
@@ -890,23 +901,19 @@ object Similarity {
 
   /** One synchronous label-propagation round as SQL reading labels
     * from CTE l{i-1} — the exact mirror of the s15 loop body
-    * (vote count per neighbor label, argmax with count-DESC label-ASC
-    * tie-break, keep own label when no neighbors). MATERIALIZED:
-    * each l{i} is referenced twice (next round's votes + its carry
-    * join), which at 10×-scale oracle runs otherwise re-inlines the
-    * whole prefix per reference. */
+    * (vote count per neighbor label incl. the self-loop, argmax with
+    * count-DESC label-ASC tie-break; self-loops guarantee every node
+    * appears as src, so no carry join is needed). MATERIALIZED so the
+    * 10×-scale oracle runs don't re-inline the whole round prefix. */
   private def lpaRoundCte(i: Int): String =
-    s"""v$i AS (
-       |  SELECT e.src, l.lbl, COUNT(*) AS n
-       |  FROM edges e JOIN l${i - 1} l ON l.node = e.dst
-       |  GROUP BY 1, 2),
-       |l$i AS MATERIALIZED (
-       |  SELECT l.node, COALESCE(w.wl, l.lbl) AS lbl
-       |  FROM l${i - 1} l LEFT JOIN (
-       |    SELECT src AS node, lbl AS wl FROM (
-       |      SELECT src, lbl, ROW_NUMBER() OVER (PARTITION BY src
-       |        ORDER BY n DESC, lbl) AS rn
-       |      FROM v$i) t WHERE rn = 1) w ON w.node = l.node)"""
+    s"""l$i AS MATERIALIZED (
+       |  SELECT src AS node, lbl FROM (
+       |    SELECT src, lbl, ROW_NUMBER() OVER (PARTITION BY src
+       |      ORDER BY n DESC, lbl) AS rn
+       |    FROM (
+       |      SELECT e.src, l.lbl, COUNT(*) AS n
+       |      FROM edges e JOIN l${i - 1} l ON l.node = e.dst
+       |      GROUP BY 1, 2) v) t WHERE rn = 1)"""
       .stripMargin
 
   val oracles: Map[String, String] = Map(
@@ -1104,7 +1111,9 @@ object Similarity {
          |edges AS MATERIALIZED (
          |  SELECT vec_id AS src, nn_id AS dst FROM knn
          |  UNION
-         |  SELECT nn_id, vec_id FROM knn),
+         |  SELECT nn_id, vec_id FROM knn
+         |  UNION
+         |  SELECT vec_id, vec_id FROM embeddings),
          |l0 AS (SELECT vec_id AS node, vec_id AS lbl FROM embeddings),
          |${(1 to LpaRounds).map(lpaRoundCte).mkString(",\n")}
          |SELECT l.node AS vec_id, l.lbl AS community, c.csize

@@ -17,8 +17,8 @@ object SweepIvf {
     println(s"== $dir exact pairs: $nExact")
     for {
       nCells <- Seq(16, 32)
-      iters <- Seq(2, 4, 6)
-      nProbe <- Seq(4, 6, 8)
+      iters <- Seq(4, 6)
+      nProbe <- Seq(8, 10, 12)
     } {
       val t0 = System.nanoTime()
       val approx = operators.Similarity

@@ -716,8 +716,35 @@ object Dedup {
     * brute-force shingle-Jaccard truth.
     */
   def d16_incremental_neardup: Q = (s, d) => {
-    import graft.functions.TextHashFunctions.{minhash_bands, array_jaccard}
-    val all = Tables.documents(s, d)
+    import graft.functions.TextHashFunctions.minhash_bands
+    incrementalScreen(Tables.documents(s, d),
+      sh => minhash_bands(sh, 16, 4))
+  }
+
+  /** d32 — [[d16_incremental_neardup]]'s relational screen core under
+    * an EXACT oracle (the d21 trick): the IDENTICAL corpus/delivery
+    * split, band-index probe join, candidate distinct, exact-Jaccard
+    * verify, and accept decision, with the banding swapped from
+    * engine-specific MinHash buckets to deterministic per-shingle
+    * digests SQL can mirror (md5 collides iff the shingles are equal,
+    * so shared-digest ≡ shared-shingle). d16 itself stays rows-only —
+    * MinHash bucket values can't be mirrored in SQL — but every
+    * relational operator it runs is hash-checked here, so a screen
+    * regression can no longer hide behind the rows-only check. (The
+    * digest banding recalls MORE candidates than LSH — any shared
+    * shingle, the d04 regime — so this is the same machinery under a
+    * heavier candidate load.)
+    */
+  def d32_screen_core: Q = (s, d) =>
+    incrementalScreen(Tables.documents(s, d),
+      sh => transform(array_distinct(sh), x => md5(x)))
+
+  /** Shared incremental-screen core of d16/d32: `bands` maps a doc's
+    * shingle array to its index keys. */
+  private[graft] def incrementalScreen(documents: DataFrame,
+      bands: Column => Column): DataFrame = {
+    import graft.functions.TextHashFunctions.array_jaccard
+    val all = documents
       .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
     val corpus = graft.CacheScope.persisted(
       all.filter(col("doc_id") % 17 =!= 0)) // standing corpus
@@ -725,9 +752,9 @@ object Dedup {
       all.filter(col("doc_id") % 17 === 0)) // new delivery
     // the persistent index: (band hash, doc_id) per corpus doc
     val index = corpus.select(col("doc_id").as("corpus_id"),
-      explode(array_distinct(minhash_bands(col("sh"), 16, 4))).as("bh"))
+      explode(array_distinct(bands(col("sh")))).as("bh"))
     val probes = delivery.select(col("doc_id"),
-      explode(array_distinct(minhash_bands(col("sh"), 16, 4))).as("bh"))
+      explode(array_distinct(bands(col("sh")))).as("bh"))
     val candidates = probes.join(index, Seq("bh"))
       .select(col("doc_id"), col("corpus_id")).distinct()
     val verified = candidates
@@ -1423,6 +1450,7 @@ object Dedup {
     "d29_canonicalize" -> d29_canonicalize,
     "d30_span_scrub" -> d30_span_scrub,
     "d31_corpus_report" -> d31_corpus_report,
+    "d32_screen_core" -> d32_screen_core,
   )
 
   /** The d04 pair query without its final ORDER BY, parameterized on
@@ -1465,6 +1493,35 @@ object Dedup {
        |  GROUP BY ed.dst)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "d32_screen_core" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS l
+        |  FROM documents),
+        |ds AS MATERIALIZED (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+        |      ELSE list_transform(
+        |        list_zip(l[1:len(l)-2], l[2:len(l)-1], l[3:len(l)]),
+        |        p -> p[1]||' '||p[2]||' '||p[3]) END) AS s
+        |  FROM t),
+        |cand AS MATERIALIZED (
+        |  SELECT DISTINCT d.doc_id, c.doc_id AS corpus_id
+        |  FROM (SELECT doc_id, unnest(s) AS g FROM ds WHERE doc_id % 17 = 0) d
+        |  JOIN (SELECT doc_id, unnest(s) AS g FROM ds WHERE doc_id % 17 <> 0) c
+        |    ON d.g = c.g),
+        |ver AS (
+        |  SELECT cand.doc_id, COUNT(*) AS n_matches
+        |  FROM cand
+        |  JOIN ds a ON a.doc_id = cand.doc_id
+        |  JOIN ds b ON b.doc_id = cand.corpus_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+        |  GROUP BY cand.doc_id)
+        |SELECT dd.doc_id, COALESCE(v.n_matches, 0) AS n_matches,
+        |  COALESCE(v.n_matches, 0) = 0 AS accepted
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 17 = 0) dd
+        |LEFT JOIN ver v ON v.doc_id = dd.doc_id
+        |ORDER BY dd.doc_id""".stripMargin,
     "d25_pair_rank" ->
       // MATERIALIZED: pairs is referenced twice and ed once per round —
       // inlining would re-run the token self-join up to 6 times, which

@@ -179,6 +179,25 @@ class DedupSpec extends AnyFunSuite {
       .count() > 0L)
   }
 
+  test("d32 counts every true near-dup; d16's LSH matches are a subset") {
+    // J(a,b) >= 0.5 > 0 implies a shared shingle, so d32's digest
+    // banding generates EVERY true pair as a candidate and its verify
+    // keeps exactly the truth; d16's MinHash banding may only miss
+    // (never invent) — per-doc counts are componentwise <=
+    val d32 = operators.Dedup.d32_screen_core(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_matches")).toMap
+    CacheScope.releaseAll()
+    val d16 = operators.Dedup.d16_incremental_neardup(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_matches")).toMap
+    CacheScope.releaseAll()
+    assert(d32.keySet == d16.keySet, "screen twins disagree on the delivery set")
+    assert(d32.values.exists(_ > 0), "no true near-dups in fixture — vacuous")
+    d16.foreach { case (doc, n16) =>
+      assert(n16 <= d32(doc),
+        s"doc $doc: LSH screen found $n16 matches > digest-band truth ${d32(doc)}")
+    }
+  }
+
   test("t05 bounded summary agrees with the full winnowing pair listing") {
     import spark.implicits._
     // truth: the corpus-shaped pair listing t05 now reduces

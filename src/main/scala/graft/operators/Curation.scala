@@ -636,6 +636,111 @@ object Curation {
       .orderBy(col("source"), col("shard"), col("bin"))
   }
 
+  /** p03 — the full training-data build, end to end: the capstone
+    * composite a 100 TB pretraining run would actually execute, every
+    * stage the EXACT formula of its proven standalone operator so the
+    * oracle chains the same CTE fragments:
+    *   1. curate — p01's stage 1 (quality gates + exact-dup
+    *      first-wins);
+    *   2. canonical rewrite — d29 over the curated corpus: near-dup
+    *      clusters keep their best-QUALITY member (upgrading p01's
+    *      keep-min-id prune);
+    *   3. decontam — d10's gram-overlap gate vs the held-out
+    *      benchmark slice;
+    *   4. mixture — d11's Knuth-coin language rebalance;
+    *   5. span scrub — d30 over the sampled survivors (duplicate
+    *      8-gram spans removed; clean token counts, the reconstructed
+    *      text column is pruned away — only counts flow on);
+    *   6. shard + pack — t17's hash sharding with t13's 2048-token
+    *      bin packing over the CLEAN token counts.
+    * Output: the per-doc train manifest (shard, position, clean
+    * tokens, bin) — one row per surviving doc, ordered by (shard,
+    * pos).
+    *
+    * Scale = the max of its stages (d04's prefix-filtered pair build
+    * inside d29 dominates); stage boundaries persist via CacheScope,
+    * the benchmark broadcast is count-guarded, and the manifest
+    * windows partition by shard — nothing here is new plan shape,
+    * which is the point: the capstone is composition, not invention.
+    */
+  def p03_training_build: Q = (s, d) => {
+    import graft.functions.TextHashFunctions.word_shingles
+    val docs = Tables.documents(s, d)
+    // stage 1: curate (p01 stage-1 formulas verbatim)
+    val nTokW = size(split(col("text"), "\\s+"))
+    val nChars = length(col("text"))
+    val nPunct = size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0)))
+    val fpc = md5(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
+    val wFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    val curated = graft.CacheScope.persisted(
+      docs
+        .select(col("doc_id"), col("source"), col("lang"), col("text"),
+          fpc.as("fp"), nTokW.as("n_tokens"),
+          graft.Tables.rhalfup(try_divide(nPunct.cast(DoubleType),
+            nChars.cast(DoubleType)), 6)
+            .as("punct_ratio"),
+          TextAnalysis.predLangCol(lower(col("text"))).as("pred_lang"))
+        .withColumn("rn", row_number().over(wFp))
+        .filter(col("rn") === 1 && col("pred_lang") =!= "und" &&
+          col("n_tokens") >= 5 && col("punct_ratio") < 0.2)
+        .select(col("doc_id"), col("source"), col("lang"), col("text"),
+          col("pred_lang")))
+    // stage 2: canonical rewrite (d29 over the curated corpus — keep
+    // each near-dup cluster's best-quality member)
+    val canonIds = Dedup.canonicalize(
+        curated.select(col("doc_id"), col("source"), col("lang"), col("text")))
+      .filter(col("is_canonical")).select(col("doc_id"))
+    val canonical = curated.join(canonIds, Seq("doc_id"))
+    // stage 3: decontam (d10's gate vs the doc_id%31 benchmark slice
+    // of the ORIGINAL corpus; benchmark docs leave the corpus)
+    val gramsOf = array_distinct(word_shingles(toks, 5))
+    val bench = docs.filter(col("doc_id") % 31 === 0)
+      .select(explode(gramsOf).as("g")).distinct()
+      .withColumn("__hit", lit(1))
+    val nBench = bench.count()
+    require(nBench <= D10MaxBenchGrams,
+      s"p03 benchmark n-gram set has $nBench distinct grams > cap " +
+        s"$D10MaxBenchGrams — shrink the benchmark or sketch it (d20)")
+    val cleanIds = canonical.filter(col("doc_id") % 31 =!= 0)
+      .select(col("doc_id"), explode(gramsOf).as("g"))
+      .join(broadcast(bench), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hits"))
+      .filter(graft.Tables.rhalfup(col("n_hits") / col("n_grams"), 6) < 0.05)
+      .select(col("doc_id"))
+    val clean = graft.CacheScope.persisted(canonical.join(cleanIds, Seq("doc_id")))
+    // stage 4: mixture (d11's coin, stratified by predicted language)
+    val counts = clean.groupBy(col("pred_lang")).agg(count(lit(1)).as("n_docs"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("n_docs")).as("n_min"))))
+      .withColumn("keep_thresh",
+        round(sqrt(col("n_min") / col("n_docs")) * 1000000).cast(LongType))
+      .select(col("pred_lang"), col("keep_thresh"))
+    val sampled = clean.join(broadcast(rates), Seq("pred_lang"))
+      .filter(col("doc_id") % 2147483648L * 2654435761L % 4294967296L
+        % 1000000L < col("keep_thresh"))
+    // stage 5: span scrub (d30 over the sampled survivors; selecting
+    // only counts lets Catalyst prune the clean-text reconstruction)
+    val scrub = Dedup.spanScrub(sampled.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        (col("n_tokens") - col("n_removed")).as("n_clean"))
+    // stage 6: shard + pack the CLEAN token counts (t17's hash shard,
+    // t13's 2048-token bins)
+    val wSh = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    scrub
+      .withColumn("h", pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)))
+      .withColumn("shard", (col("h") % 8).cast(IntegerType))
+      .withColumn("pos", row_number().over(wSh))
+      .withColumn("cum_tokens",
+        sum(col("n_clean")).over(
+          wSh.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("bin",
+        floor((col("cum_tokens") - col("n_clean")) / lit(2048.0)).cast(LongType))
+      .select(col("doc_id"), col("shard"), col("pos"),
+        col("n_clean").as("n_tokens"), col("bin"), col("cum_tokens"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
   /** p02 — the INCREMENTAL pipeline (p01 is the bootstrap; this is
     * the daily run): a delivery slice (doc_id % 10 == 7, the d12
     * convention) screened against the STANDING corpus and a held-out
@@ -739,6 +844,7 @@ object Curation {
     "t22_dsir" -> t22_dsir,
     "t24_quality_classifier" -> t24_quality_classifier,
     "p01_pipeline" -> p01_pipeline,
+    "p03_training_build" -> p03_training_build,
     "t17_shards" -> t17_shards,
     "d20_bloom_decontam" -> d20_bloom_decontam,
     "d14_scd2" -> d14_scd2,
@@ -752,6 +858,150 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "p03_training_build" -> {
+      val (scores, pred) = TextAnalysis.langOracleSql
+      s"""WITH RECURSIVE scored AS (
+         |  SELECT doc_id, source, lang, text,
+         |    $scores,
+         |    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+         |    len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
+         |    length(text) AS n_chars,
+         |    len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct
+         |  FROM documents
+         |), ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id)
+         |    AS rn
+         |  FROM scored
+         |), curated AS MATERIALIZED (
+         |  SELECT doc_id, source, lang, text, $pred AS pred_lang
+         |  FROM ranked
+         |  WHERE rn = 1 AND ($pred) <> 'und' AND n_tokens >= 5
+         |    AND floor(CAST(n_punct AS DOUBLE) / n_chars * 1e6 + 0.5) / 1e6
+         |      < 0.2
+         |), pairs AS MATERIALIZED (
+         |${Dedup.d04OracleBodyOn("curated")}
+         |), edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs
+         |), reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+         |), cl AS (
+         |  SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+         |), qsc AS (
+         |  SELECT doc_id,
+         |    floor(least(CAST(len(regexp_split_to_array(text, '\\s+'))
+         |        AS DOUBLE) / 50.0, 1.0) *
+         |      (1.0 - CAST(len(regexp_extract_all(text, '[.,!?;:]'))
+         |        AS DOUBLE) / length(text)) * 1e4 + 0.5) / 1e4
+         |      AS quality_score
+         |  FROM curated
+         |), basec AS (
+         |  SELECT q.doc_id, COALESCE(cl.cluster_id, q.doc_id) AS cluster_id,
+         |    q.quality_score
+         |  FROM qsc q LEFT JOIN cl USING (doc_id)
+         |), canon AS (
+         |  SELECT cluster_id, doc_id AS canonical_id FROM (
+         |    SELECT cluster_id, doc_id, ROW_NUMBER() OVER (
+         |      PARTITION BY cluster_id
+         |      ORDER BY quality_score DESC, doc_id) AS rn
+         |    FROM basec) WHERE rn = 1
+         |), canonical AS MATERIALIZED (
+         |  SELECT cu.* FROM curated cu
+         |  JOIN basec b ON b.doc_id = cu.doc_id
+         |  JOIN canon c ON c.cluster_id = b.cluster_id
+         |  WHERE cu.doc_id = c.canonical_id
+         |), tg AS (
+         |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |gb AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(l) < 5 THEN [array_to_string(l, ' ')]
+         |    ELSE list_transform(
+         |      list_zip(l[1:len(l)-4], l[2:len(l)-3], l[3:len(l)-2],
+         |               l[4:len(l)-1], l[5:len(l)]),
+         |      p -> p[1]||' '||p[2]||' '||p[3]||' '||p[4]||' '||p[5])
+         |    END)) AS gram
+         |  FROM tg),
+         |bench AS (SELECT DISTINCT gram FROM gb WHERE doc_id % 31 = 0),
+         |tgc AS (
+         |  SELECT cc.doc_id, string_split(cc.text, ' ') AS l
+         |  FROM canonical cc WHERE cc.doc_id % 31 <> 0),
+         |gc AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(l) < 5 THEN [array_to_string(l, ' ')]
+         |    ELSE list_transform(
+         |      list_zip(l[1:len(l)-4], l[2:len(l)-3], l[3:len(l)-2],
+         |               l[4:len(l)-1], l[5:len(l)]),
+         |      p -> p[1]||' '||p[2]||' '||p[3]||' '||p[4]||' '||p[5])
+         |    END)) AS gram
+         |  FROM tgc),
+         |clean_ids AS (
+         |  SELECT g.doc_id
+         |  FROM gc g LEFT JOIN bench b ON g.gram = b.gram
+         |  GROUP BY g.doc_id
+         |  HAVING floor(COUNT(b.gram) / COUNT(*) * 1e6 + 0.5) / 1e6 < 0.05
+         |), clean AS MATERIALIZED (
+         |  SELECT cc.* FROM canonical cc JOIN clean_ids ci
+         |    ON cc.doc_id = ci.doc_id
+         |), counts AS (
+         |  SELECT pred_lang, COUNT(*) AS n_docs FROM clean GROUP BY pred_lang),
+         |rates AS (
+         |  SELECT pred_lang,
+         |    CAST(round(sqrt(MIN(n_docs) OVER () / n_docs) * 1000000)
+         |      AS BIGINT) AS keep_thresh
+         |  FROM counts),
+         |sampled AS MATERIALIZED (
+         |  SELECT c.* FROM clean c JOIN rates r ON c.pred_lang = r.pred_lang
+         |  WHERE c.doc_id % 2147483648 * 2654435761 % 4294967296 % 1000000
+         |    < r.keep_thresh
+         |), toks3 AS MATERIALIZED (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |    t -> t <> '') AS l
+         |  FROM sampled),
+         |g8 AS MATERIALIZED (
+         |  SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+         |    SELECT doc_id, unnest(list_transform(range(0, len(l) - 7),
+         |      i -> {'pos': i, 'gram': l[i+1]||' '||l[i+2]||' '||l[i+3]||' '
+         |        ||l[i+4]||' '||l[i+5]||' '||l[i+6]||' '||l[i+7]||' '||l[i+8]}))
+         |      AS u
+         |    FROM toks3 WHERE len(l) >= 8)),
+         |dup AS (SELECT gram FROM g8 GROUP BY gram
+         |  HAVING COUNT(DISTINCT doc_id) >= 2),
+         |cov AS (
+         |  SELECT DISTINCT g8.doc_id, g8.pos + s.s AS pos
+         |  FROM g8 JOIN dup USING (gram)
+         |  CROSS JOIN (SELECT unnest(range(0, 8)) AS s) s),
+         |tp AS (
+         |  SELECT doc_id, u.pos AS pos FROM (
+         |    SELECT doc_id, unnest(list_transform(range(0, len(l)),
+         |      i -> {'pos': i})) AS u
+         |    FROM toks3)),
+         |ka AS (
+         |  SELECT tp.doc_id, COUNT(*) AS n_kept FROM tp
+         |  WHERE NOT EXISTS (SELECT 1 FROM cov
+         |    WHERE cov.doc_id = tp.doc_id AND cov.pos = tp.pos)
+         |  GROUP BY tp.doc_id),
+         |scrub AS (
+         |  SELECT t.doc_id, COALESCE(ka.n_kept, 0) AS n_clean
+         |  FROM toks3 t LEFT JOIN ka USING (doc_id)),
+         |po AS (
+         |  SELECT doc_id, n_clean,
+         |    (doc_id * 2654435761) % 4294967296 AS h,
+         |    CAST((doc_id * 2654435761) % 4294967296 % 8 AS INT) AS shard
+         |  FROM scrub),
+         |cm AS (
+         |  SELECT *, SUM(n_clean) OVER (PARTITION BY shard
+         |    ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM po)
+         |SELECT doc_id, shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)
+         |    AS INT) AS pos,
+         |  CAST(n_clean AS BIGINT) AS n_tokens,
+         |  CAST(floor((cum - n_clean) / 2048.0) AS BIGINT) AS bin,
+         |  CAST(cum AS BIGINT) AS cum_tokens
+         |FROM cm ORDER BY shard, pos""".stripMargin
+    },
     "p02_incremental" -> {
       val (scores, pred) = TextAnalysis.langOracleSql
       s"""WITH base AS (

@@ -303,6 +303,32 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("p03 manifest is internally consistent and respects the gates") {
+    val rows = operators.Curation.p03_training_build(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(rows.nonEmpty, "empty manifest — vacuous")
+    val ids = rows.map(_.getAs[Long]("doc_id"))
+    assert(ids.distinct.length == ids.length, "duplicate docs in manifest")
+    // gate invariants: benchmark docs never train
+    assert(!ids.exists(_ % 31 == 0), "a benchmark doc leaked into the manifest")
+    // per shard: pos is 1..n contiguous, cum_tokens is the exact
+    // running sum of clean tokens, bin the 2048-token grid of it
+    rows.groupBy(_.getAs[Int]("shard")).foreach { case (shard, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("pos"))
+      assert(sorted.map(_.getAs[Int]("pos")).toSeq == (1 to rs.length),
+        s"shard $shard positions not contiguous")
+      var cum = 0L
+      sorted.foreach { r =>
+        val n = r.getAs[Long]("n_tokens")
+        cum += n
+        assert(r.getAs[Long]("cum_tokens") == cum,
+          s"shard $shard cum_tokens drifted at pos ${r.getAs[Int]("pos")}")
+        assert(r.getAs[Long]("bin") == (cum - n) / 2048,
+          s"shard $shard bin grid broken at pos ${r.getAs[Int]("pos")}")
+      }
+    }
+  }
+
   test("p02 labels each delivery doc with the first failing gate") {
     import spark.implicits._
     val s1 = "the " + (1 to 19).map(i => s"s$i").mkString(" ")  // standing

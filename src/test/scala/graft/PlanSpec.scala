@@ -267,6 +267,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("p03 persists stage boundaries, broadcasts small sides, prunes clean_text") {
+    val p = plan("p03_training_build")
+    // curated/clean are CacheScope-persisted and read by later stages
+    assert(p.contains("InMemoryTableScan"))
+    // bench grams and mixture rates ship as broadcasts
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
+    assert(!p.contains("CartesianProduct"))
+    // stage 5 consumes only clean token COUNTS — Catalyst must prune
+    // d30's clean-text reconstruction (collect_list + array_join)
+    // out of the plan entirely
+    assert(!p.contains("collect_list"),
+      "p03 rebuilds clean_text it never outputs")
+    CacheScope.releaseAll()
+  }
+
   test("t21 scores segments in ONE corpus pass (no second scan, partial aggs)") {
     val p = plan("t21_code_switch")
     assert("FileScan parquet".r.findAllIn(p).size == 1,

@@ -31,13 +31,19 @@ object ScaleBench {
     val scaledDir = args.lift(1).getOrElse("/tmp/graft_scale/sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_CHECKPOINT_DIR switches every CacheScope.cut from
+    // localCheckpoint to reliable checkpoint(dir) — the multi-node
+    // cluster mode — so the scale bench can measure that path too
+    val ckptDir = sys.env.getOrElse("SPARK_GRAFT_CHECKPOINT_DIR", "")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-scalebench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    val spark = (if (ckptDir.nonEmpty)
+      builder.config("spark.graft.checkpointDir", ckptDir) else builder)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

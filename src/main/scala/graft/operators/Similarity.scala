@@ -58,6 +58,49 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"), col("vec_id"))
   }
 
+  /** s16 — ANN search over the int8-QUANTIZED corpus: the production
+    * search path after [[s06_quantize_int8]]'s compression (4× less
+    * data per scan, SIMD-friendly integer dots) — s06 produced the
+    * codes, this is their consumer. Each vector carries
+    * (codes, scale); score(q, v) = (Σ qcᵢ·vcᵢ)·scale_q·scale_v — the
+    * reconstructed dot product. The integer code dot is EXACT in any
+    * summation order (every partial sum ≤ 127²·dim ≪ 2^53), and the
+    * scale multiplies are one fixed left-assoc IEEE chain, so unlike
+    * float cosine the scoring mirrors in SQL bit for bit. Plan =
+    * s01's shape: quantized queries broadcast, quantized corpus
+    * scanned once, bounded per-query top-k window. Zero-scale
+    * (all-zero) vectors quantize to zero codes and score 0 — the s06
+    * degenerate path.
+    */
+  def s16_int8_search: Q = (s, d) =>
+    int8Search(Tables.embeddings(s, d))
+
+  private[graft] def int8Search(e: DataFrame): DataFrame = {
+    val xd = transform(col("embedding"), x => x.cast(DoubleType))
+    val scaleC = aggregate(xd, lit(0.0),
+      (acc, x) => greatest(acc, abs(x))) / 127.0
+    val codesC = when(col("scale") === 0.0,
+        transform(col("embedding"), _ => lit(0.0)))
+      .otherwise(transform(xd, x => floor(x / col("scale") + 0.5)))
+    val qt = e.withColumn("scale", scaleC).withColumn("codes", codesC)
+      .select(col("vec_id"), col("scale"), col("codes"))
+    val q = qt.filter(col("vec_id") % 97 === 0 && col("vec_id") < QueryIdBound)
+      .select(col("vec_id").as("q_id"), col("scale").as("q_scale"),
+        col("codes").as("q_codes"))
+    val idot = aggregate(
+      zip_with(col("q_codes"), col("codes"), (a, b) => a * b),
+      lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    qt.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("score",
+        graft.Tables.rhalfup(idot * col("q_scale") * col("scale"), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= K)
+      .select(col("q_id"), col("vec_id"), col("score"), col("rk"))
+      .orderBy(col("q_id"), col("rk"), col("vec_id"))
+  }
+
   /** Random-hyperplane LSH ANN in the standard MULTI-TABLE (E2LSH)
     * layout: L independent tables of b hyperplane bits each; a vector
     * lands in one b-bit bucket per table; a query probes its bucket
@@ -779,6 +822,7 @@ object Similarity {
 
   val queries: Map[String, Q] = Map(
     "s15_communities" -> s15_communities,
+    "s16_int8_search" -> s16_int8_search,
     "s13_hybrid_rrf" -> s13_hybrid_rrf,
     "s14_knn_graph" -> s14_knn_graph,
     "s11_mmr" -> s11_mmr,
@@ -1097,6 +1141,29 @@ object Similarity {
          |    ORDER BY rrf_micro DESC, doc_id) AS INT) AS fused_rank
          |FROM fused QUALIFY fused_rank <= $FuseK
          |ORDER BY q_id, fused_rank""".stripMargin,
+    "s16_int8_search" ->
+      s"""WITH sc AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         |    list_max(list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> abs(x))) / 127.0 AS scale
+         |  FROM embeddings),
+         |qt AS MATERIALIZED (
+         |  SELECT vec_id, scale,
+         |    CASE WHEN scale = 0.0 THEN list_transform(e, x -> 0.0)
+         |      ELSE list_transform(e, x -> floor(x / scale + 0.5)) END AS codes
+         |  FROM sc),
+         |s AS (
+         |  SELECT q.vec_id AS q_id, v.vec_id AS vec_id,
+         |    floor(list_sum(list_transform(list_zip(q.codes, v.codes),
+         |      p -> p[1]*p[2])) * q.scale * v.scale * 1e4 + 0.5) / 1e4 AS score
+         |  FROM qt q JOIN qt v ON v.vec_id <> q.vec_id
+         |  WHERE q.vec_id % 97 = 0 AND q.vec_id < $QueryIdBound)
+         |SELECT q_id, vec_id, score, rk FROM (
+         |  SELECT q_id, vec_id, score,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY score DESC, vec_id) AS INT) AS rk
+         |  FROM s) t
+         |WHERE rk <= $K ORDER BY q_id, rk, vec_id""".stripMargin,
     "s15_communities" ->
       s"""WITH knn AS MATERIALIZED (
          |  SELECT vec_id, nn_id FROM (

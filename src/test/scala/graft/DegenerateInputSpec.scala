@@ -78,7 +78,8 @@ class DegenerateInputSpec extends AnyFunSuite {
     "s07_label_centroids",
     "d05_embedding_neardup", // cosine with zero-norm vector
     "d15_semantic_dedup",
-    "s14_knn_graph", "s15_communities")
+    "s14_knn_graph", "s15_communities",
+    "s16_int8_search")  // scale = 0 on zero vectors
 
   for (name <- targets)
     test(s"$name survives constant/zero-range slices") {

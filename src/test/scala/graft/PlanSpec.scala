@@ -151,6 +151,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("s16 broadcasts the quantized queries so the code table is scanned once") {
+    val p = plan("s16_int8_search")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "the 32-query side must never shuffle the quantized corpus")
+    CacheScope.releaseAll()
+  }
+
   test("s02 multi-table LSH broadcasts probes; corpus index never shuffles to meet them") {
     val p = plan("s02_ann_lsh")
     // the (tbl, bucket) probe table is tiny (|queries|·L·(b+1) rows) —

@@ -238,6 +238,37 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("s16 scores exactly on lattice vectors and tracks the float ranking on the corpus") {
+    import spark.implicits._
+    // scale = max|x|/127 = 1 and every component integral → codes == x
+    // and the reconstructed dot IS the exact dot product
+    val lattice = Seq(
+      (0L, Array(127f, 0f, 64f), 0),
+      (1L, Array(127f, -64f, 0f), 0),
+      (2L, Array(0f, 127f, 32f), 0),
+      (3L, Array(64f, 64f, 127f), 0)).toDF("vec_id", "embedding", "label")
+    val got = operators.Similarity.int8Search(lattice).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")) ->
+        r.getAs[Double]("score")).toMap
+    // hand dots: (0,1)=127*127=16129, (0,2)=64*32=2048,
+    // (0,3)=127*64+64*127=16256
+    assert(got == Map((0L, 3L) -> 16256.0, (0L, 1L) -> 16129.0,
+      (0L, 2L) -> 2048.0))
+    // on the real corpus the int8 reconstruction must track the exact
+    // float ranking closely: top-5 overlap with s01 per query
+    val exact = operators.Similarity.s01_ann_bruteforce(spark, sfDir)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val quant = operators.Similarity.s16_int8_search(spark, sfDir)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    CacheScope.releaseAll()
+    assert(exact.nonEmpty && quant.nonEmpty)
+    val overlap = exact.intersect(quant).size.toDouble / exact.size
+    // measured 0.97 on this fixture (int8 error ~1e-3 of the score
+    // range only flips near-ties); floor well below to gate real
+    // regressions (e.g. a broken scale or code formula → ~0)
+    assert(overlap >= 0.8, s"int8 top-5 overlap $overlap below 0.8")
+  }
+
   test("s15 matches reference LPA and splits bridge-connected clusters CC would merge") {
     import spark.implicits._
     def nrm(v: Array[Double]): Array[Float] = {

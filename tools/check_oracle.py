@@ -88,8 +88,9 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list:
     return errs
 
 
-def main(sf_dir: str, out_dir: str, only=None) -> int:
+def main(sf_dir: str, out_dir: str, only=None, timeout=None) -> int:
     import os
+    import threading
     con = duckdb.connect()
     for t in TABLES:
         # driver testdata is a single file; ScaleGen output is a
@@ -100,16 +101,31 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_ok = n_bad = 0
+    n_ok = n_bad = n_to = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
+        timer = None
+        timed_out = []
+        if timeout:
+            def kill(c=con, flag=timed_out):
+                flag.append(True)
+                c.interrupt()
+            timer = threading.Timer(timeout, kill)
+            timer.start()
         try:
             duck = con.execute(sql).fetchdf()
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL {name}: duckdb error: {e}")
-            n_bad += 1
+            if timed_out:
+                print(f"TIMEOUT {name}: oracle exceeded {timeout:.0f}s in DuckDB")
+                n_to += 1
+            else:
+                print(f"FAIL {name}: duckdb error: {e}")
+                n_bad += 1
             continue
+        finally:
+            if timer:
+                timer.cancel()
         try:
             spark = pd.read_parquet(f"{out_dir}/{name}")
         except Exception as e:  # noqa: BLE001
@@ -123,11 +139,15 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
         else:
             print(f"ok   {name} ({len(spark)} rows)")
             n_ok += 1
-    print(f"\n{n_ok} ok, {n_bad} fail "
+    extra = f", {n_to} timeout" if n_to else ""
+    print(f"\n{n_ok} ok, {n_bad} fail{extra} "
           f"(+{len(set(json.load(open(f'{out_dir}/oracle_sql.json')))) } with oracle)")
     return 1 if n_bad else 0
 
 
 if __name__ == "__main__":
+    # argv: sfDir outDir [onlyNames] [perQueryTimeoutSec]
     sys.exit(main(sys.argv[1], sys.argv[2],
-                  set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None))
+                  set(sys.argv[3].split(",")) if len(sys.argv) > 3
+                  and sys.argv[3] != "-" else None,
+                  float(sys.argv[4]) if len(sys.argv) > 4 else None))

@@ -101,6 +101,44 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"), col("vec_id"))
   }
 
+  /** s17 — community-scoped semantic dedup: SemDeDup with [[
+    * s15_communities]]' LPA clusters as the dedup scope instead of
+    * d15's label blocks — the graph pipeline closed end to end (s14
+    * builds the k-NN graph, s15 clusters it, s17 dedups within the
+    * clusters). Communities are DATA-ADAPTIVE scopes: a near-dup
+    * neighborhood lands in one community via graph connectivity even
+    * when the coarse label partitioning would split it. The domination
+    * rule is d15's verbatim: drop any vector with a LOWER-id community
+    * member at cosine ≥ τ (order-independent, SQL-expressible).
+    *
+    * Scale: the pair join is community-keyed, so cost is Σ c² over
+    * community sizes — and LPA communities are exactly the scopes that
+    * stay small (plurality voting splits blobs CC would merge; the
+    * kNN graph bounds degree at 2k). The LPA result is persisted once
+    * and read by both the pair join's sides and the final carry join.
+    */
+  def s17_community_dedup: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val com = graft.CacheScope.persisted(
+      communitiesOf(e).select(col("vec_id"), col("community")))
+    val withCom = e.join(com, Seq("vec_id"))
+      .select(col("community"), col("vec_id"), col("embedding"))
+    val a = withCom.select(col("community"), col("vec_id").as("dom_id"),
+      col("embedding").as("emb_a"))
+    val b = withCom.select(col("community"), col("vec_id"),
+      col("embedding").as("emb_b"))
+    val dom = a.join(b, Seq("community"))
+      .filter(col("dom_id") < col("vec_id"))
+      .filter(round(cosine_similarity(col("emb_a"), col("emb_b")), 4)
+        >= Dedup.D15Tau)
+      .groupBy(col("vec_id"))
+      .agg(min(col("dom_id")).as("dominated_by"))
+    com.join(dom, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("community"), col("dominated_by"),
+        col("dominated_by").isNull.as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Random-hyperplane LSH ANN in the standard MULTI-TABLE (E2LSH)
     * layout: L independent tables of b hyperplane bits each; a vector
     * lands in one b-bit bucket per table; a query probes its bucket
@@ -823,6 +861,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "s15_communities" -> s15_communities,
     "s16_int8_search" -> s16_int8_search,
+    "s17_community_dedup" -> s17_community_dedup,
     "s13_hybrid_rrf" -> s13_hybrid_rrf,
     "s14_knn_graph" -> s14_knn_graph,
     "s11_mmr" -> s11_mmr,
@@ -959,6 +998,29 @@ object Similarity {
        |      FROM edges e JOIN l${i - 1} l ON l.node = e.dst
        |      GROUP BY 1, 2) v) t WHERE rn = 1)"""
       .stripMargin
+
+  /** The s15 LPA oracle chain (knn → symmetrized+self-loop edges →
+    * l0..lN rounds) as a WITH body — one source for the s15 and s17
+    * oracles so a drifted copy cannot make them disagree. */
+  private def lpaChainSql: String =
+    s"""knn AS MATERIALIZED (
+       |  SELECT vec_id, nn_id FROM (
+       |    SELECT a.vec_id, b.vec_id AS nn_id,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |        ORDER BY round(list_cosine_similarity(
+       |          CAST(a.embedding AS DOUBLE[]),
+       |          CAST(b.embedding AS DOUBLE[])), 4) DESC, b.vec_id) AS rk
+       |    FROM embeddings a JOIN embeddings b
+       |      ON a.label = b.label AND a.vec_id <> b.vec_id) t
+       |  WHERE rk <= $KnnGraphK),
+       |edges AS MATERIALIZED (
+       |  SELECT vec_id AS src, nn_id AS dst FROM knn
+       |  UNION
+       |  SELECT nn_id, vec_id FROM knn
+       |  UNION
+       |  SELECT vec_id, vec_id FROM embeddings),
+       |l0 AS (SELECT vec_id AS node, vec_id AS lbl FROM embeddings),
+       |${(1 to LpaRounds).map(lpaRoundCte).mkString(",\n")}""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "s11_mmr" -> s11OracleSql,
@@ -1165,29 +1227,29 @@ object Similarity {
          |  FROM s) t
          |WHERE rk <= $K ORDER BY q_id, rk, vec_id""".stripMargin,
     "s15_communities" ->
-      s"""WITH knn AS MATERIALIZED (
-         |  SELECT vec_id, nn_id FROM (
-         |    SELECT a.vec_id, b.vec_id AS nn_id,
-         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
-         |        ORDER BY round(list_cosine_similarity(
-         |          CAST(a.embedding AS DOUBLE[]),
-         |          CAST(b.embedding AS DOUBLE[])), 4) DESC, b.vec_id) AS rk
-         |    FROM embeddings a JOIN embeddings b
-         |      ON a.label = b.label AND a.vec_id <> b.vec_id) t
-         |  WHERE rk <= $KnnGraphK),
-         |edges AS MATERIALIZED (
-         |  SELECT vec_id AS src, nn_id AS dst FROM knn
-         |  UNION
-         |  SELECT nn_id, vec_id FROM knn
-         |  UNION
-         |  SELECT vec_id, vec_id FROM embeddings),
-         |l0 AS (SELECT vec_id AS node, vec_id AS lbl FROM embeddings),
-         |${(1 to LpaRounds).map(lpaRoundCte).mkString(",\n")}
+      s"""WITH $lpaChainSql
          |SELECT l.node AS vec_id, l.lbl AS community, c.csize
          |FROM l$LpaRounds l JOIN (
          |  SELECT lbl, COUNT(*) AS csize FROM l$LpaRounds GROUP BY 1) c
          |  ON c.lbl = l.lbl
          |ORDER BY vec_id""".stripMargin,
+    "s17_community_dedup" ->
+      s"""WITH $lpaChainSql,
+         |com AS MATERIALIZED (
+         |  SELECT node AS vec_id, lbl AS community FROM l$LpaRounds),
+         |dom AS (
+         |  SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS dominated_by
+         |  FROM embeddings a, com ca, embeddings b, com cb
+         |  WHERE ca.vec_id = a.vec_id AND cb.vec_id = b.vec_id
+         |    AND ca.community = cb.community AND a.vec_id < b.vec_id
+         |    AND round(list_cosine_similarity(
+         |      CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4)
+         |      >= ${Dedup.D15Tau}
+         |  GROUP BY b.vec_id)
+         |SELECT c.vec_id, c.community, dom.dominated_by,
+         |  dom.dominated_by IS NULL AS kept
+         |FROM com c LEFT JOIN dom USING (vec_id)
+         |ORDER BY c.vec_id""".stripMargin,
     "s14_knn_graph" ->
       s"""SELECT vec_id, nn_id, cos, rk FROM (
          |  SELECT a.vec_id, b.vec_id AS nn_id,

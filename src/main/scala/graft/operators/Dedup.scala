@@ -292,41 +292,58 @@ object Dedup {
           col("embedding").as("emb_b")), Seq("label")))
 
     val big = sized.filter(col("__bn") > maxBlock)
-    // hyperplanes must span the FULL embedding width — the dot inside
-    // hyperplane_sigs truncates to min(row length, dim), so an
-    // undersized plane matrix would silently hash only a prefix of
-    // wider embeddings. The dim comes from configuration
-    // ([[graft.Tables.embeddingDim]]) — a property of the embedding
-    // model, known before any job — NOT from a max(size(embedding))
-    // pre-scan, which at 100 TB is a full extra pass over the widest
-    // column before the real work starts. The in-plan raise_error
-    // guard below turns a mis-configured dim into a loud failure on
-    // the first oversized row instead of a silent prefix hash.
-    // Signatures come from the codegen'd
-    // [[graft.functions.HyperplaneSigs]] (1 table × 16 bits; cached
-    // plane matrix drawn from the same seeded stream as the former
-    // literal-plane formulation, so bucket values are identical).
-    val planes = 16
-    val dim = graft.Tables.embeddingDim(e.sparkSession)
-    import graft.functions.VectorFunctions.hyperplane_sigs
-    def signature(emb: Column): Column =
-      when(size(emb) > dim, raise_error(concat(
-        lit(s"blockedKnn: embedding wider than configured " +
-          s"spark.graft.embedding.dim=$dim (got "),
-        size(emb).cast("string"),
-        lit(") — hashing a prefix would corrupt LSH buckets"))))
-        .otherwise(element_at(hyperplane_sigs(emb, 1, planes, dim, 42L), 1))
     val corpus = big.select(col("label"), col("vec_id").as("nn_id"),
-      col("embedding").as("emb_b"), signature(col("embedding")).as("bucket"))
+      col("embedding").as("emb_b"),
+      lshSignature(e.sparkSession, col("embedding")).as("bucket"))
     val probes = big.select(col("label"), col("vec_id"),
-        col("embedding").as("emb_a"), signature(col("embedding")).as("sig"))
+        col("embedding").as("emb_a"),
+        lshSignature(e.sparkSession, col("embedding")).as("sig"))
       .select(col("label"), col("vec_id"), col("emb_a"),
-        explode(array(col("sig") +: (0 until planes).map(p =>
-          col("sig").bitwiseXOR(shiftleft(lit(1), p))): _*)).as("bucket"))
+        explode(lshProbeArray(col("sig"))).as("bucket"))
     val approx = top1(corpus.join(probes, Seq("label", "bucket")))
 
     exact.unionByName(approx)
   }
+
+  /** Bits per hyperplane-LSH signature in the oversized-block reroute
+    * tiers ([[blockedKnn]], [[Similarity.communityDedup]]). */
+  private[graft] val LshPlanes = 16
+
+  /** The shared oversized-block LSH signature: one 16-bit
+    * random-hyperplane bucket per vector, from the codegen'd
+    * [[graft.functions.HyperplaneSigs]] (1 table × [[LshPlanes]] bits;
+    * cached plane matrix drawn from a fixed seeded stream, so bucket
+    * values are reproducible across operators and runs).
+    *
+    * Hyperplanes must span the FULL embedding width — the dot inside
+    * hyperplane_sigs truncates to min(row length, dim), so an
+    * undersized plane matrix would silently hash only a prefix of
+    * wider embeddings. The dim comes from configuration
+    * ([[graft.Tables.embeddingDim]]) — a property of the embedding
+    * model, known before any job — NOT from a max(size(embedding))
+    * pre-scan, which at 100 TB is a full extra pass over the widest
+    * column before the real work starts. The in-plan raise_error
+    * guard turns a mis-configured dim into a loud failure on the
+    * first oversized row instead of a silent prefix hash.
+    */
+  private[graft] def lshSignature(s: SparkSession, emb: Column): Column = {
+    import graft.functions.VectorFunctions.hyperplane_sigs
+    val dim = graft.Tables.embeddingDim(s)
+    when(size(emb) > dim, raise_error(concat(
+      lit(s"lshSignature: embedding wider than configured " +
+        s"spark.graft.embedding.dim=$dim (got "),
+      size(emb).cast("string"),
+      lit(") — hashing a prefix would corrupt LSH buckets"))))
+      .otherwise(element_at(hyperplane_sigs(emb, 1, LshPlanes, dim, 42L), 1))
+  }
+
+  /** Multi-probe set for an [[lshSignature]] bucket: the bucket itself
+    * plus its [[LshPlanes]] hamming-1 neighbors — flipping one
+    * hyperplane bit recovers near-neighbors that straddle a single
+    * plane, the standard multi-probe recall lever. */
+  private[graft] def lshProbeArray(sig: Column): Column =
+    array(sig +: (0 until LshPlanes).map(p =>
+      sig.bitwiseXOR(shiftleft(lit(1), p))): _*)
 
   /** Corpus-level (group-vs-group) similarity via the custom
     * [[graft.functions.MinHashUnionAgg]] typed aggregator: one map-side

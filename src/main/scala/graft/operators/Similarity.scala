@@ -112,28 +112,71 @@ object Similarity {
     * member at cosine ≥ τ (order-independent, SQL-expressible).
     *
     * Scale: the pair join is community-keyed, so cost is Σ c² over
-    * community sizes — and LPA communities are exactly the scopes that
-    * stay small (plurality voting splits blobs CC would merge; the
-    * kNN graph bounds degree at 2k). The LPA result is persisted once
-    * and read by both the pair join's sides and the final carry join.
+    * community sizes — and LPA communities are USUALLY the scopes that
+    * stay small (plurality voting splits blobs CC would merge). But
+    * symmetrized kNN in-degree is unbounded: a hub vector in skewed
+    * real embeddings can swell one community past any exact-pair
+    * budget. So the pair join is two-tier like [[Dedup.blockedKnn]]:
+    * communities at or under [[S17MaxExactCommunity]] members pay the
+    * exact c² join; larger ones route through the shared hyperplane-LSH
+    * bucket join ([[Dedup.lshSignature]] multi-probe), where a
+    * dominating near-twin collides with its victim's bucket (or a
+    * hamming-1 probe) with high probability and cost is ∝ bucket
+    * collisions, never c². The oracle-checked SFs keep every community
+    * under the ceiling, so the approximate tier never fires there —
+    * the d05/s14 guarantee. The LPA result is persisted once and read
+    * by both the pair join's sides and the final carry join.
     */
-  def s17_community_dedup: Q = (s, d) => {
-    val e = Tables.embeddings(s, d)
-    val com = graft.CacheScope.persisted(
-      communitiesOf(e).select(col("vec_id"), col("community")))
-    val withCom = e.join(com, Seq("vec_id"))
-      .select(col("community"), col("vec_id"), col("embedding"))
-    val a = withCom.select(col("community"), col("vec_id").as("dom_id"),
-      col("embedding").as("emb_a"))
-    val b = withCom.select(col("community"), col("vec_id"),
-      col("embedding").as("emb_b"))
-    val dom = a.join(b, Seq("community"))
+  def s17_community_dedup: Q = (s, d) =>
+    communityDedup(Tables.embeddings(s, d), S17MaxExactCommunity)
+
+  /** Exact-pair ceiling per community for [[s17_community_dedup]]:
+    * the same 1000-member / ~10⁶-pairs-per-scope budget as
+    * [[Dedup.D05MaxExactBlock]] — the two operators make the identical
+    * "exact below, LSH above" promise, so they share the constant's
+    * rationale. */
+  private[graft] val S17MaxExactCommunity = Dedup.D05MaxExactBlock
+
+  private[graft] def communityDedup(e: DataFrame, maxExact: Long): DataFrame = {
+    // one persisted (community, csize, vec_id, embedding) frame feeds
+    // all four pair-join sides AND the final carry — the corpus is
+    // scanned once, not five times
+    val withCom = graft.CacheScope.persisted(
+      e.join(communitiesOf(e).select(col("vec_id"), col("community"),
+        col("csize")), Seq("vec_id"))
+        .select(col("community"), col("csize"), col("vec_id"),
+          col("embedding")))
+    def domPairs(pairs: DataFrame): DataFrame = pairs
       .filter(col("dom_id") < col("vec_id"))
       .filter(round(cosine_similarity(col("emb_a"), col("emb_b")), 4)
         >= Dedup.D15Tau)
+      .select(col("vec_id"), col("dom_id"))
+
+    val small = withCom.filter(col("csize") <= maxExact)
+    val exact = domPairs(
+      small.select(col("community"), col("vec_id").as("dom_id"),
+          col("embedding").as("emb_a"))
+        .join(small.select(col("community"), col("vec_id"),
+          col("embedding").as("emb_b")), Seq("community")))
+
+    val big = withCom.filter(col("csize") > maxExact)
+    val corpus = big.select(col("community"), col("vec_id").as("dom_id"),
+      col("embedding").as("emb_a"),
+      Dedup.lshSignature(e.sparkSession, col("embedding")).as("bucket"))
+    val probes = big.select(col("community"), col("vec_id"),
+        col("embedding").as("emb_b"),
+        Dedup.lshSignature(e.sparkSession, col("embedding")).as("sig"))
+      .select(col("community"), col("vec_id"), col("emb_b"),
+        explode(Dedup.lshProbeArray(col("sig"))).as("bucket"))
+    // multi-probe can surface the same (victim, dominator) via several
+    // buckets; the min(dom_id) aggregate absorbs the duplicates
+    val approx = domPairs(corpus.join(probes, Seq("community", "bucket")))
+
+    val dom = exact.unionByName(approx)
       .groupBy(col("vec_id"))
       .agg(min(col("dom_id")).as("dominated_by"))
-    com.join(dom, Seq("vec_id"), "left")
+    withCom.select(col("vec_id"), col("community"))
+      .join(dom, Seq("vec_id"), "left")
       .select(col("vec_id"), col("community"), col("dominated_by"),
         col("dominated_by").isNull.as("kept"))
       .orderBy(col("vec_id"))

@@ -328,6 +328,24 @@ class PlanSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("s17 persists the community-annotated corpus once for all pair-join sides") {
+    val p = plan("s17_community_dedup")
+    // the (community, csize, vec_id, embedding) frame is CacheScope-
+    // persisted and read by the exact tier's two sides, the LSH tier's
+    // two sides, and the final carry — the parquet corpus and the LPA
+    // round chain must never re-run per consumer
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
+      "s17 pair-join sides are not reading the persisted community frame")
+    // the LPA chain underneath keeps its s15 shape
+    assert(p.contains("ShuffledHashJoin"))
+    assert(p.contains("partial_max(struct(n"))
+    // domination is the combinable min(dom_id) aggregate (the only
+    // window in the plan is blockedKnn's bounded per-vector top-k,
+    // pinned by the s14 test)
+    assert(p.contains("partial_min"))
+    CacheScope.releaseAll()
+  }
+
   test("d24 first-wins combines map-side; line text never keys a shuffle") {
     val p = plan("d24_line_dedup")
     // first-wins is min(struct(doc_id, line_no)) per digest with a

@@ -335,6 +335,116 @@ class SimilaritySpec extends AnyFunSuite {
       "LPA must keep the bridged dense clusters distinct")
   }
 
+  /** The s15 bridged-twin-clusters fixture plus a from-scratch
+    * reference pipeline (kNN → symmetrized+self-loop LPA → per-
+    * community min-id domination) shared by the s17 tests. */
+  private object S17Fixture {
+    def nrm(v: Array[Double]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(x => (x / n).toFloat)
+    }
+    // two dense angular clusters bridged into one connected component
+    // (the s15 fixture): label-agnostic dedup scopes must come from
+    // the GRAPH — each dense cluster is one community, and its lowest
+    // id dominates every member (pairwise cos ≈ 1 ≥ τ), while the two
+    // community roots survive even though the bridge connects them
+    val vecs: Seq[(Long, Array[Float], Int)] =
+      (0 until 6).map(i => (i.toLong, nrm(Array(1.0, 0.002 * i, 0.0)), 0)) ++
+        (6 until 12).map(j =>
+          (j.toLong, nrm(Array(0.0, 1.0, 0.002 * (j - 6))), 0)) ++
+        Seq((12L, nrm(Array(1.0, 1.0, 0.0)), 0),
+          (13L, nrm(Array(0.5, 0.8660254, 0.0)), 0))
+    val ids: Seq[Long] = vecs.map(_._1)
+    private val byId = vecs.map(v => v._1 -> v._2).toMap
+    def cos(a: Long, b: Long): Double = {
+      val (x, y) = (byId(a), byId(b))
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- x.indices) {
+        dot += x(i).toDouble * y(i); na += x(i).toDouble * x(i)
+        nb += y(i).toDouble * y(i)
+      }
+      dot / math.sqrt(na * nb)
+    }
+    def r4(x: Double): BigDecimal =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val tau = BigDecimal(0.35)
+    /** Reference synchronous LPA over the rounded top-3 graph. */
+    lazy val community: Map[Long, Long] = {
+      val knn = ids.flatMap { a =>
+        ids.filter(_ != a)
+          .map(b => (b, r4(cos(a, b))))
+          .sortBy { case (b, c) => (-c, b) }
+          .take(3).map { case (b, _) => (a, b) }
+      }
+      val edges =
+        (knn ++ knn.map(p => (p._2, p._1)) ++ ids.map(i => (i, i))).distinct
+      val nbrs = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var lbl = ids.map(i => i -> i).toMap
+      for (_ <- 1 to operators.Similarity.LpaRounds)
+        lbl = ids.map { v =>
+          v -> nbrs(v).groupBy(lbl).view.mapValues(_.size).toSeq
+            .sortBy { case (l, n) => (-n, l) }.head._1
+        }.toMap
+      lbl
+    }
+    /** True dominators of v: same community, lower id, cos ≥ τ. */
+    def dominators(v: Long): Seq[Long] =
+      ids.filter(d => d < v && community(d) == community(v) &&
+        r4(cos(d, v)) >= tau)
+    lazy val want: Set[(Long, Long, Option[Long], Boolean)] =
+      ids.map { v =>
+        val dom = dominators(v)
+        (v, community(v), dom.minOption, dom.isEmpty)
+      }.toSet
+  }
+
+  test("s17 dedups within LPA communities and keeps both bridged cluster roots") {
+    import spark.implicits._
+    val e = S17Fixture.vecs.toDF("vec_id", "embedding", "label")
+    val got = operators.Similarity
+      .communityDedup(e, operators.Similarity.S17MaxExactCommunity)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("community"),
+        Option(r.getAs[java.lang.Long]("dominated_by")).map(_.longValue()),
+        r.getAs[Boolean]("kept"))).toSet
+    CacheScope.releaseAll()
+    assert(got == S17Fixture.want,
+      s"s17 diverged from reference:\n got=$got\nwant=${S17Fixture.want}")
+    // the property d15's label blocks cannot express on this fixture:
+    // the scopes are data-adaptive (≥ 2 communities out of ONE label
+    // block), in-community twins are dominated, and each community's
+    // root survives
+    val communities = got.map(_._2)
+    assert(communities.size >= 2)
+    assert(got.count(!_._4) >= 8, "dense-cluster twins must be dominated")
+    for (c <- communities)
+      assert(got.exists(r => r._2 == c && r._4),
+        s"community $c lost all members")
+  }
+
+  test("s17 oversized communities reroute through LSH: subset-of-truth, twins still caught") {
+    import spark.implicits._
+    val e = S17Fixture.vecs.toDF("vec_id", "embedding", "label")
+    // cap of 4 forces EVERY community (sizes ~6-8) onto the approx tier
+    val got = operators.Similarity.communityDedup(e, 4L).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        Option(r.getAs[java.lang.Long]("dominated_by")).map(_.longValue())))
+      .toMap
+    CacheScope.releaseAll()
+    for ((v, domBy) <- got; d <- domBy) {
+      // anything the LSH tier reports must be a TRUE domination —
+      // same community, lower id, cosine over τ (no false positives;
+      // the reported dominator may be a larger id than the exact min
+      // when multi-probe misses the global minimum's bucket)
+      assert(S17Fixture.dominators(v).contains(d),
+        s"LSH tier fabricated dominator $d for $v")
+    }
+    // near-identical twins hash to the same bucket (angle ≪ any
+    // hyperplane gap), so the reroute still catches the bulk of the
+    // dense-cluster duplicates
+    assert(got.values.count(_.isDefined) >= 8,
+      "LSH reroute lost the dense-cluster twins")
+  }
+
   test("s14 kNN graph matches the naive blocked top-3 on the exact tier") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

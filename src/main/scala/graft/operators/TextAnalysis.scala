@@ -169,8 +169,14 @@ object TextAnalysis {
     * Exemplars come from the bounded [[graft.functions.TopKPairsAgg]]
     * (O(k) buffer, map-side combinable) rather than a per-doc window —
     * a boilerplate-hub doc with millions of partners costs k slots,
-    * not a single-task sort. No oracle (hash-scheme specific);
-    * rows-only check + DedupSpec subset-of-truth vs the full listing.
+    * not a single-task sort. They are emitted as ONE flat
+    * `"partner:shared_fps;…"` string (score DESC, partner ASC — the
+    * aggregator's total order, so the string is deterministic): a
+    * nested array<struct> column breaks generic row-comparison
+    * tooling (pandas can't sort it), and the flat form is what a
+    * manifest/report consumer wants anyway. No oracle (hash-scheme
+    * specific); rows-only check + DedupSpec subset-of-truth vs the
+    * full listing.
     */
   def t05_winnow_neardup: Q = (s, d) => {
     import graft.functions.TopKPairsAgg.top_k_by
@@ -186,9 +192,8 @@ object TextAnalysis {
         max(col("shared_fps")).as("max_shared"),
         top_k_by(col("shared_fps"), col("partner"), 3).as("topk"))
       .select(col("doc_id"), col("n_matches"), col("max_shared"),
-        transform(col("topk"), x =>
-          struct(x("_2").as("partner"), x("_1").as("shared_fps")))
-          .as("exemplars"))
+        concat_ws(";", transform(col("topk"), x =>
+          concat_ws(":", x("_2"), x("_1")))).as("exemplars"))
       .orderBy(col("doc_id"))
   }
 

@@ -217,8 +217,11 @@ class DedupSpec extends AnyFunSuite {
       val partners = byDoc(doc)
       assert(r.getAs[Long]("n_matches") == partners.length.toLong)
       assert(r.getAs[Long]("max_shared") == partners.map(_._2).max)
-      val ex = r.getSeq[org.apache.spark.sql.Row](3)
-        .map(e => (e.getAs[Long]("partner"), e.getAs[Long]("shared_fps")))
+      val ex = r.getAs[String]("exemplars").split(";").toSeq
+        .filter(_.nonEmpty)
+        .map { kv =>
+          val Array(p, n) = kv.split(":"); (p.toLong, n.toLong)
+        }
       // exemplars must be EXACTLY the top-k of the truth (score desc,
       // partner asc) — not merely a subset
       val wantTop = partners.sortBy { case (p, n) => (-n, p) }.take(3).toSeq

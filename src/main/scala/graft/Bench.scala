@@ -91,18 +91,31 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
-    // full-detail line first (humans reading the whole log, plus the file
-    // above), then a COMPACT line as the very last stdout write: the
-    // driver keeps only the final ~2000 chars of output (r01 and r02 both
-    // lost the opening brace of a ~2,900-char line to that window and
-    // recorded parsed:null), and sbt appends its own ~72-char [success]
-    // line after us. Short keys ("q01_agg" -> "q01"; the numbered prefix
-    // is unique across the whole query set) + 2-decimal seconds keep the
-    // compact line ~1.3k chars — inside the window with headroom for
-    // future queries.
-    println(json)
+    // The machine-readable full-precision copy also lands in the repo
+    // working dir (sbt runs with user.dir = repo root): the driver's
+    // stdout tail window is a measured 2,000 chars (BENCH_r07.json
+    // captured exactly 2,000), so the per-query detail the compact
+    // line must round away stays readable as a committed artifact.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH_LOCAL.json: ${e.getMessage}")
+    }
+    // full-detail line first (humans reading the whole log, plus the
+    // files above), then a COMPACT line as the very last stdout write:
+    // the driver keeps only the final 2,000 chars of output (r01/r02
+    // lost the opening brace of a ~2,900-char 2-decimal line; r07 lost
+    // it again at 1,952 chars — the window is exactly 2,000 and sbt
+    // appends its own ~73-char [success] line after us). Short keys
+    // ("q01_agg" -> "q01"; the numbered prefix is unique across the
+    // whole query set) + ONE-decimal seconds keep the compact line
+    // ~1.8k chars: inside the window with ~130 chars of headroom.
+    // Any overflow warning goes to stderr BEFORE the stdout lines —
+    // stderr is unbuffered, so emitting it after would land the
+    // warning inside the tail window and eat the headroom.
     def d2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val qsShort = results.map { case (k, v, _) => "\"" + k.takeWhile(_ != '_') + "\":" + d2(v) }
+    def d1(v: Double) = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    val qsShort = results.map { case (k, v, _) => "\"" + k.takeWhile(_ != '_') + "\":" + d1(v) }
       .mkString("{", ",", "}")
     // unquoted number only when the dir name yields one; any other
     // path goes in JSON-quoted, or the line itself would be the next
@@ -112,7 +125,9 @@ object Bench {
       .getOrElse("\"" + sfDir.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
     val compact = s"""{"metric":"total","value":${d2(total)},"unit":"sec","queries":$qsShort,"sf":$sfShort,"ingest_rps":${d0(inRate)},"ingest_rps_4f":${d0(parRate)},"restage_sec":${d2(stageSec)},"staged_rps":${d0(stagedRate)}}"""
     if (compact.length > 1850)
-      System.err.println(s"[bench] compact line ${compact.length} chars — may overflow the driver's tail window")
+      System.err.println(s"[bench] compact line ${compact.length} chars — may overflow the driver's 2000-char tail window")
+    Console.err.flush()
+    println(json)
     println(compact)
     Console.out.flush()
     spark.stop()

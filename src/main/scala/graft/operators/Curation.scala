@@ -341,13 +341,17 @@ object Curation {
     * is partitionBy(shard), and position/cum_tokens are one window per
     * shard — t13's sharded-cumsum pattern, so keys stay numerous (in
     * production nShards is thousands, not 8) and no executor ever sees
-    * more than one shard. For id spaces beyond 2³¹, pre-fold the id
-    * (pmod(id, 2³¹)) before the multiply so the product stays in int64.
+    * more than one shard. The id is folded mod 2³¹ BEFORE the multiply
+    * so the product stays inside int64 at any id scale: an unbounded
+    * doc_id past ~3.46e9 would overflow — Spark wraps silently while
+    * the SQL oracle raises on BIGINT overflow, so engine and oracle
+    * would diverge exactly at the billion-doc scale this op targets.
     */
   def t17_shards: Q = (s, d) => shardPlan(Tables.documents(s, d))
 
   private[graft] def shardPlan(docs: DataFrame, nShards: Int = 8): DataFrame = {
-    val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+    val h = pmod(col("doc_id") % 2147483648L * lit(2654435761L),
+      lit(4294967296L))
     val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
     docs
       .select(col("doc_id"),
@@ -728,7 +732,12 @@ object Curation {
     // t13's 2048-token bins)
     val wSh = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
     scrub
-      .withColumn("h", pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)))
+      .withColumn("h",
+        // fold mod 2^31 before the multiply (the stage-4 hash's bound):
+        // unbounded doc_id overflows int64 past ~3.46e9 — Spark wraps
+        // silently, the oracle raises, and the two diverge
+        pmod(col("doc_id") % 2147483648L * lit(2654435761L),
+          lit(4294967296L)))
       .withColumn("shard", (col("h") % 8).cast(IntegerType))
       .withColumn("pos", row_number().over(wSh))
       .withColumn("cum_tokens",
@@ -987,8 +996,9 @@ object Curation {
          |  FROM toks3 t LEFT JOIN ka USING (doc_id)),
          |po AS (
          |  SELECT doc_id, n_clean,
-         |    (doc_id * 2654435761) % 4294967296 AS h,
-         |    CAST((doc_id * 2654435761) % 4294967296 % 8 AS INT) AS shard
+         |    (doc_id % 2147483648 * 2654435761) % 4294967296 AS h,
+         |    CAST((doc_id % 2147483648 * 2654435761) % 4294967296 % 8
+         |      AS INT) AS shard
          |  FROM scrub),
          |cm AS (
          |  SELECT *, SUM(n_clean) OVER (PARTITION BY shard
@@ -1254,7 +1264,7 @@ object Curation {
         |  SELECT doc_id,
         |    len(list_filter(regexp_split_to_array(text, '\s+'),
         |      x -> x <> '')) AS n_tokens,
-        |    (doc_id * 2654435761) % 4294967296 AS h
+        |    (doc_id % 2147483648 * 2654435761) % 4294967296 AS h
         |  FROM documents),
         |a AS (SELECT doc_id, n_tokens, h,
         |    CAST(h % 8 AS INT) AS shard FROM d)

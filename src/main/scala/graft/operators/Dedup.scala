@@ -118,10 +118,15 @@ object Dedup {
     import graft.functions.TextHashFunctions.simhash64
     val sigs = documents.select(col("doc_id"),
       simhash64(tokens(col("text"))).as("simhash"))
-    val chunks = sigs.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(j =>
-        shiftrightunsigned(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL))): _*))
-        .as(Seq("chunk_idx", "chunk")))
+    // persisted: the collision gate's count below is an EAGER job at
+    // plan-build time, and the pair join re-reads the same chunks —
+    // without the persist the docs scan + simhash tokenization runs
+    // twice (once for the gate, once for the join)
+    val chunks = graft.CacheScope.persisted(
+      sigs.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(j =>
+          shiftrightunsigned(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("chunk_idx", "chunk"))))
     val nCand = chunks.groupBy(col("chunk_idx"), col("chunk"))
       .agg(count(lit(1)).as("df"))
       .agg(sum(col("df") * (col("df") - 1) / 2).as("n"))

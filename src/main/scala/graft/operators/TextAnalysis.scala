@@ -147,13 +147,17 @@ object TextAnalysis {
 
   /** Opt-in full pair listing, written directly executor→parquet so
     * the corpus-shaped result never flows back through the driver's
-    * consumer. Returns the output row count.
+    * consumer. Returns the output row count. Releases only the frames
+    * it persisted itself (scoped mark/releaseSince) — a global
+    * releaseAll here would evict a calling pipeline's own persisted
+    * intermediates mid-flight.
     */
   def winnowPairsWriter(s: SparkSession, d: String, out: String): Long = {
-    winnowPairs(s, d).write.mode("overwrite").parquet(out)
-    val n = s.read.parquet(out).count()
-    graft.CacheScope.releaseAll()
-    n
+    val m = graft.CacheScope.mark()
+    try {
+      winnowPairs(s, d).write.mode("overwrite").parquet(out)
+      s.read.parquet(out).count()
+    } finally graft.CacheScope.releaseSince(m)
   }
 
   /** Rolling-hash near-duplicate detection (winnowing / MOSS), bounded

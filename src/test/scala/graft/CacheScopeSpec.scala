@@ -37,6 +37,28 @@ class CacheScopeSpec extends AnyFunSuite {
       s"leaked blocks survived releaseAll: ${after.diff(before)}")
   }
 
+  test("releaseSince frees only frames persisted after the mark") {
+    import spark.implicits._
+    CacheScope.releaseAll()
+    val outer = CacheScope.persisted(
+      Seq(1, 2, 3).toDF("x").select(col("x") * 2 as "y"))
+    outer.count()
+    val m = CacheScope.mark()
+    val inner = CacheScope.persisted(
+      Seq(4, 5, 6).toDF("x").select(col("x") * 3 as "y"))
+    inner.count()
+    assert(inner.storageLevel.useMemory, "inner not cached before release")
+    CacheScope.releaseSince(m)
+    assert(!inner.storageLevel.useMemory,
+      "scoped release must free the post-mark frame")
+    assert(outer.storageLevel.useMemory,
+      "scoped release evicted the caller's pre-mark frame")
+    // the pre-mark frame is still tracked: a later global release
+    // frees it
+    CacheScope.releaseAll()
+    assert(!outer.storageLevel.useMemory)
+  }
+
   test("q67 conf window never mutates the caller's session") {
     val keys = Seq(
       "spark.sql.optimizer.runtime.bloomFilter.enabled",

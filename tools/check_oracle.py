@@ -107,8 +107,14 @@ def main(sf_dir: str, out_dir: str, only=None, timeout=None) -> int:
             continue
         timer = None
         timed_out = []
+        done = threading.Event()
         if timeout:
-            def kill(c=con, flag=timed_out):
+            # `done` closes the race where the timer fires between
+            # fetchdf returning and cancel(): an interrupt() delivered
+            # then would abort the NEXT oracle and misreport it as FAIL
+            def kill(c=con, flag=timed_out, done=done):
+                if done.is_set():
+                    return
                 flag.append(True)
                 c.interrupt()
             timer = threading.Timer(timeout, kill)
@@ -124,8 +130,17 @@ def main(sf_dir: str, out_dir: str, only=None, timeout=None) -> int:
                 n_bad += 1
             continue
         finally:
+            done.set()
             if timer:
                 timer.cancel()
+            if timed_out:
+                # the query won the race after the interrupt was sent:
+                # absorb any pending interrupt so it cannot abort the
+                # next oracle
+                try:
+                    con.execute("SELECT 1")
+                except Exception:  # noqa: BLE001
+                    pass
         try:
             spark = pd.read_parquet(f"{out_dir}/{name}")
         except Exception as e:  # noqa: BLE001
@@ -142,7 +157,9 @@ def main(sf_dir: str, out_dir: str, only=None, timeout=None) -> int:
     extra = f", {n_to} timeout" if n_to else ""
     print(f"\n{n_ok} ok, {n_bad} fail{extra} "
           f"(+{len(set(json.load(open(f'{out_dir}/oracle_sql.json')))) } with oracle)")
-    return 1 if n_bad else 0
+    # a timed-out oracle is NOT a pass: a hung/regressed oracle must
+    # fail the pre-check loudly, not exit 0
+    return 1 if (n_bad or n_to) else 0
 
 
 if __name__ == "__main__":

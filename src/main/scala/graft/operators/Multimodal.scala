@@ -198,6 +198,30 @@ object Multimodal {
       .agg(count(lit(1)).as("n_media"), min(col("doc_id")).as("keep_id"))
       .orderBy(col("keep_id"))
 
+  /** m06 — the ORACLE TWIN of [[m05_phash_groups]]' grouping core
+    * (the d32/d21 trick: drive the same relational machinery with a
+    * deterministic fingerprint so it hash-checks cross-engine, while
+    * the hash-specific op stays rows-only). The fingerprint is read
+    * off the MEDIA COLUMN — the first 16 payload bytes, which
+    * [[synthesizeMedia]] derives from the text content alone — so two
+    * uploads of the same content under different doc_ids collide
+    * exactly like re-encoded copies collide under m05's aHash. Per
+    * group: member count, hub (min doc_id — the copy a dedup would
+    * keep), distinct encodings seen, and payload bytes reclaimable.
+    * Same plan shape as m05: map-only fingerprint, one group shuffle.
+    */
+  def m06_media_dedup_groups: Q = (s, d) =>
+    synthesizeMedia(s, d)
+      .select(col("doc_id"), col("format"),
+        lower(hex(substring(col("media"), 1, 16))).as("content_fp"),
+        octet_length(col("media")).as("media_bytes"))
+      .groupBy(col("content_fp"))
+      .agg(count(lit(1)).as("n_media"),
+        min(col("doc_id")).as("keep_id"),
+        countDistinct(col("format")).as("n_formats"),
+        sum(col("media_bytes").cast(LongType)).as("total_bytes"))
+      .orderBy(col("keep_id"))
+
   /** (doc_id, phash) per media row — the perceptual-hash column other
     * operators build on (m05's groups, Dedup's d17 cross-signal
     * clusters). One codec per partition, map-only. */
@@ -216,6 +240,7 @@ object Multimodal {
     "m03_media_stats" -> m03_media_stats,
     "m04_sample_assembly" -> m04_sample_assembly,
     "m05_phash_groups" -> m05_phash_groups,
+    "m06_media_dedup_groups" -> m06_media_dedup_groups,
   )
 
   val oracles: Map[String, String] = Map(
@@ -252,6 +277,20 @@ object Multimodal {
         |  emb.emb_dim, emb.emb_norm
         |FROM documents d JOIN med USING (doc_id) JOIN emb USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // the engine fingerprints substring(media, 1, 16) = the synthesized
+    // payload's content half = unhex(md5(text)); the oracle mirrors it
+    // as md5(text) directly. format is the doc_id % 3 synthesis formula.
+    "m06_media_dedup_groups" ->
+      """SELECT md5(text) AS content_fp,
+        |  COUNT(*) AS n_media,
+        |  MIN(doc_id) AS keep_id,
+        |  CAST(COUNT(DISTINCT
+        |    ['jpeg','png','webm'][CAST(doc_id % 3 + 1 AS INT)])
+        |    AS BIGINT) AS n_formats,
+        |  CAST(COUNT(*) * 128 AS BIGINT) AS total_bytes
+        |FROM documents
+        |GROUP BY md5(text)
+        |ORDER BY keep_id""".stripMargin,
   )
 }
 

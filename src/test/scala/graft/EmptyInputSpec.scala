@@ -55,6 +55,7 @@ class EmptyInputSpec extends AnyFunSuite {
     "t01_lang_id", "t02_quality", "t03_tokens", "t04_fingerprint",
     "s01_ann_bruteforce", "s02_ann_lsh", "s03_ann_ivf", "s06_quantize_int8",
     "q69_funnel", "m03_media_stats", "m05_phash_groups",
+    "m06_media_dedup_groups",
     "t16_bm25", "t17_shards", "d18_source_overlap", "s07_label_centroids",
     "t18_lm_perplexity", "d19_repeated_ngrams", "s08_semantic_decontam",
     "d20_bloom_decontam", "d21_crossmodal_cc", "d22_substring_pairs",

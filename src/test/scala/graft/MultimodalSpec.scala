@@ -174,4 +174,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.forall(
       _.getAs[scala.collection.Seq[Float]]("features").length == 8))
   }
+
+  test("m06 content-fp groups agree with d01's exact-text groups") {
+    // the media fingerprint is the payload's content half, which the
+    // synthesis derives from the text alone — so m06's dedup groups
+    // must be EXACTLY d01's (same hubs, same member counts), proving
+    // the media grouping core runs d01's semantics over the media
+    // column rather than accidentally keying on anything doc-specific
+    val sfDir = "/root/testdata/sf0.001"
+    val m06 = operators.Multimodal.m06_media_dedup_groups(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_media")).toMap
+    val d01 = operators.Dedup.d01_dedup_exact(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_copies")).toMap
+    CacheScope.releaseAll()
+    assert(m06.nonEmpty && m06 == d01,
+      s"media groups diverged from exact-text truth (m06=${m06.size} " +
+        s"groups, d01=${d01.size})")
+  }
 }

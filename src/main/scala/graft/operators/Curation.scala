@@ -750,6 +750,56 @@ object Curation {
       .orderBy(col("shard"), col("pos"))
   }
 
+  /** p04 — the SEMANTIC training-data build: p03's capstone shape
+    * with the embedding-graph arm closing the loop. Where p03
+    * canonicalizes via d29 (pair-graph clusters from textual n-gram
+    * similarity), p04's canonical set comes from the semantic
+    * pipeline: s14's kNN graph → s15's LPA communities → s17's
+    * community-scoped keep rule, the way d29 closed d09's loop.
+    *   1. curate — p01/p03's stage-1 quality gates + exact-dup
+    *      first-wins (verbatim);
+    *   2. semantic canonical set — keep every doc whose embedding
+    *      (vec_id = doc_id, m04's join convention) survives s17's
+    *      domination rule; docs with no embedding row carry no
+    *      semantic signal and stay (a real deployment embeds
+    *      everything, making the left join total);
+    *   3. manifest — t17's hash shard + position plan over the
+    *      survivors (verbatim formula, shared [[shardPlan]] code).
+    * Every stage is the proven standalone operator's exact formula,
+    * so the oracle chains the same CTE fragments — including the
+    * whole LPA round chain ([[Similarity.lpaDomChainSql]]).
+    *
+    * Scale = s17's (the LPA rounds + community-capped pair join
+    * dominate; the doc side adds one window and one map-only gate).
+    */
+  def p04_semantic_build: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    // stage 1: curate (p03 stage-1 formulas verbatim)
+    val nTokW = size(split(col("text"), "\\s+"))
+    val nChars = length(col("text"))
+    val nPunct = size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0)))
+    val fpc = md5(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
+    val wFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    val curated = docs
+      .select(col("doc_id"), col("text"), fpc.as("fp"), nTokW.as("n_tokens"),
+        graft.Tables.rhalfup(try_divide(nPunct.cast(DoubleType),
+          nChars.cast(DoubleType)), 6).as("punct_ratio"),
+        TextAnalysis.predLangCol(lower(col("text"))).as("pred_lang"))
+      .withColumn("rn", row_number().over(wFp))
+      .filter(col("rn") === 1 && col("pred_lang") =!= "und" &&
+        col("n_tokens") >= 5 && col("punct_ratio") < 0.2)
+      .select(col("doc_id"), col("text"))
+    // stage 2: semantic keep rule (s17 verbatim over the embeddings)
+    val verdicts = Similarity
+      .communityDedup(Tables.embeddings(s, d), Similarity.S17MaxExactCommunity)
+      .select(col("vec_id").as("doc_id"), col("kept"))
+    val canon = curated.join(verdicts, Seq("doc_id"), "left")
+      .filter(coalesce(col("kept"), lit(true)))
+      .select(col("doc_id"), col("text"))
+    // stage 3: manifest (t17's shard plan, shared code)
+    shardPlan(canon)
+  }
+
   /** p02 — the INCREMENTAL pipeline (p01 is the bootstrap; this is
     * the daily run): a delivery slice (doc_id % 10 == 7, the d12
     * convention) screened against the STANDING corpus and a held-out
@@ -864,9 +914,54 @@ object Curation {
     "t13_seq_pack" -> t13_seq_pack,
     "t14_lm_quality" -> t14_lm_quality,
     "d12_incremental_dedup" -> d12_incremental_dedup,
+    "p04_semantic_build" -> p04_semantic_build,
   )
 
   val oracles: Map[String, String] = Map(
+    "p04_semantic_build" -> {
+      val (scores, pred) = TextAnalysis.langOracleSql
+      s"""WITH ${Similarity.lpaDomChainSql},
+         |keptv AS (
+         |  SELECT c.vec_id AS doc_id, dom.dominated_by IS NULL AS kept
+         |  FROM com c LEFT JOIN dom USING (vec_id)),
+         |scored AS (
+         |  SELECT doc_id, text,
+         |    $scores,
+         |    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+         |    len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
+         |    length(text) AS n_chars,
+         |    len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id)
+         |    AS rn
+         |  FROM scored),
+         |curated AS MATERIALIZED (
+         |  SELECT doc_id, text FROM ranked
+         |  WHERE rn = 1 AND ($pred) <> 'und' AND n_tokens >= 5
+         |    AND floor(CAST(n_punct AS DOUBLE) / n_chars * 1e6 + 0.5) / 1e6
+         |      < 0.2),
+         |canon AS MATERIALIZED (
+         |  SELECT cu.doc_id, cu.text FROM curated cu
+         |  LEFT JOIN keptv k ON k.doc_id = cu.doc_id
+         |  WHERE COALESCE(k.kept, TRUE)),
+         |dsh AS (
+         |  SELECT doc_id,
+         |    len(list_filter(regexp_split_to_array(text, '\\s+'),
+         |      x -> x <> '')) AS n_tokens,
+         |    (doc_id % 2147483648 * 2654435761) % 4294967296 AS h
+         |  FROM canon),
+         |ash AS (SELECT doc_id, n_tokens, h,
+         |    CAST(h % 8 AS INT) AS shard FROM dsh)
+         |SELECT doc_id, shard,
+         |  CAST(ROW_NUMBER() OVER w AS INT) AS pos,
+         |  CAST(n_tokens AS INT) AS n_tokens,
+         |  CAST(SUM(n_tokens) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+         |    AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |FROM ash
+         |WINDOW w AS (PARTITION BY shard ORDER BY h, doc_id)
+         |ORDER BY shard, pos""".stripMargin
+    },
     "p03_training_build" -> {
       val (scores, pred) = TextAnalysis.langOracleSql
       s"""WITH RECURSIVE scored AS (

@@ -1045,7 +1045,7 @@ object Similarity {
   /** The s15 LPA oracle chain (knn → symmetrized+self-loop edges →
     * l0..lN rounds) as a WITH body — one source for the s15 and s17
     * oracles so a drifted copy cannot make them disagree. */
-  private def lpaChainSql: String =
+  private[graft] def lpaChainSql: String =
     s"""knn AS MATERIALIZED (
        |  SELECT vec_id, nn_id FROM (
        |    SELECT a.vec_id, b.vec_id AS nn_id,
@@ -1064,6 +1064,24 @@ object Similarity {
        |  SELECT vec_id, vec_id FROM embeddings),
        |l0 AS (SELECT vec_id AS node, vec_id AS lbl FROM embeddings),
        |${(1 to LpaRounds).map(lpaRoundCte).mkString(",\n")}""".stripMargin
+
+  /** [[lpaChainSql]] extended with the s17 domination CTEs (`com` =
+    * final LPA labels, `dom` = per-victim min community dominator at
+    * cosine ≥ τ) — shared by the s17 oracle and the p04 pipeline
+    * oracle so the keep rule cannot drift between them. */
+  private[graft] def lpaDomChainSql: String =
+    s"""$lpaChainSql,
+       |com AS MATERIALIZED (
+       |  SELECT node AS vec_id, lbl AS community FROM l$LpaRounds),
+       |dom AS (
+       |  SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS dominated_by
+       |  FROM embeddings a, com ca, embeddings b, com cb
+       |  WHERE ca.vec_id = a.vec_id AND cb.vec_id = b.vec_id
+       |    AND ca.community = cb.community AND a.vec_id < b.vec_id
+       |    AND round(list_cosine_similarity(
+       |      CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4)
+       |      >= ${Dedup.D15Tau}
+       |  GROUP BY b.vec_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "s11_mmr" -> s11OracleSql,
@@ -1277,18 +1295,7 @@ object Similarity {
          |  ON c.lbl = l.lbl
          |ORDER BY vec_id""".stripMargin,
     "s17_community_dedup" ->
-      s"""WITH $lpaChainSql,
-         |com AS MATERIALIZED (
-         |  SELECT node AS vec_id, lbl AS community FROM l$LpaRounds),
-         |dom AS (
-         |  SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS dominated_by
-         |  FROM embeddings a, com ca, embeddings b, com cb
-         |  WHERE ca.vec_id = a.vec_id AND cb.vec_id = b.vec_id
-         |    AND ca.community = cb.community AND a.vec_id < b.vec_id
-         |    AND round(list_cosine_similarity(
-         |      CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4)
-         |      >= ${Dedup.D15Tau}
-         |  GROUP BY b.vec_id)
+      s"""WITH $lpaDomChainSql
          |SELECT c.vec_id, c.community, dom.dominated_by,
          |  dom.dominated_by IS NULL AS kept
          |FROM com c LEFT JOIN dom USING (vec_id)

@@ -352,6 +352,29 @@ class CurationSpec extends AnyFunSuite {
       37L -> "near_dup", 47L -> "contaminated", 57L -> "curate"))
   }
 
+  test("p04 manifest excludes s17-dominated docs and keeps t17 shard math") {
+    import spark.implicits._
+    val p04 = operators.Curation.p04_semantic_build(spark, sfDir).collect()
+    val dominated = operators.Similarity.s17_community_dedup(spark, sfDir)
+      .filter(!col("kept")).select("vec_id").as[Long].collect().toSet
+    CacheScope.releaseAll()
+    assert(p04.nonEmpty && dominated.nonEmpty,
+      "fixture exercises neither arm — vacuous")
+    val ids = p04.map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.intersect(dominated).isEmpty,
+      s"semantically dominated docs survived: ${ids.intersect(dominated)}")
+    // the manifest core stays t17's: per-shard positions are 1..n and
+    // cum_tokens is the running token sum in position order
+    p04.groupBy(_.getAs[Int]("shard")).foreach { case (shard, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("pos"))
+      assert(sorted.map(_.getAs[Int]("pos")).toSeq == (1 to sorted.length),
+        s"shard $shard positions not contiguous")
+      val cums = sorted.scanLeft(0L)(_ + _.getAs[Int]("n_tokens")).tail
+      assert(sorted.map(_.getAs[Long]("cum_tokens")).toSeq == cums.toSeq,
+        s"shard $shard cum_tokens drifted from the running sum")
+    }
+  }
+
   test("t17 shard plan is reproducible and complete") {
     val a = operators.Curation.t17_shards(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"), r.getAs[Int]("pos")))

@@ -346,6 +346,20 @@ class PlanSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("p04 chains the persisted LPA arm; manifest windows partition by shard") {
+    val p = plan("p04_semantic_build")
+    // the semantic arm rides s17's persisted community frame and s15's
+    // combinable vote argmax — composing into the pipeline must not
+    // re-derive them with weaker plans
+    assert(p.contains("InMemoryTableScan"))
+    assert(p.contains("partial_max(struct(n"))
+    // the manifest window partitions by shard (t13/t17's sharded-cumsum
+    // discipline) — a global (empty-partition) window would serialize
+    // the whole manifest through one task
+    assert(p.contains("windowspecdefinition(shard"))
+    CacheScope.releaseAll()
+  }
+
   test("d24 first-wins combines map-side; line text never keys a shuffle") {
     val p = plan("d24_line_dedup")
     // first-wins is min(struct(doc_id, line_no)) per digest with a

@@ -111,34 +111,92 @@ object TextAnalysis {
     * to parquet via [[winnowPairsWriter]] instead of returning them.
     */
   def winnowPairs(s: SparkSession, d: String): DataFrame = {
+    val postings = winnowPostings(s, d)
+    val a = postings.select(col("fp"), col("doc_id").as("id_a"))
+    val b = postings.select(col("fp"), col("doc_id").as("id_b"))
+    a.join(b, Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= 5)
+  }
+
+  /** Shared posting-list core of the winnowing pair builds: per-doc
+    * fingerprints exploded, then restricted to fingerprints surviving
+    * the stoplist band. PERSISTED — both pair builds re-read it.
+    *
+    * The stoplist cap must scale with the corpus: an ABSOLUTE cap
+    * stoplists a near-dup family's every fingerprint once the corpus
+    * replicates it past the cap (measured: 10× data → 0 output rows),
+    * so like MOSS we cap at a corpus FRACTION (0.4%), floored at 20
+    * so small corpora (≤5k docs — every driver SF) keep the exact
+    * historical cap. The total arrives as a 1-row broadcast, not a
+    * driver-side collect. df-count FIRST (count-only aggregate — no
+    * posting-list buffers), THEN keep postings of surviving
+    * fingerprints: a boilerplate fingerprint shared by millions of
+    * docs never materializes a collect_list buffer on one executor.
+    */
+  private[graft] def winnowPostings(s: SparkSession, d: String): DataFrame = {
     import graft.functions.TextHashFunctions.winnow_fingerprints
     val docs = graft.CacheScope.persisted(
       Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
           explode(winnow_fingerprints(col("text"), 8, 4)).as("fp")))
-    // The stoplist cap must scale with the corpus: an ABSOLUTE cap
-    // stoplists a near-dup family's every fingerprint once the corpus
-    // replicates it past the cap (measured: 10× data → 0 output rows),
-    // so like MOSS we cap at a corpus FRACTION (0.4%), floored at 20
-    // so small corpora (≤5k docs — every driver SF) keep the exact
-    // historical cap. The total arrives as a 1-row broadcast, not a
-    // driver-side collect.
     val total = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
-    // df-count FIRST (count-only aggregate — no posting-list buffers),
-    // THEN keep postings of surviving fingerprints: a boilerplate
-    // fingerprint shared by millions of docs never materializes a
-    // collect_list buffer on one executor
     val rare = docs.groupBy(col("fp"))
       .agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(total))
       .filter(col("df") >= 2 &&
         col("df") <= greatest(lit(20L), col("n_docs") / 250L))
       .select(col("fp"))
-    val postings = docs.join(rare, Seq("fp"))
-    val a = postings.select(col("fp"), col("doc_id").as("id_a"))
-    val b = postings.select(col("fp"), col("doc_id").as("id_b"))
-    a.join(b, Seq("fp"))
+    graft.CacheScope.persisted(docs.join(rare, Seq("fp")))
+  }
+
+  /** Anchor cap for [[winnowPairsAnchored]]: a fingerprint pairs only
+    * its [[T05AnchorC]] lowest-id postings against the rest. Equal to
+    * the stoplist FLOOR, so at every corpus size where the fractional
+    * stoplist bottoms out at its floor (all driver SFs — ≤ 5k docs)
+    * df ≤ C and the anchored build is IDENTICAL to the exact one; the
+    * cap only engages where the scaling stoplist admits hot
+    * family fingerprints (df up to 0.4% of the corpus). */
+  private[graft] val T05AnchorC = 20
+
+  /** Bounded pair build for the default t05 surface: per fingerprint,
+    * pair the C lowest-id posting rows (the ANCHORS) against every
+    * higher-id posting. Emitting on `anchor_id < partner_id` yields
+    * each pair at most once per posting-row combination — exactly the
+    * full build's multiset when df ≤ C, a SUBSET of it otherwise
+    * (pairs whose lower id is outside the anchor set are skipped, and
+    * a reported pair's shared_fps counts only anchor-witnessed
+    * fingerprints — never more than the truth).
+    *
+    * Why anchors keep duplicate FAMILIES complete: members of a
+    * replicated family share posting lists, so every member pairs
+    * with the family's lowest-C ids with the FULL shared count — each
+    * member is reported, its max_shared is exact, and its exemplars
+    * are real partners. What the cap sacrifices is only the O(m²)
+    * interior of an m-member family (partner LISTS saturate around
+    * the anchors), which is exactly the mass [[winnowPairsWriter]]
+    * exists to serve.
+    *
+    * Scale: candidate rows per fingerprint drop from df² to C·df, so
+    * the whole build is Σ C·df = C·|postings| — linear in the corpus
+    * (measured at 25× driver scale: 713M candidates → ≤ 55M). The
+    * anchor set comes from the bounded [[graft.functions.TopKPairsAgg]]
+    * (score = −doc_id ⇒ k smallest ids), map-side combinable — no
+    * per-fingerprint window, honoring the t05 skew discipline.
+    */
+  private[graft] def winnowPairsAnchored(s: SparkSession, d: String,
+      c: Int): DataFrame = {
+    import graft.functions.TopKPairsAgg.top_k_by
+    val postings = winnowPostings(s, d)
+    val anchors = postings.groupBy(col("fp"))
+      .agg(top_k_by(-col("doc_id"), col("doc_id"), c).as("anch"))
+      .select(col("fp"), explode(col("anch")).as("a"))
+      .select(col("fp"), col("a._2").as("id_a"))
+    anchors.join(postings.select(col("fp"), col("doc_id").as("id_b")),
+        Seq("fp"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared_fps"))
@@ -161,14 +219,15 @@ object TextAnalysis {
   }
 
   /** Rolling-hash near-duplicate detection (winnowing / MOSS), bounded
-    * default surface: the pair listing from [[winnowPairs]] reduced to
-    * ONE row per matched document — partner count, best score, and the
-    * top-3 exemplar partners. The full pair listing grows with the
-    * corpus's duplicate-family mass (measured 46,000× at 25× data —
-    * the scaled corpus's families, not a plan defect), so the default
-    * query emits O(docs) rows no matter how duplicate-heavy the corpus
-    * is; the complete listing is an explicit parquet sink
-    * ([[winnowPairsWriter]]).
+    * default surface: the anchored pair build ([[winnowPairsAnchored]]
+    * — identical to [[winnowPairs]] at driver SFs, linear above them)
+    * reduced to ONE row per matched document — partner count, best
+    * score, and the top-3 exemplar partners. The full pair listing
+    * grows with the corpus's duplicate-family mass (measured 46,000×
+    * at 25× data — the scaled corpus's families, not a plan defect),
+    * so the default query bounds BOTH its output (O(docs) rows) and
+    * its compute (anchor-capped candidates); the complete listing is
+    * an explicit parquet sink ([[winnowPairsWriter]]).
     *
     * Exemplars come from the bounded [[graft.functions.TopKPairsAgg]]
     * (O(k) buffer, map-side combinable) rather than a per-doc window —
@@ -185,8 +244,12 @@ object TextAnalysis {
   def t05_winnow_neardup: Q = (s, d) => {
     import graft.functions.TopKPairsAgg.top_k_by
     // persisted: the symmetrize union references `pairs` twice — one
-    // inverted-index build, not two
-    val pairs = graft.CacheScope.persisted(winnowPairs(s, d))
+    // inverted-index build, not two. The pair build is the ANCHORED
+    // one ([[winnowPairsAnchored]]): identical to the exact listing at
+    // every driver SF, linear instead of quadratic in a scaled
+    // corpus's duplicate-family mass.
+    val pairs = graft.CacheScope.persisted(
+      winnowPairsAnchored(s, d, T05AnchorC))
     val sym = pairs.select(col("id_a").as("doc_id"),
         col("id_b").as("partner"), col("shared_fps"))
       .unionAll(pairs.select(col("id_b").as("doc_id"),

@@ -229,6 +229,55 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("t05 anchored pair build: exact under the cap, family-complete subset above it") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    // a 6-member duplicate family (df = 6 on every family fingerprint)
+    // plus unrelated docs; anchor cap 2 < 6 < 20 exercises the capped
+    // path while the stoplist floor keeps every fingerprint alive
+    val famText = ("winnowing anchors bound the pair mass of replicated " +
+      "duplicate families without losing any member of the family ") * 4
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val rows: Seq[Row] =
+      (1L to 6L).map(i => Row(i, famText, "en", "src0", famText.length.toLong)) ++
+        Seq(Row(50L, "completely different content about spark plans and " +
+          "shuffles that matches nobody in this corpus at all", "en", "src0", 100L),
+          Row(60L, "another unrelated document talking about parquet " +
+            "footers and column pruning exclusively", "en", "src0", 90L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-anchor").toString
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
+      df.as[(Long, Long, Long)].collect()
+        .map { case (a, b, n) => (a, b) -> n }.toMap
+    val exact = pairsOf(operators.TextAnalysis.winnowPairs(spark, dir))
+    CacheScope.releaseAll()
+    val capped = pairsOf(
+      operators.TextAnalysis.winnowPairsAnchored(spark, dir, 2))
+    CacheScope.releaseAll()
+    val wide = pairsOf(
+      operators.TextAnalysis.winnowPairsAnchored(spark, dir,
+        operators.TextAnalysis.T05AnchorC))
+    CacheScope.releaseAll()
+    assert(exact.size == 15, s"family should form all 15 pairs, got $exact")
+    // cap ABOVE every df: anchored build is the exact build, verbatim
+    assert(wide == exact)
+    // cap BELOW the family size: a subset anchored at the lowest ids,
+    // with exact counts on every reported pair
+    assert(capped.keySet == exact.keySet.filter { case (a, _) => a <= 2 })
+    capped.foreach { case (k, n) => assert(n == exact(k),
+      s"pair $k count $n != exact ${exact(k)}") }
+    // family completeness: every doc in the exact listing still
+    // appears in the capped one (as either side)
+    val docsOf = (m: Map[(Long, Long), Long]) =>
+      m.keySet.flatMap { case (a, b) => Set(a, b) }
+    assert(docsOf(capped) == docsOf(exact))
+  }
+
   test("winnowPairsWriter round-trips the full listing through parquet") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-winnow").toString

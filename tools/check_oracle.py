@@ -92,6 +92,17 @@ def main(sf_dir: str, out_dir: str, only=None, timeout=None) -> int:
     import os
     import threading
     con = duckdb.connect()
+    # Resource guards: scaled-SF oracle runs can spill big — an
+    # uncapped run once filled the disk with 75 GB of duckdb_temp_*
+    # blocks (in the CWD by default, i.e. inside the repo). Pin the
+    # spill to /tmp and cap it; overridable via env for bigger boxes.
+    tmp = os.environ.get("GRAFT_DUCK_TMP", "/tmp/graft_duck_tmp")
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmp}'")
+    con.execute("SET max_temp_directory_size='"
+                + os.environ.get("GRAFT_DUCK_TMP_MAX", "30GB") + "'")
+    if os.environ.get("GRAFT_DUCK_MEM"):
+        con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCK_MEM']}'")
     for t in TABLES:
         # driver testdata is a single file; ScaleGen output is a
         # Spark-style directory of part files — glob accordingly

@@ -350,6 +350,55 @@ object Dedup {
     array(sig +: (0 until LshPlanes).map(p =>
       sig.bitwiseXOR(shiftleft(lit(1), p))): _*)
 
+  /** Shared two-tier SemDeDup domination core — the pair join behind
+    * [[d15_semantic_dedup]] (scope = `label` blocks) and
+    * [[Similarity.s17_community_dedup]] (scope = LPA communities).
+    * `withScope` carries (scope, __n = scope size, vec_id, embedding);
+    * returns (vec_id, dominated_by = min lower-id scope member at
+    * cosine ≥ τ), only for dominated vectors.
+    *
+    * Scopes at or under `maxExact` members pay the exact c² pair
+    * join; larger ones route through the hyperplane-LSH bucket join
+    * ([[lshSignature]] multi-probe — a dominating near-twin collides
+    * with its victim's bucket or a hamming-1 probe with high
+    * probability), so cost above the ceiling is ∝ bucket collisions,
+    * never c². Multi-probe can surface the same (victim, dominator)
+    * via several buckets; the min(dom_id) aggregate absorbs the
+    * duplicates. The oracle-checked SFs keep every scope under the
+    * ceiling, so the approximate tier never fires there — the
+    * d05/s14 guarantee.
+    */
+  private[graft] def scopedDomination(withScope: DataFrame, maxExact: Long,
+      tau: Double): DataFrame = {
+    val s = withScope.sparkSession
+    def domPairs(pairs: DataFrame): DataFrame = pairs
+      .filter(col("dom_id") < col("vec_id"))
+      .filter(round(cosine_similarity(col("emb_a"), col("emb_b")), 4) >= tau)
+      .select(col("vec_id"), col("dom_id"))
+
+    val small = withScope.filter(col("__n") <= maxExact)
+    val exact = domPairs(
+      small.select(col("scope"), col("vec_id").as("dom_id"),
+          col("embedding").as("emb_a"))
+        .join(small.select(col("scope"), col("vec_id"),
+          col("embedding").as("emb_b")), Seq("scope")))
+
+    val big = withScope.filter(col("__n") > maxExact)
+    val corpus = big.select(col("scope"), col("vec_id").as("dom_id"),
+      col("embedding").as("emb_a"),
+      lshSignature(s, col("embedding")).as("bucket"))
+    val probes = big.select(col("scope"), col("vec_id"),
+        col("embedding").as("emb_b"),
+        lshSignature(s, col("embedding")).as("sig"))
+      .select(col("scope"), col("vec_id"), col("emb_b"),
+        explode(lshProbeArray(col("sig"))).as("bucket"))
+    val approx = domPairs(corpus.join(probes, Seq("scope", "bucket")))
+
+    exact.unionByName(approx)
+      .groupBy(col("vec_id"))
+      .agg(min(col("dom_id")).as("dominated_by"))
+  }
+
   /** Corpus-level (group-vs-group) similarity via the custom
     * [[graft.functions.MinHashUnionAgg]] typed aggregator: one map-side
     * pass computes a union MinHash signature per source, then the tiny
@@ -810,25 +859,28 @@ object Dedup {
     * id needs only one pair join and one aggregate, and DuckDB mirrors
     * it exactly).
     *
-    * Scale shape: identical to [[d05_embedding_neardup]] — within-
-    * block pair join, O(B²) per block, so the same `D05MaxExactBlock`
-    * ceiling argument applies (blocks beyond it take the hyperplane-
-    * LSH route in production; the oracle-checked SFs stay under the
-    * ceiling). One shuffle on label, one aggregate on vec_id.
+    * Scale shape: identical to [[d05_embedding_neardup]] — the shared
+    * [[scopedDomination]] two-tier core with scope = `label`: blocks
+    * at or under `D05MaxExactBlock` pay the exact within-block pair
+    * join; larger blocks route through the hyperplane-LSH bucket
+    * join, so no block size can go quadratic. The oracle-checked SFs
+    * stay under the ceiling (exact tier only). One shuffle on label,
+    * one aggregate on vec_id.
     */
   def d15_semantic_dedup: Q = (s, d) =>
     semanticDedup(Tables.embeddings(s, d), D15Tau)
 
-  private[graft] def semanticDedup(e: DataFrame, tau: Double): DataFrame = {
-    val a = e.select(col("label"), col("vec_id").as("dom_id"),
-      col("embedding").as("emb_a"))
-    val b = e.select(col("label"), col("vec_id"), col("embedding").as("emb_b"))
-    val dom = a.join(b, Seq("label"))
-      .filter(col("dom_id") < col("vec_id"))
-      .filter(round(cosine_similarity(col("emb_a"), col("emb_b")), 4) >= tau)
-      .groupBy(col("vec_id"))
-      .agg(min(col("dom_id")).as("dominated_by"))
-    e.select(col("vec_id"), col("label"))
+  private[graft] def semanticDedup(e: DataFrame, tau: Double,
+      maxBlock: Long = D05MaxExactBlock): DataFrame = {
+    // one persisted size-annotated frame feeds all pair-join sides and
+    // the final carry — the corpus is scanned once, not five times
+    val sized = graft.CacheScope.persisted(
+      e.join(broadcast(e.groupBy(col("label")).agg(count(lit(1)).as("__n"))),
+          Seq("label"))
+        .select(col("label").as("scope"), col("__n"), col("vec_id"),
+          col("embedding")))
+    val dom = scopedDomination(sized, maxBlock, tau)
+    sized.select(col("vec_id"), col("scope").as("label"))
       .join(dom, Seq("vec_id"), "left")
       .withColumn("kept", col("dominated_by").isNull)
       .orderBy(col("vec_id"))

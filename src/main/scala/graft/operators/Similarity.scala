@@ -139,43 +139,16 @@ object Similarity {
 
   private[graft] def communityDedup(e: DataFrame, maxExact: Long): DataFrame = {
     // one persisted (community, csize, vec_id, embedding) frame feeds
-    // all four pair-join sides AND the final carry — the corpus is
-    // scanned once, not five times
+    // all pair-join sides AND the final carry — the corpus is scanned
+    // once, not five times. The pair join itself is the shared
+    // [[Dedup.scopedDomination]] two-tier core with scope = community.
     val withCom = graft.CacheScope.persisted(
       e.join(communitiesOf(e).select(col("vec_id"), col("community"),
         col("csize")), Seq("vec_id"))
-        .select(col("community"), col("csize"), col("vec_id"),
-          col("embedding")))
-    def domPairs(pairs: DataFrame): DataFrame = pairs
-      .filter(col("dom_id") < col("vec_id"))
-      .filter(round(cosine_similarity(col("emb_a"), col("emb_b")), 4)
-        >= Dedup.D15Tau)
-      .select(col("vec_id"), col("dom_id"))
-
-    val small = withCom.filter(col("csize") <= maxExact)
-    val exact = domPairs(
-      small.select(col("community"), col("vec_id").as("dom_id"),
-          col("embedding").as("emb_a"))
-        .join(small.select(col("community"), col("vec_id"),
-          col("embedding").as("emb_b")), Seq("community")))
-
-    val big = withCom.filter(col("csize") > maxExact)
-    val corpus = big.select(col("community"), col("vec_id").as("dom_id"),
-      col("embedding").as("emb_a"),
-      Dedup.lshSignature(e.sparkSession, col("embedding")).as("bucket"))
-    val probes = big.select(col("community"), col("vec_id"),
-        col("embedding").as("emb_b"),
-        Dedup.lshSignature(e.sparkSession, col("embedding")).as("sig"))
-      .select(col("community"), col("vec_id"), col("emb_b"),
-        explode(Dedup.lshProbeArray(col("sig"))).as("bucket"))
-    // multi-probe can surface the same (victim, dominator) via several
-    // buckets; the min(dom_id) aggregate absorbs the duplicates
-    val approx = domPairs(corpus.join(probes, Seq("community", "bucket")))
-
-    val dom = exact.unionByName(approx)
-      .groupBy(col("vec_id"))
-      .agg(min(col("dom_id")).as("dominated_by"))
-    withCom.select(col("vec_id"), col("community"))
+        .select(col("community").as("scope"), col("csize").as("__n"),
+          col("vec_id"), col("embedding")))
+    val dom = Dedup.scopedDomination(withCom, maxExact, Dedup.D15Tau)
+    withCom.select(col("vec_id"), col("scope").as("community"))
       .join(dom, Seq("vec_id"), "left")
       .select(col("vec_id"), col("community"), col("dominated_by"),
         col("dominated_by").isNull.as("kept"))

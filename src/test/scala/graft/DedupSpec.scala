@@ -418,6 +418,37 @@ class DedupSpec extends AnyFunSuite {
     assert(got(5L) == (false, Some(4L)))
   }
 
+  test("d15 routes oversize blocks through LSH: subset-of-truth, twins still caught") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, "a", Array(1f, 0f, 0f)),
+      (2L, "a", Array(2f, 0f, 0f)),   // identical direction to v1
+      (3L, "a", Array(0f, 1f, 0f)),
+      (4L, "b", Array(1f, 0f, 0f)),
+      (5L, "b", Array(1f, 0.1f, 0f)), // near-twin of v4 (cos ≈ 0.995)
+    ).toDF("vec_id", "label", "embedding")
+    def collectDom(maxBlock: Long) =
+      operators.Dedup.semanticDedup(e, 0.9, maxBlock).collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          Option(r.getAs[java.lang.Long]("dominated_by")).map(_.longValue()))
+        .toMap
+    val exact = collectDom(Long.MaxValue)
+    CacheScope.releaseAll()
+    // ceiling 0: every block is "oversize" — all rows take the LSH path
+    val approx = collectDom(0L)
+    CacheScope.releaseAll()
+    // every vector still carried; no fabricated dominations (LSH
+    // candidates ⊆ all pairs, so a reported dominator must be real)
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (v, d) =>
+      assert(d.isEmpty || d == exact(v),
+        s"LSH tier fabricated dominator $d for $v (exact ${exact(v)})")
+    }
+    // exact same-direction twins always share a bucket — the LSH tier
+    // must catch them
+    assert(approx(2L) == Some(1L))
+  }
+
   test("d21 hub-and-spoke edges are linear and cluster like the clique") {
     import spark.implicits._
     // k1 = {2,5,9} → hub 2, two spokes; k2 singleton → no edge

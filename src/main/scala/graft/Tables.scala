@@ -88,7 +88,13 @@ object Tables {
     * DECIMAL(28,6), sum exactly, and cast back — bit-identical results
     * regardless of partitioning/summation order, which a plain
     * double-sum cannot guarantee under parallelism.
-    * SQL mirror: CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE).
+    * SQL mirror: CAST(CAST(SUM(CAST(x AS DECIMAL(28,6))) AS VARCHAR)
+    * AS DOUBLE) — the VARCHAR hop is load-bearing: DuckDB's direct
+    * DECIMAL→DOUBLE cast converts the int128 payload to double BEFORE
+    * descaling, so once the scaled sum passes 2^53 the result is not
+    * correctly rounded (observed 1-ulp misses vs Spark on 25×-scale
+    * price sums, e.g. …769.25 vs …769.24997); the string parse is
+    * correctly rounded, matching Spark's BigDecimal.doubleValue.
     */
   def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     sum(c.cast(DecimalType(28, 6))).cast(DoubleType)

@@ -968,7 +968,7 @@ object Relational {
     * exactly; aggregates use the same DECIMAL(28,6) exact-sum pattern;
     * ORDER BY mirrors the Spark orderBy including null placement.
     */
-  private def DSUM(x: String) = s"CAST(SUM(CAST(($x) AS DECIMAL(28,6))) AS DOUBLE)"
+  private def DSUM(x: String) = s"CAST(CAST(SUM(CAST(($x) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)"
   private def DAVG(x: String) = s"${DSUM(x)} / COUNT($x)"
 
   val oracles: Map[String, String] = Map(
@@ -1235,9 +1235,9 @@ object Relational {
          |FROM orders GROUP BY 1, 2 ORDER BY o_year, o_month""".stripMargin,
     "q14_running_window" ->
       """SELECT user_id, event_id,
-        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
         |    PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
         |    AS running_value
         |FROM events ORDER BY user_id, event_id""".stripMargin,
     "q15_rollup" ->
@@ -1276,7 +1276,7 @@ object Relational {
     "q36_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
         |    AS sum_price
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
@@ -1286,10 +1286,10 @@ object Relational {
       """WITH e AS (
         |  SELECT user_id, event_id, value, epoch_ns(ts) AS ens FROM events)
         |SELECT user_id, event_id,
-        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
         |    PARTITION BY user_id ORDER BY ens
         |    RANGE BETWEEN 1000000000000 PRECEDING AND CURRENT ROW)
-        |    AS DOUBLE) AS sum_1000s,
+        |    AS VARCHAR) AS DOUBLE) AS sum_1000s,
         |  FIRST_VALUE(event_id) OVER (PARTITION BY user_id
         |    ORDER BY ens, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)

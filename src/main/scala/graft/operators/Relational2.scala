@@ -702,7 +702,7 @@ object Relational2 {
       // the Spark side's base⊕delta partial-aggregate merge
       """SELECT o_custkey,
         |  COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
         |    AS sum_price,
         |  MIN(o_totalprice) AS min_price,
         |  MAX(o_totalprice) AS max_price
@@ -732,7 +732,7 @@ object Relational2 {
     "q67_bloom_join" ->
       """SELECT l_returnflag,
         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM lineitem
         |WHERE l_orderkey IN (
         |  SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
@@ -814,7 +814,7 @@ object Relational2 {
     "q66_rolling_range" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         |  COUNT(*) OVER w AS n_1h,
-        |  CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sum_1h
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS VARCHAR) AS DOUBLE) AS sum_1h
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
@@ -872,8 +872,8 @@ object Relational2 {
     "q51_unpivot" ->
       """WITH w AS (
         |  SELECT l_returnflag,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sum_price,
         |    CAST(COUNT(*) AS DOUBLE) AS n_rows
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, measure, val
@@ -883,11 +883,11 @@ object Relational2 {
       """WITH a AS (
         |  SELECT l_returnflag,
         |    CAST(COUNT(*) AS DOUBLE) AS n,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sy,
-        |    CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
-        |    CAST(SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS syy,
-        |    CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sy,
+        |    CAST(CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |    CAST(CAST(SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS syy,
+        |    CAST(CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sxy
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag,
         |  CAST(n AS BIGINT) AS n_rows,
@@ -967,10 +967,10 @@ object Relational2 {
     "q60_median" ->
       """SELECT l_returnflag, l_linestatus,
         |  median(l_quantity) AS median_qty,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_quantity)
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) / COUNT(l_quantity)
         |    AS avg_qty,
         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |  floor((CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+        |  floor((CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
         |    / COUNT(l_quantity) - median(l_quantity)) * 1e6 + 0.5) / 1e6
         |    AS skew_gap
         |FROM lineitem GROUP BY l_returnflag, l_linestatus

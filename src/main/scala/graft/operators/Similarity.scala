@@ -1170,10 +1170,10 @@ object Similarity {
         |    END AS err_mean
         |  FROM p)
         |SELECT label, COUNT(*) AS n_vectors,
-        |  round(CAST(SUM(CAST(err_mean AS DECIMAL(28,6))) AS DOUBLE)
+        |  round(CAST(CAST(SUM(CAST(err_mean AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
         |    / COUNT(*), 6) AS avg_err,
         |  MAX(err_mean) AS max_err,
-        |  round(CAST(SUM(CAST(round(scale, 6) AS DECIMAL(28,6))) AS DOUBLE)
+        |  round(CAST(CAST(SUM(CAST(round(scale, 6) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
         |    / COUNT(*), 6) AS avg_scale
         |FROM e GROUP BY label ORDER BY label""".stripMargin,
     "s04_norm_stats" ->
@@ -1184,7 +1184,7 @@ object Similarity {
         |      AS norm
         |  FROM embeddings)
         |SELECT label, COUNT(*) AS n_vectors,
-        |  round(CAST(SUM(CAST(norm AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 4)
+        |  round(CAST(CAST(SUM(CAST(norm AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) / COUNT(*), 4)
         |    AS avg_norm,
         |  MIN(norm) AS min_norm, MAX(norm) AS max_norm
         |FROM n GROUP BY label ORDER BY label""".stripMargin,

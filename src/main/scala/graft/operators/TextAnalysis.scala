@@ -624,8 +624,14 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"),
         sum(floor(log2(col("pr")) * 1e6)).as("sm"))
       .select(col("doc_id"), col("n_bigrams"),
-        round(-col("sm") / col("n_bigrams") / 1e6, 4).as("cross_entropy"),
-        round(pow(lit(2.0), -col("sm") / col("n_bigrams") / 1e6), 4).as("ppl"))
+        // rhalfup, NOT round: -sm/n/1e6 is an exact integer ratio, so
+        // it can land exactly on a .00005 boundary where Spark's
+        // HALF_UP and DuckDB's multiply+nearest-even disagree
+        // (observed at 25× scale: 5.59505 → 5.5951 vs 5.595)
+        graft.Tables.rhalfup(-col("sm") / col("n_bigrams") / 1e6, 4)
+          .as("cross_entropy"),
+        graft.Tables.rhalfup(
+          pow(lit(2.0), -col("sm") / col("n_bigrams") / 1e6), 4).as("ppl"))
       .orderBy(col("doc_id"))
   }
 
@@ -1029,7 +1035,7 @@ object TextAnalysis {
        |  FROM base),
        |st AS (
        |  SELECT COUNT(*) AS n_docs,
-       |    CAST(SUM(CAST(dl AS DECIMAL(28,6))) AS DOUBLE) AS sum_dl,
+       |    CAST(CAST(SUM(CAST(dl AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS sum_dl,
        |    $dfSel
        |  FROM d),
        |sc AS (
@@ -1236,8 +1242,8 @@ object TextAnalysis {
         |    SUM(floor(log2(pr) * 1e6)) AS sm
         |  FROM bg JOIN p USING (bigram) GROUP BY doc_id)
         |SELECT doc_id, n_bigrams,
-        |  round(-sm / n_bigrams / 1e6, 4) AS cross_entropy,
-        |  round(pow(2.0, -sm / n_bigrams / 1e6), 4) AS ppl
+        |  floor(-sm / n_bigrams / 1e6 * 1e4 + 0.5) / 1e4 AS cross_entropy,
+        |  floor(pow(2.0, -sm / n_bigrams / 1e6) * 1e4 + 0.5) / 1e4 AS ppl
         |FROM s ORDER BY doc_id""".stripMargin,
     "t15_entropy" ->
       """WITH t AS (

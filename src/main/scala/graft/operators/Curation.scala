@@ -898,6 +898,60 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** p05 — budgeted epoch mixture: turn a token budget into a per-
+    * document repeat plan. Language strata get budget shares by
+    * temperature sampling over token mass (α=0.5 — share ∝ √tokens,
+    * d11's flatten rule applied to budgets instead of keep-rates), and
+    * each stratum's share becomes an epoch count capped at 4 — past ~4
+    * repetitions, additional epochs of the same data stop buying loss
+    * (the data-constrained scaling result), so an over-allocated small
+    * stratum is truncated rather than burned. The budget is 4× the
+    * corpus — the data-constrained regime where the budget EXCEEDS the
+    * unique data, so up-weighted small strata hit the repetition cap
+    * while the head stratum trains under 3 epochs (both branches live
+    * at every SF, since the testdata lang masses are ~3× skewed).
+    * Fractional epochs land as a per-document deterministic coin (the
+    * Knuth-hash idiom), so the emitted repeat_factor column IS the
+    * training plan: feeding each document repeat_factor times realizes
+    * the budget split exactly in expectation with zero RNG state.
+    *
+    * Determinism: per-stratum epochs are ONE fixed left-assoc double
+    * chain (budget·√tokens/Σ√tokens/tokens) — no cross-row float
+    * accumulation — micro-floored to an integer both engines agree
+    * on; everything per-document is integer arithmetic.
+    *
+    * Scale: one per-stratum aggregate (|langs| rows) broadcast back;
+    * the per-doc pass is map-side. Nothing grows beyond the scan.
+    */
+  def p05_epoch_mixture: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(array_remove(split(col("text"), "\\s+"), ""))
+          .cast(LongType).as("n_tokens"))
+    val byLang = toks.groupBy(col("lang"))
+      .agg(sum(col("n_tokens")).as("lang_tokens"))
+      .withColumn("sq", floor(sqrt(col("lang_tokens"))).cast(LongType))
+    val totals = byLang.agg(sum(col("lang_tokens")).as("total_tokens"),
+      sum(col("sq")).as("sq_sum"))
+    val rates = byLang.crossJoin(broadcast(totals))
+      .withColumn("budget", expr("total_tokens * 4"))
+      .withColumn("epochs_micro",
+        floor(least(col("budget").cast(DoubleType) * col("sq")
+          / col("sq_sum") / col("lang_tokens"), lit(4.0)) * 1000000L + 0.5)
+          .cast(LongType))
+      .select(col("lang"), col("lang_tokens"), col("epochs_micro"))
+    toks.join(broadcast(rates), Seq("lang"))
+      .withColumn("coin",
+        col("doc_id") % 2147483648L * 2654435761L % 4294967296L
+          % 1000000L)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("epochs_micro"),
+        (floor(col("epochs_micro") / 1000000.0).cast(LongType) +
+          when(col("coin") < col("epochs_micro") % 1000000L, 1L)
+            .otherwise(0L)).as("repeat_factor"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "p02_incremental" -> p02_incremental,
     "t22_dsir" -> t22_dsir,
@@ -915,9 +969,38 @@ object Curation {
     "t14_lm_quality" -> t14_lm_quality,
     "d12_incremental_dedup" -> d12_incremental_dedup,
     "p04_semantic_build" -> p04_semantic_build,
+    "p05_epoch_mixture" -> p05_epoch_mixture,
   )
 
   val oracles: Map[String, String] = Map(
+    "p05_epoch_mixture" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), lg AS (
+        |  SELECT lang, SUM(n_tokens) AS lang_tokens,
+        |    CAST(floor(sqrt(SUM(n_tokens))) AS BIGINT) AS sq
+        |  FROM t GROUP BY lang
+        |), tot AS (
+        |  SELECT SUM(lang_tokens) AS total_tokens, SUM(sq) AS sq_sum
+        |  FROM lg
+        |), rates AS (
+        |  SELECT lang, lang_tokens,
+        |    CAST(floor(least(
+        |        CAST(total_tokens * 4 AS DOUBLE) * sq / sq_sum
+        |          / lang_tokens,
+        |        4.0) * 1000000 + 0.5) AS BIGINT) AS epochs_micro
+        |  FROM lg, tot
+        |)
+        |SELECT t.doc_id, t.lang, t.n_tokens, r.epochs_micro,
+        |  epochs_micro // 1000000 +
+        |    CASE WHEN doc_id % 2147483648 * 2654435761 % 4294967296
+        |      % 1000000 < epochs_micro % 1000000 THEN 1 ELSE 0 END
+        |    AS repeat_factor
+        |FROM t JOIN rates r USING (lang)
+        |ORDER BY t.doc_id""".stripMargin,
     "p04_semantic_build" -> {
       val (scores, pred) = TextAnalysis.langOracleSql
       s"""WITH ${Similarity.lpaDomChainSql},

@@ -842,6 +842,37 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** d33 — leakage-free train/valid/test split: the fold assignment a
+    * training build runs AFTER near-duplicate clustering, because an
+    * id-hash split (q30's shape) leaks — two near-duplicates hash
+    * independently, so a test document's twin lands in train and the
+    * eval measures memorization instead of generalization. Here the
+    * hash unit is the duplicate CLUSTER: every document's fold key is
+    * its d09 cluster id (its own id when unclustered), so a transitive
+    * duplicate chain moves between folds as one atom and no verified
+    * pair ever straddles a fold boundary — by construction, not by
+    * audit. Fold rates converge to 80/10/10 over CLUSTERS, the correct
+    * unit, since leaking units is what the op exists to stop.
+    *
+    * Scale: d04's prefix-filtered pair build + the two-tier CC (both
+    * measured ≤ linear at 25×) + one doc_id-keyed left join + a
+    * map-side multiplicative hash (Knuth 2654435761 mod 2³², the t17
+    * shard idiom) — the split itself adds no shuffle beyond the join.
+    */
+  def d33_leakage_split: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val clusters = dupClusters(
+      ngramJaccardPairs(docs).select(col("id_a"), col("id_b")))
+    val h = col("fold_key") % 2147483648L * 2654435761L % 4294967296L % 10L
+    docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("fold_key", coalesce(col("cluster_id"), col("doc_id")))
+      .select(col("doc_id"), col("fold_key"),
+        when(h < 8, "train").when(h === 8, "valid")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Cosine threshold for [[d15_semantic_dedup]]. Production SemDeDup
     * uses ~0.95 on real text embeddings; the synthetic testdata
     * vectors are near-orthogonal (top-1 cosine ≈ 0.13-0.48), so 0.35
@@ -1525,6 +1556,7 @@ object Dedup {
     "d30_span_scrub" -> d30_span_scrub,
     "d31_corpus_report" -> d31_corpus_report,
     "d32_screen_core" -> d32_screen_core,
+    "d33_leakage_split" -> d33_leakage_split,
   )
 
   /** The d04 pair query without its final ORDER BY, parameterized on
@@ -1854,6 +1886,29 @@ object Dedup {
          |)
          |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach
          |GROUP BY id ORDER BY doc_id""".stripMargin,
+    "d33_leakage_split" ->
+      s"""WITH RECURSIVE pairs AS MATERIALIZED (
+         |$d04OracleBody
+         |), edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs
+         |), reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+         |), cl AS (
+         |  SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+         |), base AS (
+         |  SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS fold_key
+         |  FROM documents d LEFT JOIN cl USING (doc_id)
+         |)
+         |SELECT doc_id, fold_key,
+         |  CASE WHEN fold_key % 2147483648 * 2654435761 % 4294967296
+         |      % 10 < 8 THEN 'train'
+         |    WHEN fold_key % 2147483648 * 2654435761 % 4294967296
+         |      % 10 = 8 THEN 'valid'
+         |    ELSE 'test' END AS split
+         |FROM base ORDER BY doc_id""".stripMargin,
     "d29_canonicalize" ->
       s"""WITH RECURSIVE pairs AS MATERIALIZED (
          |$d04OracleBody

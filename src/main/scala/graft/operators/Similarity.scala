@@ -101,6 +101,43 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"), col("vec_id"))
   }
 
+  /** s18 — filtered ANN search: exact top-k under metadata predicates,
+    * the vector-database staple (search only in-tenant / in-language /
+    * out-of-class vectors). The filters COMPOSE WITH THE SCAN rather
+    * than post-filtering a fixed top-k — post-filtering silently
+    * returns fewer than k rows whenever the predicate is selective.
+    * The static predicate (vec_id % 3 ≠ 0, the tenant/partition
+    * stand-in) is a single-side conjunct of the join condition, so
+    * Catalyst pushes it out of the join and into the corpus scan
+    * before any scoring; the per-query dynamic predicate (corpus
+    * label ≠ query label — "find my nearest OUT-OF-CLASS neighbors",
+    * the hard-negative-mining shape) rides the broadcast-join
+    * condition. Each query therefore ranks over exactly its own
+    * admissible corpus and top-k is exact by construction.
+    *
+    * Scale: s01's plan — queries broadcast, corpus scanned once (now
+    * ⅔ of it), bounded per-query top-k window. The filters make the
+    * scan strictly cheaper than s01's; nothing new shuffles.
+    */
+  def s18_filtered_ann: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") % 97 === 0 && col("vec_id") < QueryIdBound)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    e.filter(col("vec_id") % 3 =!= 0)
+      .join(broadcast(q),
+        col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+      .withColumn("cos",
+        round(cosine_similarity(col("q_emb"), col("embedding")), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= K)
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        col("cos"), col("rk"))
+      .orderBy(col("q_id"), col("rk"), col("vec_id"))
+  }
+
   /** s17 — community-scoped semantic dedup: SemDeDup with [[
     * s15_communities]]' LPA clusters as the dedup scope instead of
     * d15's label blocks — the graph pipeline closed end to end (s14
@@ -878,6 +915,7 @@ object Similarity {
     "s15_communities" -> s15_communities,
     "s16_int8_search" -> s16_int8_search,
     "s17_community_dedup" -> s17_community_dedup,
+    "s18_filtered_ann" -> s18_filtered_ann,
     "s13_hybrid_rrf" -> s13_hybrid_rrf,
     "s14_knn_graph" -> s14_knn_graph,
     "s11_mmr" -> s11_mmr,
@@ -1297,6 +1335,22 @@ object Similarity {
          |        CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4)
          |        DESC, e.vec_id) AS rk
          |  FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+         |  WHERE q.vec_id % 97 = 0 AND q.vec_id < $QueryIdBound) t
+         |WHERE rk <= $K ORDER BY q_id, rk, vec_id""".stripMargin,
+    "s18_filtered_ann" ->
+      s"""SELECT q_id, q_label, vec_id, label, cos, rk FROM (
+         |  SELECT q.vec_id AS q_id, q.label AS q_label,
+         |    e.vec_id AS vec_id, e.label AS label,
+         |    round(list_cosine_similarity(
+         |      CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4)
+         |      AS cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(list_cosine_similarity(
+         |        CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4)
+         |        DESC, e.vec_id) AS rk
+         |  FROM embeddings q JOIN embeddings e
+         |    ON q.vec_id <> e.vec_id AND e.label <> q.label
+         |      AND e.vec_id % 3 <> 0
          |  WHERE q.vec_id % 97 = 0 AND q.vec_id < $QueryIdBound) t
          |WHERE rk <= $K ORDER BY q_id, rk, vec_id""".stripMargin,
   )

@@ -383,4 +383,22 @@ class CurationSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
     assert(a.length == Tables.documents(spark, sfDir).count())
   }
+
+  test("p05 epoch plan: cap and fractional branches live, coin arithmetic exact") {
+    val out = SparkEntry.queries("p05_epoch_mixture")(
+      spark, "/root/testdata/sf0.01").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (id, e, rep) = (r.getLong(0), r.getLong(3), r.getLong(4))
+      assert(e <= 4000000L, s"doc $id epochs over the repetition cap")
+      val coin = id % 2147483648L * 2654435761L % 4294967296L % 1000000L
+      val want = e / 1000000L + (if (coin < e % 1000000L) 1L else 0L)
+      assert(rep == want, s"doc $id repeat_factor off the documented coin")
+    }
+    val perLang = out.map(r => r.getString(1) -> r.getLong(3)).toMap
+    assert(perLang.values.exists(_ == 4000000L),
+      "repetition cap never fired — budget no longer exceeds small strata")
+    assert(perLang.values.exists(e => e < 4000000L && e % 1000000L != 0L),
+      "no fractional-epoch stratum — the coin path is untested")
+  }
 }

@@ -889,4 +889,30 @@ class DedupSpec extends AnyFunSuite {
     assert(got(2L) == ((8L, "y1 y2")))
     assert(got(3L) == ((8L, "z1 z2")))
   }
+
+  test("d33 split never separates a near-dup pair; folds follow the cluster hash") {
+    val dir = "/root/testdata/sf0.01"
+    val out = SparkEntry.queries("d33_leakage_split")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val pairs = operators.Dedup
+      .ngramJaccardPairs(Tables.documents(spark, dir))
+      .select(col("id_a"), col("id_b")).collect()
+    CacheScope.releaseAll()
+    assert(pairs.nonEmpty, "no near-dup pairs at sf0.01 — test is vacuous")
+    // the leakage invariant: both ends of every verified pair share a
+    // fold key, hence a fold
+    pairs.foreach { p =>
+      val (a, b) = (out(p.getLong(0)), out(p.getLong(1)))
+      assert(a._1 == b._1, s"pair ${p.getLong(0)}/${p.getLong(1)} fold keys differ")
+      assert(a._2 == b._2, s"pair ${p.getLong(0)}/${p.getLong(1)} split leaks")
+    }
+    // every document is assigned, by the documented hash of its key
+    assert(out.size == Tables.documents(spark, dir).count())
+    out.foreach { case (_, (key, split)) =>
+      val h = key % 2147483648L * 2654435761L % 4294967296L % 10L
+      val want = if (h < 8) "train" else if (h == 8) "valid" else "test"
+      assert(split == want)
+    }
+    assert(out.values.map(_._2).toSet == Set("train", "valid", "test"))
+  }
 }

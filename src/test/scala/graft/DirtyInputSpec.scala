@@ -64,7 +64,7 @@ class DirtyInputSpec extends AnyFunSuite {
     "t05_winnow_neardup", "t07_vocab", "t08_tfidf", "t16_bm25",
     "t19_zipf", "t23_bpe_merges", "t25_bpe_encode", "t27_fertility",
     "d08_curation", "p01_pipeline", "p02_incremental", "p03_training_build",
-    "p04_semantic_build",
+    "p04_semantic_build", "p05_epoch_mixture", "d33_leakage_split",
     "t14_lm_quality",
     "t18_lm_perplexity", "t21_code_switch", "t24_quality_classifier")
 
@@ -72,7 +72,7 @@ class DirtyInputSpec extends AnyFunSuite {
     "d05_embedding_neardup", "d15_semantic_dedup", "s01_ann_bruteforce",
     "s04_norm_stats", "s06_quantize_int8", "s07_label_centroids",
     "s13_hybrid_rrf", "s14_knn_graph", "s15_communities",
-    "s16_int8_search", "s17_community_dedup")
+    "s16_int8_search", "s17_community_dedup", "s18_filtered_ann")
 
   for (name <- docTargets ++ embTargets)
     test(s"$name survives null/empty/whitespace rows") {

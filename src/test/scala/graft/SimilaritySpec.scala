@@ -495,4 +495,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(verify.filter(col("la") =!= col("lb")).count() == 0)
     assert(verify.filter(col("cos") =!= col("true_cos")).count() == 0)
   }
+
+  test("s18 filtered top-k honors both predicates and never beats unfiltered") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("s18_filtered_ann")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) % 3 != 0, "static predicate violated")
+      assert(r.getInt(3) != r.getInt(1), "label predicate violated")
+      assert(r.getLong(2) != r.getLong(0))
+    }
+    // the filter leaves ample corpus at this SF: exactly K per query
+    rows.groupBy(_.getLong(0)).foreach { case (q, ns) =>
+      assert(ns.length == 5, s"query $q returned ${ns.length} != 5 rows")
+    }
+    // filtered search ranks over a subset, so its best hit can never
+    // beat the unfiltered brute-force best
+    val s01top = SparkEntry.queries("s01_ann_bruteforce")(spark, dir)
+      .filter(col("rk") === 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    rows.filter(_.getInt(5) == 1).foreach { r =>
+      assert(r.getDouble(4) <= s01top(r.getLong(0)) + 1e-9,
+        s"query ${r.getLong(0)}: filtered top-1 beats unfiltered")
+    }
+  }
 }

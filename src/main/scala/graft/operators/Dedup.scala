@@ -904,10 +904,15 @@ object Dedup {
   private[graft] def semanticDedup(e: DataFrame, tau: Double,
       maxBlock: Long = D05MaxExactBlock): DataFrame = {
     // one persisted size-annotated frame feeds all pair-join sides and
-    // the final carry — the corpus is scanned once, not five times
+    // the final carry — the corpus is scanned once, not five times.
+    // The count join is NULL-SAFE (<=>): a plain equi-join would drop
+    // null-label vectors from the carry entirely, while the oracle's
+    // LEFT JOIN still emits them kept=true (they can't be dominated —
+    // scopedDomination's equi-joins never pair a null scope).
+    val counts = e.groupBy(col("label")).agg(count(lit(1)).as("__n"))
+      .withColumnRenamed("label", "__lbl")
     val sized = graft.CacheScope.persisted(
-      e.join(broadcast(e.groupBy(col("label")).agg(count(lit(1)).as("__n"))),
-          Seq("label"))
+      e.join(broadcast(counts), col("label") <=> col("__lbl"))
         .select(col("label").as("scope"), col("__n"), col("vec_id"),
           col("embedding")))
     val dom = scopedDomination(sized, maxBlock, tau)

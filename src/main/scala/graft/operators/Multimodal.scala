@@ -280,6 +280,9 @@ object Multimodal {
     // the engine fingerprints substring(media, 1, 16) = the synthesized
     // payload's content half = unhex(md5(text)); the oracle mirrors it
     // as md5(text) directly. format is the doc_id % 3 synthesis formula.
+    // total_bytes mirrors the engine's SUM(octet_length(media)): a null
+    // text yields a NULL payload (md5(NULL) poisons the concat), so the
+    // null-fp group must sum NULLs, not COUNT(*)×128.
     "m06_media_dedup_groups" ->
       """SELECT md5(text) AS content_fp,
         |  COUNT(*) AS n_media,
@@ -287,7 +290,8 @@ object Multimodal {
         |  CAST(COUNT(DISTINCT
         |    ['jpeg','png','webm'][CAST(doc_id % 3 + 1 AS INT)])
         |    AS BIGINT) AS n_formats,
-        |  CAST(COUNT(*) * 128 AS BIGINT) AS total_bytes
+        |  CAST(SUM(CASE WHEN text IS NULL THEN NULL ELSE 128 END)
+        |    AS BIGINT) AS total_bytes
         |FROM documents
         |GROUP BY md5(text)
         |ORDER BY keep_id""".stripMargin,

@@ -83,4 +83,20 @@ class DirtyInputSpec extends AnyFunSuite {
       CacheScope.releaseAll()
       spark.catalog.clearCache()
     }
+
+  test("d15 carries null-label vectors through as kept (oracle parity)") {
+    // the DuckDB oracle's LEFT JOIN emits null-label rows kept=true;
+    // an inner equi-join on label would silently drop them (regression
+    // guard for the round-8 refactor's count join — must be null-safe)
+    val rows = SparkEntry.queries("d15_semantic_dedup")(spark, dirtyDir)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), r.getAs[Boolean]("kept"))).toMap
+    CacheScope.releaseAll()
+    spark.catalog.clearCache()
+    assert(rows.contains(3L), "null-label vec_id=3 dropped from d15 output")
+    assert(rows(3L) == (None, true),
+      s"null-label vector must be kept with null label, got ${rows(3L)}")
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L, 5L),
+      s"d15 must carry every input vec_id, got ${rows.keySet}")
+  }
 }

@@ -497,6 +497,7 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("s18 filtered top-k honors both predicates and never beats unfiltered") {
+    import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.01"
     val rows = SparkEntry.queries("s18_filtered_ann")(spark, dir).collect()
     assert(rows.nonEmpty)

@@ -144,10 +144,13 @@ def main(sf_dir: str, out_dir: str, only=None, timeout=None) -> int:
             done.set()
             if timer:
                 timer.cancel()
-            if timed_out:
-                # the query won the race after the interrupt was sent:
-                # absorb any pending interrupt so it cannot abort the
-                # next oracle
+                # cancel() can't stop a kill() already mid-run (it may
+                # have passed its done.is_set() check before done.set()
+                # above); join() waits until the timer thread has either
+                # skipped or fully delivered its interrupt, then the
+                # unconditional absorb drains it so it can never abort
+                # the next oracle and misreport it as FAIL
+                timer.join()
                 try:
                     con.execute("SELECT 1")
                 except Exception:  # noqa: BLE001

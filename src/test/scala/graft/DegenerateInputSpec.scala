@@ -79,7 +79,8 @@ class DegenerateInputSpec extends AnyFunSuite {
     "d05_embedding_neardup", // cosine with zero-norm vector
     "d15_semantic_dedup",
     "s14_knn_graph", "s15_communities",
-    "s16_int8_search")  // scale = 0 on zero vectors
+    "s16_int8_search",  // scale = 0 on zero vectors
+    "s19_ivf_exact")    // all-zero milli vectors, distance 0 ties
 
   for (name <- targets)
     test(s"$name survives constant/zero-range slices") {

@@ -72,7 +72,8 @@ class DirtyInputSpec extends AnyFunSuite {
     "d05_embedding_neardup", "d15_semantic_dedup", "s01_ann_bruteforce",
     "s04_norm_stats", "s06_quantize_int8", "s07_label_centroids",
     "s13_hybrid_rrf", "s14_knn_graph", "s15_communities",
-    "s16_int8_search", "s17_community_dedup", "s18_filtered_ann")
+    "s16_int8_search", "s17_community_dedup", "s18_filtered_ann",
+    "s19_ivf_exact")
 
   for (name <- docTargets ++ embTargets)
     test(s"$name survives null/empty/whitespace rows") {

@@ -54,6 +54,7 @@ class EmptyInputSpec extends AnyFunSuite {
     "d16_incremental_neardup", "d17_multimodal_clusters",
     "t01_lang_id", "t02_quality", "t03_tokens", "t04_fingerprint",
     "s01_ann_bruteforce", "s02_ann_lsh", "s03_ann_ivf", "s06_quantize_int8",
+    "s19_ivf_exact",
     "q69_funnel", "m03_media_stats", "m05_phash_groups",
     "m06_media_dedup_groups",
     "t16_bm25", "t17_shards", "d18_source_overlap", "s07_label_centroids",

@@ -305,6 +305,46 @@ class FunctionsSpec extends AnyFunSuite {
         .filterNot(_ == graft.plans.CosineFusionRule)
   }
 
+  test("int8_quantize/int8_dot match the HOF-lambda formulation bit for bit") {
+    import org.apache.spark.sql.types.DoubleType
+    // the lambda chain s16 shipped with in round 8 — kept here as the
+    // reference semantics the codegen'd expressions must reproduce
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val xd = transform(col("embedding"), x => x.cast(DoubleType))
+    val scaleL = aggregate(xd, lit(0.0),
+      (acc, x) => greatest(acc, abs(x))) / 127.0
+    val codesL = when(col("scale_l") === 0.0,
+        transform(col("embedding"), _ => lit(0.0)))
+      .otherwise(transform(xd, x => floor(x / col("scale_l") + 0.5)))
+    val qz = int8_quantize(col("embedding"))
+    val both = e.withColumn("scale_l", scaleL).withColumn("codes_l", codesL)
+      .withColumn("scale_n", qz.getField("scale"))
+      .withColumn("codes_n", transform(qz.getField("codes"),
+        b => b.cast(DoubleType)))
+    assert(both.filter(col("scale_l") =!= col("scale_n")).count() == 0,
+      "scale diverged from lambda formulation")
+    assert(both.filter(col("codes_l") =!= col("codes_n")).count() == 0,
+      "codes diverged from lambda formulation")
+    // dot parity on consecutive-row pairs (self-join on vec_id+1)
+    val qt = e.select(col("vec_id"), qz.getField("codes").as("codes"))
+    val pairs = qt.join(qt.select((col("vec_id") - 1).as("vec_id"),
+      col("codes").as("codes_b")), Seq("vec_id"))
+    val dotL = aggregate(
+      zip_with(transform(col("codes"), _.cast(DoubleType)),
+        transform(col("codes_b"), _.cast(DoubleType)), (a, b) => a * b),
+      lit(0.0), (acc, x) => acc + x)
+    assert(pairs.filter(
+      int8_dot(col("codes"), col("codes_b")).cast(DoubleType) =!= dotL)
+      .count() == 0, "int8_dot diverged from lambda dot")
+    // empty + zero-vector degenerate paths
+    val deg = Seq(Array.empty[Float], Array(0f, 0f, 0f)).toDF("embedding")
+      .select(int8_quantize(col("embedding")).as("q"))
+      .select(col("q.scale"), col("q.codes")).collect()
+    assert(deg(0).getDouble(0) == 0.0 && deg(0).getSeq[Byte](1).isEmpty)
+    assert(deg(1).getDouble(0) == 0.0 &&
+      deg(1).getSeq[Byte](1) == Seq[Byte](0, 0, 0))
+  }
+
   test("q71 z-order buckets pin both dims' top bits (the skipping invariant)") {
     // z >> 22 keeps the interleaved top-5 bits of x and y, so every
     // bucket's x-span and y-span must stay within one 2^11 stripe —

@@ -159,6 +159,19 @@ class PlanSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("s19 exact IVF broadcasts centroids and probes; corpus never sort-merges") {
+    val p = plan("s19_ivf_exact")
+    // centroid fan-out and probe join both ride broadcasts — the
+    // corpus-sized side must never shuffle to meet a 16- or 210-row one
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // cell argmin is the combinable min(struct) aggregate, not a
+    // 16x-corpus window sort
+    assert(p.contains("partial_min"),
+      "cell assignment must partial-aggregate map-side")
+    CacheScope.releaseAll()
+  }
+
   test("s02 multi-table LSH broadcasts probes; corpus index never shuffles to meet them") {
     val p = plan("s02_ann_lsh")
     // the (tbl, bucket) probe table is tiny (|queries|·L·(b+1) rows) —

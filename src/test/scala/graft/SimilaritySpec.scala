@@ -33,6 +33,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivfR >= 0.8, s"IVF recall@5 $ivfR below floor 0.8")
   }
 
+  test("s19 exact IVF: K rows/query, ranked dists, recall >= 0.8 vs milli brute force") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    import graft.functions.VectorFunctions.milli_l2
+    val got = SparkEntry.queries("s19_ivf_exact")(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      assert(rows.length == 5, s"query $qid returned ${rows.length} != 5 rows")
+      val byRank = rows.sortBy(_.getInt(3)).map(_.getLong(2))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b },
+        s"query $qid: distances not non-decreasing in rank")
+    }
+    // the same exact-arithmetic brute force the probe approximates —
+    // a floor well below the measurement fails param/code nerfs, not noise
+    val e = Tables.embeddings(spark, sfDir)
+    val m = e.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("mv"))
+    val q = m.filter(col("vec_id") % 97 === 0 &&
+        col("vec_id") < operators.Similarity.QueryIdBound)
+      .select(col("vec_id").as("q_id"), col("mv").as("q_mv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("dist"), col("vec_id"))
+    val truth = m.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("dist", milli_l2(col("q_mv"), col("mv")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    CacheScope.releaseAll()
+    val gotSet = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = gotSet.count(truth.contains).toDouble / truth.size
+    assert(recall >= 0.8, s"s19 recall@5 $recall below floor 0.8")
+  }
+
   test("s06 int8 quantization: exact zero error on lattice vectors, bounded otherwise") {
     import spark.implicits._
     // scale = 127/127 = 1.0 and every component is an integer →

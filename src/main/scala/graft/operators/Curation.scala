@@ -668,6 +668,18 @@ object Curation {
     * which is the point: the capstone is composition, not invention.
     */
   def p03_training_build: Q = (s, d) => {
+    val (_, scrub) = p03Stages(s, d)
+    p03Manifest(scrub)
+  }
+
+  /** p03's stages 1–5 (curate → d29 canonical rewrite → d10 decontam
+    * → d11 mixture → d30 span scrub), shared verbatim by [[
+    * p03_training_build]] and [[p06_epoch_build]]. Returns (sampled,
+    * scrub): the post-mixture survivors with their metadata, and the
+    * per-doc CLEAN token counts. One source for the formulas so the
+    * two capstones cannot drift — the same rule the oracle side keeps
+    * with [[p03OracleStages]]. */
+  private def p03Stages(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import graft.functions.TextHashFunctions.word_shingles
     val docs = Tables.documents(s, d)
     // stage 1: curate (p01 stage-1 formulas verbatim)
@@ -728,10 +740,17 @@ object Curation {
     val scrub = Dedup.spanScrub(sampled.select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         (col("n_tokens") - col("n_removed")).as("n_clean"))
-    // stage 6: shard + pack the CLEAN token counts (t17's hash shard,
-    // t13's 2048-token bins)
+    (sampled, scrub)
+  }
+
+  /** p03's stage 6: t17's hash shard + t13's 2048-token bin packing
+    * over per-doc token masses. `tokenCol` is the packed mass —
+    * `n_clean` for p03, the epoch-weighted `w_tokens` for p06; `extra`
+    * columns ride along into the manifest. */
+  private def p03Manifest(perDoc: DataFrame,
+      tokenCol: String = "n_clean", extra: Seq[String] = Nil): DataFrame = {
     val wSh = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
-    scrub
+    perDoc
       .withColumn("h",
         // fold mod 2^31 before the multiply (the stage-4 hash's bound):
         // unbounded doc_id overflows int64 past ~3.46e9 — Spark wraps
@@ -741,13 +760,72 @@ object Curation {
       .withColumn("shard", (col("h") % 8).cast(IntegerType))
       .withColumn("pos", row_number().over(wSh))
       .withColumn("cum_tokens",
-        sum(col("n_clean")).over(
+        sum(col(tokenCol)).over(
           wSh.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("bin",
-        floor((col("cum_tokens") - col("n_clean")) / lit(2048.0)).cast(LongType))
-      .select(col("doc_id"), col("shard"), col("pos"),
-        col("n_clean").as("n_tokens"), col("bin"), col("cum_tokens"))
+        floor((col("cum_tokens") - col(tokenCol)) / lit(2048.0)).cast(LongType))
+      .select(col("doc_id") +: col("shard") +: col("pos") +:
+        col("n_clean").as("n_tokens") +: extra.map(col) :+
+        col("bin") :+ col("cum_tokens"): _*)
       .orderBy(col("shard"), col("pos"))
+  }
+
+  /** p06 — the epoch-aware training build: p03's capstone with p05's
+    * budgeted epoch mixture composed into the manifest (the loop p04
+    * closed for s17, closed here for p05). Stages 1–5 are p03's
+    * verbatim ([[p03Stages]]); then, instead of packing each surviving
+    * document once, the per-SOURCE repeat plan is computed OVER THE
+    * CLEAN SURVIVORS — budget = 2× the clean token mass, stratum
+    * shares ∝ √tokens (α = 0.5 temperature), epochs capped at 4, the
+    * fractional epoch landing as p05's deterministic per-doc coin —
+    * and the manifest packs each document at its epoch-weighted mass.
+    * Two deliberate departures from p05's knobs, both measured:
+    * the stratum is `source`, not language — p03's stage-1 gate plus
+    * the stage-4 mixture leave a single predicted-language stratum at
+    * every test SF, so a language split would be vacuous here (and
+    * domain/source mixtures are what epoch budgeting tunes in
+    * practice — the DoReMi/data-constrained shape); and the budget is
+    * 2×, not 4× — over post-mixture near-equal strata a 4× budget
+    * collapses to "cap everyone at 4 epochs", while 2× lands the
+    * per-stratum epochs in the fractional regime the coin exists
+    * for, with the cap still guarding pathological small strata.
+    * `w_tokens = n_clean · repeat_factor`, emitting `repeat_factor`
+    * per row (zero-repeat docs leave the manifest). The bins a
+    * training run reads now realize the epoch plan instead of
+    * silently ignoring it.
+    *
+    * Scale = p03's (stages 1–5 dominate); the epoch plan adds one
+    * |langs|-row aggregate broadcast back and a map-side coin —
+    * p05's own shape.
+    */
+  def p06_epoch_build: Q = (s, d) => {
+    val (sampled, scrub0) = p03Stages(s, d)
+    val scrub = scrub0.join(sampled.select(col("doc_id"), col("source")),
+      Seq("doc_id"))
+    val bySrc = scrub.groupBy(col("source"))
+      .agg(sum(col("n_clean")).as("src_tokens"))
+      .withColumn("sq", floor(sqrt(col("src_tokens"))).cast(LongType))
+    val totals = bySrc.agg(sum(col("src_tokens")).as("total_tokens"),
+      sum(col("sq")).as("sq_sum"))
+    val rates = bySrc.crossJoin(broadcast(totals))
+      .withColumn("epochs_micro",
+        floor(least(expr("total_tokens * 2").cast(DoubleType) * col("sq")
+          / col("sq_sum") / col("src_tokens"), lit(4.0)) * 1000000L + 0.5)
+          .cast(LongType))
+      .select(col("source"), col("epochs_micro"))
+    val rep = scrub.join(broadcast(rates), Seq("source"))
+      .withColumn("coin",
+        col("doc_id") % 2147483648L * 2654435761L % 4294967296L % 1000000L)
+      .withColumn("repeat_factor",
+        floor(col("epochs_micro") / 1000000.0).cast(LongType) +
+          when(col("coin") < col("epochs_micro") % 1000000L, 1L)
+            .otherwise(0L))
+      .filter(col("repeat_factor") > 0)
+      .withColumn("w_tokens", col("n_clean") * col("repeat_factor"))
+      .select(col("doc_id"), col("n_clean"), col("repeat_factor"),
+        col("w_tokens"))
+    p03Manifest(rep, tokenCol = "w_tokens",
+      extra = Seq("repeat_factor", "w_tokens"))
   }
 
   /** p04 — the SEMANTIC training-data build: p03's capstone shape
@@ -970,84 +1048,20 @@ object Curation {
     "d12_incremental_dedup" -> d12_incremental_dedup,
     "p04_semantic_build" -> p04_semantic_build,
     "p05_epoch_mixture" -> p05_epoch_mixture,
+    "p06_epoch_build" -> p06_epoch_build,
   )
 
-  val oracles: Map[String, String] = Map(
-    "p05_epoch_mixture" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang,
-        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
-        |      x -> x <> '')) AS BIGINT) AS n_tokens
-        |  FROM documents
-        |), lg AS (
-        |  SELECT lang, SUM(n_tokens) AS lang_tokens,
-        |    CAST(floor(sqrt(SUM(n_tokens))) AS BIGINT) AS sq
-        |  FROM t GROUP BY lang
-        |), tot AS (
-        |  SELECT SUM(lang_tokens) AS total_tokens, SUM(sq) AS sq_sum
-        |  FROM lg
-        |), rates AS (
-        |  SELECT lang, lang_tokens,
-        |    CAST(floor(least(
-        |        CAST(total_tokens * 4 AS DOUBLE) * sq / sq_sum
-        |          / lang_tokens,
-        |        4.0) * 1000000 + 0.5) AS BIGINT) AS epochs_micro
-        |  FROM lg, tot
-        |)
-        |SELECT t.doc_id, t.lang, t.n_tokens, r.epochs_micro,
-        |  epochs_micro // 1000000 +
-        |    CASE WHEN doc_id % 2147483648 * 2654435761 % 4294967296
-        |      % 1000000 < epochs_micro % 1000000 THEN 1 ELSE 0 END
-        |    AS repeat_factor
-        |FROM t JOIN rates r USING (lang)
-        |ORDER BY t.doc_id""".stripMargin,
-    "p04_semantic_build" -> {
-      val (scores, pred) = TextAnalysis.langOracleSql
-      s"""WITH ${Similarity.lpaDomChainSql},
-         |keptv AS (
-         |  SELECT c.vec_id AS doc_id, dom.dominated_by IS NULL AS kept
-         |  FROM com c LEFT JOIN dom USING (vec_id)),
-         |scored AS (
-         |  SELECT doc_id, text,
-         |    $scores,
-         |    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
-         |    len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
-         |    length(text) AS n_chars,
-         |    len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct
-         |  FROM documents),
-         |ranked AS (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id)
-         |    AS rn
-         |  FROM scored),
-         |curated AS MATERIALIZED (
-         |  SELECT doc_id, text FROM ranked
-         |  WHERE rn = 1 AND ($pred) <> 'und' AND n_tokens >= 5
-         |    AND floor(CAST(n_punct AS DOUBLE) / n_chars * 1e6 + 0.5) / 1e6
-         |      < 0.2),
-         |canon AS MATERIALIZED (
-         |  SELECT cu.doc_id, cu.text FROM curated cu
-         |  LEFT JOIN keptv k ON k.doc_id = cu.doc_id
-         |  WHERE COALESCE(k.kept, TRUE)),
-         |dsh AS (
-         |  SELECT doc_id,
-         |    len(list_filter(regexp_split_to_array(text, '\\s+'),
-         |      x -> x <> '')) AS n_tokens,
-         |    (doc_id % 2147483648 * 2654435761) % 4294967296 AS h
-         |  FROM canon),
-         |ash AS (SELECT doc_id, n_tokens, h,
-         |    CAST(h % 8 AS INT) AS shard FROM dsh)
-         |SELECT doc_id, shard,
-         |  CAST(ROW_NUMBER() OVER w AS INT) AS pos,
-         |  CAST(n_tokens AS INT) AS n_tokens,
-         |  CAST(SUM(n_tokens) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
-         |    AND CURRENT ROW) AS BIGINT) AS cum_tokens
-         |FROM ash
-         |WINDOW w AS (PARTITION BY shard ORDER BY h, doc_id)
-         |ORDER BY shard, pos""".stripMargin
-    },
-    "p03_training_build" -> {
-      val (scores, pred) = TextAnalysis.langOracleSql
-      s"""WITH RECURSIVE scored AS (
+  /** Oracle CTE chain for p03's stages 1–5 (curate → d29 canonical
+    * rewrite → d10 decontam → d11 mixture → d30 span scrub) — ONE
+    * source shared by the p03 and p06 oracles, mirroring [[p03Stages]]
+    * on the engine side so the capstones cannot drift. Ends at `scrub`
+    * (doc_id, n_clean); `sampled` stays referencable for p06's
+    * language join. Returns MARGIN-BEARING text: the consuming
+    * entries interpolate it inside their own stripMargin, and a
+    * second strip would eat one pipe of every `||` concat. */
+  private def p03OracleStages: String = {
+    val (scores, pred) = TextAnalysis.langOracleSql
+    s"""WITH RECURSIVE scored AS (
          |  SELECT doc_id, source, lang, text,
          |    $scores,
          |    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
@@ -1171,7 +1185,85 @@ object Curation {
          |  GROUP BY tp.doc_id),
          |scrub AS (
          |  SELECT t.doc_id, COALESCE(ka.n_kept, 0) AS n_clean
-         |  FROM toks3 t LEFT JOIN ka USING (doc_id)),
+         |  FROM toks3 t LEFT JOIN ka USING (doc_id))"""
+  }
+
+
+  val oracles: Map[String, String] = Map(
+    "p05_epoch_mixture" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), lg AS (
+        |  SELECT lang, SUM(n_tokens) AS lang_tokens,
+        |    CAST(floor(sqrt(SUM(n_tokens))) AS BIGINT) AS sq
+        |  FROM t GROUP BY lang
+        |), tot AS (
+        |  SELECT SUM(lang_tokens) AS total_tokens, SUM(sq) AS sq_sum
+        |  FROM lg
+        |), rates AS (
+        |  SELECT lang, lang_tokens,
+        |    CAST(floor(least(
+        |        CAST(total_tokens * 4 AS DOUBLE) * sq / sq_sum
+        |          / lang_tokens,
+        |        4.0) * 1000000 + 0.5) AS BIGINT) AS epochs_micro
+        |  FROM lg, tot
+        |)
+        |SELECT t.doc_id, t.lang, t.n_tokens, r.epochs_micro,
+        |  epochs_micro // 1000000 +
+        |    CASE WHEN doc_id % 2147483648 * 2654435761 % 4294967296
+        |      % 1000000 < epochs_micro % 1000000 THEN 1 ELSE 0 END
+        |    AS repeat_factor
+        |FROM t JOIN rates r USING (lang)
+        |ORDER BY t.doc_id""".stripMargin,
+    "p04_semantic_build" -> {
+      val (scores, pred) = TextAnalysis.langOracleSql
+      s"""WITH ${Similarity.lpaDomChainSql},
+         |keptv AS (
+         |  SELECT c.vec_id AS doc_id, dom.dominated_by IS NULL AS kept
+         |  FROM com c LEFT JOIN dom USING (vec_id)),
+         |scored AS (
+         |  SELECT doc_id, text,
+         |    $scores,
+         |    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+         |    len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
+         |    length(text) AS n_chars,
+         |    len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id)
+         |    AS rn
+         |  FROM scored),
+         |curated AS MATERIALIZED (
+         |  SELECT doc_id, text FROM ranked
+         |  WHERE rn = 1 AND ($pred) <> 'und' AND n_tokens >= 5
+         |    AND floor(CAST(n_punct AS DOUBLE) / n_chars * 1e6 + 0.5) / 1e6
+         |      < 0.2),
+         |canon AS MATERIALIZED (
+         |  SELECT cu.doc_id, cu.text FROM curated cu
+         |  LEFT JOIN keptv k ON k.doc_id = cu.doc_id
+         |  WHERE COALESCE(k.kept, TRUE)),
+         |dsh AS (
+         |  SELECT doc_id,
+         |    len(list_filter(regexp_split_to_array(text, '\\s+'),
+         |      x -> x <> '')) AS n_tokens,
+         |    (doc_id % 2147483648 * 2654435761) % 4294967296 AS h
+         |  FROM canon),
+         |ash AS (SELECT doc_id, n_tokens, h,
+         |    CAST(h % 8 AS INT) AS shard FROM dsh)
+         |SELECT doc_id, shard,
+         |  CAST(ROW_NUMBER() OVER w AS INT) AS pos,
+         |  CAST(n_tokens AS INT) AS n_tokens,
+         |  CAST(SUM(n_tokens) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+         |    AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |FROM ash
+         |WINDOW w AS (PARTITION BY shard ORDER BY h, doc_id)
+         |ORDER BY shard, pos""".stripMargin
+    },
+    "p03_training_build" ->
+      s"""$p03OracleStages,
          |po AS (
          |  SELECT doc_id, n_clean,
          |    (doc_id % 2147483648 * 2654435761) % 4294967296 AS h,
@@ -1188,8 +1280,53 @@ object Curation {
          |  CAST(n_clean AS BIGINT) AS n_tokens,
          |  CAST(floor((cum - n_clean) / 2048.0) AS BIGINT) AS bin,
          |  CAST(cum AS BIGINT) AS cum_tokens
-         |FROM cm ORDER BY shard, pos""".stripMargin
-    },
+         |FROM cm ORDER BY shard, pos""".stripMargin,
+    "p06_epoch_build" ->
+      s"""$p03OracleStages,
+         |scrubl AS (
+         |  SELECT s.doc_id, s.n_clean, sp.source
+         |  FROM scrub s JOIN sampled sp USING (doc_id)),
+         |lg AS (
+         |  SELECT source, SUM(n_clean) AS src_tokens,
+         |    CAST(floor(sqrt(SUM(n_clean))) AS BIGINT) AS sq
+         |  FROM scrubl GROUP BY source),
+         |tot AS (
+         |  SELECT SUM(src_tokens) AS total_tokens, SUM(sq) AS sq_sum
+         |  FROM lg),
+         |erates AS (
+         |  SELECT source,
+         |    CAST(floor(least(
+         |        CAST(total_tokens * 2 AS DOUBLE) * sq / sq_sum
+         |          / src_tokens,
+         |        4.0) * 1000000 + 0.5) AS BIGINT) AS epochs_micro
+         |  FROM lg, tot),
+         |rep AS (
+         |  SELECT s.doc_id, s.n_clean, r.epochs_micro,
+         |    epochs_micro // 1000000 +
+         |      CASE WHEN s.doc_id % 2147483648 * 2654435761 % 4294967296
+         |        % 1000000 < epochs_micro % 1000000 THEN 1 ELSE 0 END
+         |      AS repeat_factor
+         |  FROM scrubl s JOIN erates r USING (source)),
+         |po AS (
+         |  SELECT doc_id, n_clean, repeat_factor,
+         |    n_clean * repeat_factor AS w_tokens,
+         |    (doc_id % 2147483648 * 2654435761) % 4294967296 AS h,
+         |    CAST((doc_id % 2147483648 * 2654435761) % 4294967296 % 8
+         |      AS INT) AS shard
+         |  FROM rep WHERE repeat_factor > 0),
+         |cm AS (
+         |  SELECT *, SUM(w_tokens) OVER (PARTITION BY shard
+         |    ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM po)
+         |SELECT doc_id, shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)
+         |    AS INT) AS pos,
+         |  CAST(n_clean AS BIGINT) AS n_tokens,
+         |  CAST(repeat_factor AS BIGINT) AS repeat_factor,
+         |  CAST(w_tokens AS BIGINT) AS w_tokens,
+         |  CAST(floor((cum - w_tokens) / 2048.0) AS BIGINT) AS bin,
+         |  CAST(cum AS BIGINT) AS cum_tokens
+         |FROM cm ORDER BY shard, pos""".stripMargin,
     "p02_incremental" -> {
       val (scores, pred) = TextAnalysis.langOracleSql
       s"""WITH base AS (

@@ -384,6 +384,43 @@ class CurationSpec extends AnyFunSuite {
     assert(a.length == Tables.documents(spark, sfDir).count())
   }
 
+  test("p06 epoch build: manifest packs epoch-weighted masses over p03's survivors") {
+    val p06 = operators.Curation.p06_epoch_build(spark, sfDir).collect()
+    val p03ids = operators.Curation.p03_training_build(spark, sfDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    CacheScope.releaseAll()
+    assert(p06.nonEmpty, "empty epoch manifest — vacuous")
+    val ids = p06.map(_.getAs[Long]("doc_id"))
+    assert(ids.distinct.length == ids.length, "duplicate docs in manifest")
+    assert(ids.toSet.subsetOf(p03ids),
+      "p06 trained a doc p03's gates rejected")
+    assert(!ids.exists(_ % 31 == 0), "a benchmark doc leaked into the manifest")
+    p06.foreach { r =>
+      val rep = r.getAs[Long]("repeat_factor")
+      assert(rep >= 1 && rep <= 4,
+        s"doc ${r.getAs[Long]("doc_id")}: repeat_factor $rep outside [1,4]")
+      assert(r.getAs[Long]("w_tokens") ==
+        r.getAs[Long]("n_tokens") * rep, "w_tokens != n_tokens * repeat")
+    }
+    assert(p06.map(_.getAs[Long]("repeat_factor")).distinct.length >= 2,
+      "all docs repeat identically — the temperature split did nothing")
+    // the packing grid runs over the WEIGHTED masses
+    p06.groupBy(_.getAs[Int]("shard")).foreach { case (shard, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("pos"))
+      assert(sorted.map(_.getAs[Int]("pos")).toSeq == (1 to rs.length),
+        s"shard $shard positions not contiguous")
+      var cum = 0L
+      sorted.foreach { r =>
+        val w = r.getAs[Long]("w_tokens")
+        cum += w
+        assert(r.getAs[Long]("cum_tokens") == cum,
+          s"shard $shard cum_tokens drifted at pos ${r.getAs[Int]("pos")}")
+        assert(r.getAs[Long]("bin") == (cum - w) / 2048,
+          s"shard $shard bin grid broken at pos ${r.getAs[Int]("pos")}")
+      }
+    }
+  }
+
   test("p05 epoch plan: cap and fractional branches live, coin arithmetic exact") {
     val out = SparkEntry.queries("p05_epoch_mixture")(
       spark, "/root/testdata/sf0.01").collect()

@@ -64,7 +64,8 @@ class DirtyInputSpec extends AnyFunSuite {
     "t05_winnow_neardup", "t07_vocab", "t08_tfidf", "t16_bm25",
     "t19_zipf", "t23_bpe_merges", "t25_bpe_encode", "t27_fertility",
     "d08_curation", "p01_pipeline", "p02_incremental", "p03_training_build",
-    "p04_semantic_build", "p05_epoch_mixture", "d33_leakage_split",
+    "p04_semantic_build", "p05_epoch_mixture", "p06_epoch_build",
+    "d33_leakage_split",
     "t14_lm_quality",
     "t18_lm_perplexity", "t21_code_switch", "t24_quality_classifier")
 

@@ -63,7 +63,7 @@ class EmptyInputSpec extends AnyFunSuite {
     "d23_gram_novelty", "d24_line_dedup", "t19_zipf", "t20_heavy_hitters",
     "t21_code_switch", "t22_dsir", "q70_cohort", "d25_pair_rank",
     "t23_bpe_merges", "s09_pq_codes", "q71_zorder", "p01_pipeline",
-    "p03_training_build", "p04_semantic_build",
+    "p03_training_build", "p04_semantic_build", "p06_epoch_build",
     "t24_quality_classifier", "t25_bpe_encode", "s10_pq_search",
     "q72_merge_upsert", "d26_boilerplate", "d27_containment", "s11_mmr",
     "s12_drift", "d28_cluster_density", "p02_incremental",

@@ -449,6 +449,56 @@ class DedupSpec extends AnyFunSuite {
     assert(approx(2L) == Some(1L))
   }
 
+  test("d15 planted skew: a 10k-member block rides the REAL ceiling's LSH tier") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.FloatType
+    // one label block 10× over D05MaxExactBlock — the reroute under a
+    // genuinely oversized scope, not a fixture with the ceiling forced
+    // to 0. 500 planted directions × 20 colinear members each:
+    // positive scaling preserves every hyperplane sign, so colinear
+    // twins share their LSH bucket DETERMINISTICALLY — recall on them
+    // is a hard guarantee, not a probabilistic hope.
+    val dim = Tables.embeddingDim(spark)
+    val nVecs = 10000L
+    val nDirs = 500
+    val e = spark.range(nVecs).toDF("vec_id")
+      .withColumn("label", lit(1))
+      .withColumn("dir", (col("vec_id") % nDirs).cast("int"))
+      .withColumn("embedding",
+        transform(sequence(lit(0), lit(dim - 1)),
+          j => ((pmod(hash(col("dir"), j), lit(2001)) - 1000).cast(FloatType)
+            * (lit(1f) + col("vec_id").cast(FloatType) / lit(1e7f)))))
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val out = operators.Dedup.semanticDedup(e, operators.Dedup.D15Tau).collect()
+    val vecs = e.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    CacheScope.releaseAll()
+    assert(out.length == nVecs, "oversized block lost carry rows")
+    val dom = out.flatMap(r =>
+      Option(r.getAs[java.lang.Long]("dominated_by"))
+        .map(d => r.getAs[Long]("vec_id") -> d.longValue()))
+    // recall: every non-first member of a direction group must be
+    // dominated (its lower-id colinear twin is a guaranteed collision)
+    val dominated = dom.map(_._1).toSet
+    val missed = (nDirs.toLong until nVecs).filterNot(dominated.contains)
+    assert(missed.isEmpty,
+      s"${missed.length} colinear twins escaped the LSH tier, e.g. ${missed.take(5)}")
+    // soundness (subset-of-truth): every reported domination is a real
+    // lower-id τ-pair — LSH can only DROP pairs, never invent them
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    dom.foreach { case (v, d) =>
+      assert(d < v, s"dominator $d not lower than victim $v")
+      assert(cos(vecs(d), vecs(v)) >= operators.Dedup.D15Tau - 1e-4,
+        s"fabricated domination $d -> $v below tau")
+    }
+  }
+
   test("d21 hub-and-spoke edges are linear and cluster like the clique") {
     import spark.implicits._
     // k1 = {2,5,9} → hub 2, two spokes; k2 singleton → no edge

@@ -91,26 +91,32 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list:
 def main(sf_dir: str, out_dir: str, only=None, timeout=None) -> int:
     import os
     import threading
-    con = duckdb.connect()
-    # Resource guards: scaled-SF oracle runs can spill big — an
-    # uncapped run once filled the disk with 75 GB of duckdb_temp_*
-    # blocks (in the CWD by default, i.e. inside the repo). Pin the
-    # spill to /tmp and cap it; overridable via env for bigger boxes.
-    tmp = os.environ.get("GRAFT_DUCK_TMP", "/tmp/graft_duck_tmp")
-    os.makedirs(tmp, exist_ok=True)
-    con.execute(f"SET temp_directory='{tmp}'")
-    con.execute("SET max_temp_directory_size='"
-                + os.environ.get("GRAFT_DUCK_TMP_MAX", "30GB") + "'")
-    if os.environ.get("GRAFT_DUCK_MEM"):
-        con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCK_MEM']}'")
-    for t in TABLES:
-        # driver testdata is a single file; ScaleGen output is a
-        # Spark-style directory of part files — glob accordingly
-        p = f"{sf_dir}/{t}.parquet"
-        if os.path.isdir(p):
-            p = f"{p}/*.parquet"
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    def fresh_con():
+        # Resource guards: scaled-SF oracle runs can spill big — an
+        # uncapped run once filled the disk with 75 GB of duckdb_temp_*
+        # blocks (in the CWD by default, i.e. inside the repo). Pin the
+        # spill to /tmp and cap it; overridable via env for bigger
+        # boxes.
+        c = duckdb.connect()
+        tmp = os.environ.get("GRAFT_DUCK_TMP", "/tmp/graft_duck_tmp")
+        os.makedirs(tmp, exist_ok=True)
+        c.execute(f"SET temp_directory='{tmp}'")
+        c.execute("SET max_temp_directory_size='"
+                  + os.environ.get("GRAFT_DUCK_TMP_MAX", "30GB") + "'")
+        if os.environ.get("GRAFT_DUCK_MEM"):
+            c.execute(f"SET memory_limit='{os.environ['GRAFT_DUCK_MEM']}'")
+        for t in TABLES:
+            # driver testdata is a single file; ScaleGen output is a
+            # Spark-style directory of part files — glob accordingly
+            p = f"{sf_dir}/{t}.parquet"
+            if os.path.isdir(p):
+                p = f"{p}/*.parquet"
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        return c
+
+    con = fresh_con()
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = n_to = 0
     for name, sql in sorted(oracle.items()):
@@ -139,6 +145,15 @@ def main(sf_dir: str, out_dir: str, only=None, timeout=None) -> int:
             else:
                 print(f"FAIL {name}: duckdb error: {e}")
                 n_bad += 1
+            # an aborted query can leave its spill blocks in the shared
+            # temp storage file for the life of the CONNECTION, and the
+            # stale usage counts against max_temp_directory_size — one
+            # over-budget oracle then fails every later one at "0 bytes
+            # requested" (observed at 25x: d05's 28 GiB of orphaned
+            # spill OOM'd six innocent queries). A fresh connection
+            # releases the temp file.
+            con.close()
+            con = fresh_con()
             continue
         finally:
             done.set()

@@ -414,6 +414,131 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"), col("vec_id"))
   }
 
+  /** Refinement rounds for [[s20_nn_descent]]. Fixed (not
+    * run-to-convergence) so the oracle can mirror the loop
+    * round-for-round as templated CTEs. Three rounds reach 8 hops of
+    * the init graph; the measured fixture curve (k=8) is init 0.14 →
+    * 0.19 → 0.27 → 0.38 — still climbing, but each extra round costs
+    * a full candidate-score pass, and the op's contract is "refine",
+    * not "converge" (run-to-convergence is a caller loop away). */
+  private[graft] val NdRounds = 3
+
+  /** Neighbors kept per node in [[s20_nn_descent]]. k=8 rather than
+    * s14's k=3: NN-descent's per-round candidate pool is the 2-hop
+    * fan-out (k+ρk)², so k IS the convergence knob — the k=3 sweep
+    * plateaued at 1.2× init recall while k=8 reaches 2.5× in the same
+    * rounds. */
+  private[graft] val NdK = 8
+
+  /** Reverse-edge sample cap per node (ρ·k in Dong et al.'s terms,
+    * here ρ=1): without it a hub vector chosen as neighbor by the
+    * whole corpus would contribute O(n²) neighbor-of-neighbor
+    * candidates in one round. */
+  private[graft] val NdRevCap = 8
+
+  /** Init-group id span. The init graph scores each vector against
+    * two overlapping digit groups of its id written in base-[[NdInitSpan]]:
+    * group 1 fixes every digit but the lowest (≤span consecutive
+    * ids), group 2 fixes every digit but the second (≤span ids at
+    * stride span). Both are ≤span members NO MATTER the corpus size
+    * (no pre-scan), both are geometry-blind — and crucially they
+    * OVERLAP instead of partitioning the corpus. A single-key init
+    * (plain `id / span` buckets) traps every node in a disjoint
+    * clique the 2-hop rounds can never leave, and since the init is
+    * already exact within its clique, refinement becomes a no-op —
+    * measured recall stayed bit-identical to init when we tried it.
+    * The two-group butterfly init gives rounds stride-1 and
+    * stride-span edges to compose, so reach grows ~span× per round. */
+  private[graft] val NdInitSpan = 64
+
+  /** s20 — NN-descent (Dong et al., WWW 2011): refine a cheap
+    * approximate kNN graph by repeatedly scoring each node against
+    * its neighbors' neighbors — "a neighbor of a neighbor is likely a
+    * neighbor". The standard way a 100 TB corpus gets a near-exact
+    * kNN graph without any corpus² pass: the init here is top-[[NdK]]
+    * over two overlapping base-[[NdInitSpan]] digit groups of the id
+    * (deterministic, geometry-blind, bounded per group by
+    * construction — see [[NdInitSpan]] for why ONE group is not
+    * enough), then each
+    * round joins the symmetrized graph with itself through the shared
+    * middle node and keeps the best k of {old neighbors} ∪ {1-hop} ∪
+    * {2-hop} per node. All scoring is [[graft.functions.MilliL2]]
+    * exact long arithmetic with (d2, id) ties, so every round — init,
+    * reverse-cap, candidate set, re-rank — mirrors in DuckDB CTEs and
+    * the refined graph hash-matches at every SF. A spec separately
+    * proves the POINT of the op: recall@k vs the brute-force milli
+    * truth strictly improves over the init graph.
+    *
+    * Scale shape: per round the graph is persisted once and the
+    * symmetrized neighbor list is re-derived from it (out-degree ≤
+    * [[NdK]]+[[NdRevCap]] after the reverse cap, so candidates are ≤
+    * (k+ρk)²+2k per node — bounded, never corpus²); the 2-hop self-join
+    * shuffles on the middle node, scoring shuffles pair-sized frames,
+    * and the final top-k window partitions by src over a candidate
+    * set bounded by construction. Cost per round ∝ k²·n — linear in
+    * the corpus, the published NN-descent bound.
+    */
+  def s20_nn_descent: Q = (s, d) =>
+    nnDescent(Tables.embeddings(s, d))
+
+  private[graft] def nnDescent(e: DataFrame, k: Int = NdK,
+      rounds: Int = NdRounds): DataFrame = {
+    import graft.functions.VectorFunctions.milli_l2
+    val mv = graft.CacheScope.persisted(e.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("mv")))
+    def score(cand: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("src")).orderBy(col("d2"), col("dst"))
+      cand
+        .join(mv.select(col("vec_id").as("src"), col("mv").as("mv_a")), Seq("src"))
+        .join(mv.select(col("vec_id").as("dst"), col("mv").as("mv_b")), Seq("dst"))
+        .withColumn("d2", milli_l2(col("mv_a"), col("mv_b")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select(col("src"), col("dst"), col("d2"), col("rk"))
+    }
+    // init: exact top-k over the two overlapping digit groups (see
+    // NdInitSpan) — all-pairs WITHIN a ≤span group, never corpus²
+    def groupPairs(bkt: Column => Column): DataFrame = {
+      val t = mv.select(col("vec_id"), bkt(col("vec_id")).as("bkt"))
+      t.select(col("bkt"), col("vec_id").as("src"))
+        .join(t.select(col("bkt"), col("vec_id").as("dst")), Seq("bkt"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"))
+    }
+    val span2 = NdInitSpan.toLong * NdInitSpan
+    var g = score(
+      groupPairs(v => floor(v / NdInitSpan))
+        .unionAll(groupPairs(v => v % NdInitSpan + floor(v / span2) * span2))
+        .distinct())
+    for (_ <- 1 to rounds) {
+      // each round references the prior graph twice (forward + reverse
+      // edges) and the symmetrized list twice (2-hop self-join) — the
+      // d25/s15 lesson says that doubles the LOGICAL plan per round
+      // (2^rounds optimizer blowup; measured 2.9 s → 278 s from round
+      // 2 to 4 with lazy persists), so both get an eager lineage cut
+      val gp = graft.CacheScope.checkpointed(g)
+      // reverse edges, capped per target node so a hub's in-degree
+      // can't explode the candidate join
+      val wr = Window.partitionBy(col("src")).orderBy(col("d2"), col("dst"))
+      val rev = gp
+        .select(col("dst").as("src"), col("src").as("dst"), col("d2"))
+        .withColumn("rn", row_number().over(wr))
+        .filter(col("rn") <= NdRevCap)
+        .select(col("src"), col("dst"))
+      val nbr = graft.CacheScope.checkpointed(
+        gp.select(col("src"), col("dst")).unionAll(rev).distinct())
+      val hop2 = nbr.select(col("src"), col("dst").as("mid"))
+        .join(nbr.select(col("src").as("mid"), col("dst")), Seq("mid"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"))
+      g = score(nbr.unionAll(hop2).distinct())
+    }
+    g.select(col("src").as("vec_id"), col("rk"), col("dst").as("nn_id"),
+        col("d2"))
+      .orderBy(col("vec_id"), col("rk"))
+  }
+
   /** s06 — int8 scalar quantization of the embedding column with an
     * exact error report: the compression step a billion-vector ANN
     * deployment runs before indexing (4× smaller, SIMD-friendly).
@@ -994,6 +1119,7 @@ object Similarity {
     "s17_community_dedup" -> s17_community_dedup,
     "s18_filtered_ann" -> s18_filtered_ann,
     "s19_ivf_exact" -> s19_ivf_exact,
+    "s20_nn_descent" -> s20_nn_descent,
     "s13_hybrid_rrf" -> s13_hybrid_rrf,
     "s14_knn_graph" -> s14_knn_graph,
     "s11_mmr" -> s11_mmr,
@@ -1177,7 +1303,77 @@ object Similarity {
        |      >= ${Dedup.D15Tau}
        |  GROUP BY b.vec_id)""".stripMargin
 
+  /** One NN-descent round as SQL reading graph g{i-1} — the mirror of
+    * nnDescent's loop body (capped reverse edges, symmetrized neighbor
+    * list, 2-hop candidates through the shared middle node, exact
+    * milli-L2 re-rank). Returned pre-stripped (no margin pipes and no `||` at any line
+    * start, so the consumer's stripMargin leaves it untouched — the
+    * [[pqRoundCte]] convention). */
+  private def ndRoundCte(i: Int): String =
+    s"""rev$i AS (
+       |  SELECT src, dst FROM (
+       |    SELECT g.dst AS src, g.src AS dst,
+       |      ROW_NUMBER() OVER (PARTITION BY g.dst ORDER BY g.d2, g.src)
+       |        AS rn
+       |    FROM g${i - 1} g)
+       |  WHERE rn <= $NdRevCap),
+       |nbr$i AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM g${i - 1}
+       |    UNION ALL SELECT src, dst FROM rev$i)),
+       |cand$i AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM nbr$i
+       |    UNION ALL
+       |    SELECT a.src, b.dst FROM nbr$i a JOIN nbr$i b ON a.dst = b.src
+       |    WHERE a.src <> b.dst)),
+       |g$i AS MATERIALIZED (
+       |  SELECT src, dst, d2, rn AS rk FROM (
+       |    SELECT src, dst, d2,
+       |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY d2, dst) AS rn
+       |    FROM (
+       |      SELECT c.src, c.dst,
+       |        CAST(SUM((ma.qv - mb.qv) * (ma.qv - mb.qv)) AS BIGINT) AS d2
+       |      FROM cand$i c
+       |      JOIN mv ma ON ma.vec_id = c.src
+       |      JOIN mv mb ON mb.vec_id = c.dst AND mb.dim = ma.dim
+       |      GROUP BY c.src, c.dst))
+       |  WHERE rn <= $NdK)""".stripMargin
+
+  private def s20OracleSql: String =
+    s"""WITH mv AS MATERIALIZED (
+       |  SELECT vec_id, CAST(g - 1 AS INT) AS dim,
+       |    CAST(floor(CAST(embedding[g] AS DOUBLE) * 1000) AS BIGINT) AS qv
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) u(g)),
+       |g0 AS MATERIALIZED (
+       |  SELECT src, dst, d2, rn AS rk FROM (
+       |    SELECT src, dst, d2,
+       |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY d2, dst) AS rn
+       |    FROM (
+       |      SELECT c.src, c.dst,
+       |        CAST(SUM((ma.qv - mb.qv) * (ma.qv - mb.qv)) AS BIGINT) AS d2
+       |      FROM (
+       |        SELECT a.vec_id AS src, b.vec_id AS dst
+       |        FROM embeddings a JOIN embeddings b
+       |          ON a.vec_id // $NdInitSpan = b.vec_id // $NdInitSpan
+       |          AND a.vec_id <> b.vec_id
+       |        UNION
+       |        SELECT a.vec_id AS src, b.vec_id AS dst
+       |        FROM embeddings a JOIN embeddings b
+       |          ON a.vec_id % $NdInitSpan = b.vec_id % $NdInitSpan
+       |          AND a.vec_id // ${NdInitSpan.toLong * NdInitSpan}
+       |            = b.vec_id // ${NdInitSpan.toLong * NdInitSpan}
+       |          AND a.vec_id <> b.vec_id) c
+       |      JOIN mv ma ON ma.vec_id = c.src
+       |      JOIN mv mb ON mb.vec_id = c.dst AND mb.dim = ma.dim
+       |      GROUP BY c.src, c.dst))
+       |  WHERE rn <= $NdK),
+       |${(1 to NdRounds).map(ndRoundCte).mkString(",\n")}
+       |SELECT src AS vec_id, rk, dst AS nn_id, d2
+       |FROM g$NdRounds ORDER BY vec_id, rk""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "s20_nn_descent" -> s20OracleSql,
     "s11_mmr" -> s11OracleSql,
     "s12_drift" ->
       """WITH x AS (

@@ -80,7 +80,8 @@ class DegenerateInputSpec extends AnyFunSuite {
     "d15_semantic_dedup",
     "s14_knn_graph", "s15_communities",
     "s16_int8_search",  // scale = 0 on zero vectors
-    "s19_ivf_exact")    // all-zero milli vectors, distance 0 ties
+    "s19_ivf_exact",    // all-zero milli vectors, distance 0 ties
+    "s20_nn_descent")   // every candidate at d2 = 0 → pure id ties
 
   for (name <- targets)
     test(s"$name survives constant/zero-range slices") {

@@ -563,6 +563,23 @@ class PlanSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("s20 NN-descent re-ranks bounded candidates; no cartesian, partial top-k") {
+    val p = plan("s20_nn_descent")
+    // the candidate set is built by equi-joins only (id buckets, then
+    // the shared-middle-node 2-hop join) — an all-pairs regression
+    // would surface as a cartesian/BNLJ over the corpus
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // final re-rank keeps only the local top-k per src before its
+    // rank exchange, so each round shuffles O(k·n), never the full
+    // candidate fan-out
+    val ex = p.indexOf("Exchange hashpartitioning(src")
+    assert(ex > 0)
+    assert(p.indexOf("WindowGroupLimit", ex) > 0,
+      "no partial top-k below the rank exchange")
+    CacheScope.releaseAll()
+  }
+
   test("s13 arms prune top-K pre-shuffle; fusion joins two K-lists only") {
     val p = plan("s13_hybrid_rrf")
     // dense arm broadcasts the fixed query set into one corpus scan

@@ -102,6 +102,13 @@ def main(sf_dir: str, out_dir: str, only=None, timeout=None) -> int:
         tmp = os.environ.get("GRAFT_DUCK_TMP", "/tmp/graft_duck_tmp")
         os.makedirs(tmp, exist_ok=True)
         c.execute(f"SET temp_directory='{tmp}'")
+        # compare() sorts rows by every column, so result order is
+        # irrelevant — and order preservation is the dominant memory
+        # cost of DuckDB's big hash joins (the 25x p-family oracles
+        # spilled >40 GiB with it on)
+        c.execute("SET preserve_insertion_order=false")
+        if os.environ.get("GRAFT_DUCK_THREADS"):
+            c.execute(f"SET threads={int(os.environ['GRAFT_DUCK_THREADS'])}")
         c.execute("SET max_temp_directory_size='"
                   + os.environ.get("GRAFT_DUCK_TMP_MAX", "30GB") + "'")
         if os.environ.get("GRAFT_DUCK_MEM"):

@@ -539,6 +539,85 @@ object Similarity {
       .orderBy(col("vec_id"), col("rk"))
   }
 
+  /** Beam width per query per expansion round in [[s21_graph_search]]:
+    * each round keeps the [[GsBeam]] exact-closest explored candidates
+    * and expands only those — the knob that trades recall for scans. */
+  private[graft] val GsBeam = 8
+
+  /** Graph-expansion rounds in [[s21_graph_search]]. Two rounds visit
+    * ≤ beam·(1+[[NdK]])·rounds candidates per query — a few hundred
+    * exact distance evaluations against a corpus of any size. */
+  private[graft] val GsRounds = 2
+
+  /** s21 — graph-based ANN query search: the QUERY half of the story
+    * [[s20_nn_descent]] builds the index for (the HNSW/DiskANN query
+    * pattern, minus the hierarchy). Each query starts from its own
+    * node's out-neighbors in the refined graph and repeatedly (a)
+    * expands the current beam's graph neighbors, (b) re-ranks the
+    * explored set by exact milli-L2, (c) keeps the best [[GsBeam]] —
+    * after [[GsRounds]] rounds the top-K of the beam is the answer.
+    * Per query the work is a few hundred exact distance evaluations
+    * regardless of corpus size; the corpus is never scanned. All
+    * arithmetic is [[graft.functions.MilliL2]] exact longs with
+    * (d2, id) ties, so the beam — seeds, expansion, re-rank, every
+    * round — mirrors in DuckDB CTEs over the same graph CTE stack and
+    * hash-matches at every SF. A spec separately gates recall@K
+    * against the exact brute force: expansion must beat searching the
+    * seed neighbors alone.
+    *
+    * Scale shape: the graph (k·n rows) is the only corpus-sized frame
+    * and it is consumed by equi-joins keyed on src; the beam
+    * (|queries|·[[GsBeam]] rows) broadcasts into those joins, so each
+    * round is one broadcast-hash probe of the graph plus a
+    * candidate-sized re-rank — no shuffle ever carries more than
+    * |queries|·beam·(k+1) rows. On a real cluster the standing graph
+    * would be a bucketed table on src; the query path touches only
+    * the buckets the beam lands in.
+    */
+  def s21_graph_search: Q = (s, d) =>
+    graphSearch(Tables.embeddings(s, d))
+
+  private[graft] def graphSearch(e: DataFrame,
+      rounds: Int = GsRounds): DataFrame = {
+    import graft.functions.VectorFunctions.milli_l2
+    val mv = graft.CacheScope.persisted(e.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("mv")))
+    // the standing index this query path consumes — the same refined
+    // graph s20 exposes (its lineage cuts materialize it here)
+    val g = graft.CacheScope.checkpointed(
+      nnDescent(e).select(col("vec_id").as("src"), col("nn_id").as("dst")))
+    val q = mv.filter(col("vec_id") % 97 === 0 && col("vec_id") < QueryIdBound)
+      .select(col("vec_id").as("q_id"), col("mv").as("q_mv"))
+    def rescore(cand: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cand"))
+      cand
+        .join(mv.select(col("vec_id").as("cand"), col("mv").as("c_mv")),
+          Seq("cand"))
+        .join(broadcast(q), Seq("q_id"))
+        .withColumn("d2", milli_l2(col("q_mv"), col("c_mv")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= GsBeam)
+        .select(col("q_id"), col("cand"), col("d2"), col("rk"))
+    }
+    // entry beam: the query node's own out-neighbors (in-corpus
+    // queries enter at themselves; nnDescent emits no self edges)
+    var beam = rescore(
+      q.select(col("q_id")).join(g, col("q_id") === col("src"))
+        .select(col("q_id"), col("dst").as("cand")))
+    for (_ <- 1 to rounds) {
+      val bp = graft.CacheScope.checkpointed(
+        beam.select(col("q_id"), col("cand")))
+      val nb = bp.join(g, bp("cand") === g("src"))
+        .select(col("q_id"), g("dst").as("cand"))
+      beam = rescore(
+        bp.unionAll(nb).filter(col("cand") =!= col("q_id")).distinct())
+    }
+    beam.filter(col("rk") <= K)
+      .select(col("q_id"), col("rk"), col("cand").as("nn_id"), col("d2"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   /** s06 — int8 scalar quantization of the embedding column with an
     * exact error report: the compression step a billion-vector ANN
     * deployment runs before indexing (4× smaller, SIMD-friendly).
@@ -1120,6 +1199,7 @@ object Similarity {
     "s18_filtered_ann" -> s18_filtered_ann,
     "s19_ivf_exact" -> s19_ivf_exact,
     "s20_nn_descent" -> s20_nn_descent,
+    "s21_graph_search" -> s21_graph_search,
     "s13_hybrid_rrf" -> s13_hybrid_rrf,
     "s14_knn_graph" -> s14_knn_graph,
     "s11_mmr" -> s11_mmr,
@@ -1340,8 +1420,12 @@ object Similarity {
        |      GROUP BY c.src, c.dst))
        |  WHERE rn <= $NdK)""".stripMargin
 
-  private def s20OracleSql: String =
-    s"""WITH mv AS MATERIALIZED (
+  /** The full graph CTE stack — mv milli quantization, the two-group
+    * init g0, and the [[NdRounds]] refinement rounds — the DuckDB
+    * mirror of [[nnDescent]], shared by the s20 and s21 oracles.
+    * Returned pre-stripped like [[ndRoundCte]]. */
+  private def ndGraphCtes: String =
+    s"""mv AS MATERIALIZED (
        |  SELECT vec_id, CAST(g - 1 AS INT) AS dim,
        |    CAST(floor(CAST(embedding[g] AS DOUBLE) * 1000) AS BIGINT) AS qv
        |  FROM embeddings, unnest(generate_series(1, len(embedding))) u(g)),
@@ -1368,12 +1452,63 @@ object Similarity {
        |      JOIN mv mb ON mb.vec_id = c.dst AND mb.dim = ma.dim
        |      GROUP BY c.src, c.dst))
        |  WHERE rn <= $NdK),
-       |${(1 to NdRounds).map(ndRoundCte).mkString(",\n")}
+       |${(1 to NdRounds).map(ndRoundCte).mkString(",\n")}""".stripMargin
+
+  private def s20OracleSql: String =
+    s"""WITH $ndGraphCtes
        |SELECT src AS vec_id, rk, dst AS nn_id, d2
        |FROM g$NdRounds ORDER BY vec_id, rk""".stripMargin
 
+  /** One s21 beam round as SQL reading beam b{j-1} over graph gr —
+    * the mirror of graphSearch's loop body (expand the beam's graph
+    * neighbors, drop the query itself, exact milli-L2 re-rank to the
+    * best [[GsBeam]]). Pre-stripped like [[ndRoundCte]]. */
+  private def gsRoundCte(j: Int): String =
+    s"""b$j AS MATERIALIZED (
+       |  SELECT q_id, cand, d2, rn AS rk FROM (
+       |    SELECT q_id, cand, d2,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, cand) AS rn
+       |    FROM (
+       |      SELECT c.q_id, c.cand,
+       |        CAST(SUM((ma.qv - mb.qv) * (ma.qv - mb.qv)) AS BIGINT) AS d2
+       |      FROM (
+       |        SELECT DISTINCT q_id, cand FROM (
+       |          SELECT q_id, cand FROM b${j - 1}
+       |          UNION ALL
+       |          SELECT b.q_id, g.dst AS cand
+       |          FROM b${j - 1} b JOIN gr g ON g.src = b.cand)
+       |        WHERE cand <> q_id) c
+       |      JOIN mv ma ON ma.vec_id = c.q_id
+       |      JOIN mv mb ON mb.vec_id = c.cand AND mb.dim = ma.dim
+       |      GROUP BY c.q_id, c.cand))
+       |  WHERE rn <= $GsBeam)""".stripMargin
+
+  private def s21OracleSql: String =
+    s"""WITH $ndGraphCtes,
+       |gr AS MATERIALIZED (SELECT src, dst FROM g$NdRounds),
+       |q AS (SELECT vec_id AS q_id FROM embeddings
+       |      WHERE vec_id % 97 = 0 AND vec_id < $QueryIdBound),
+       |b0 AS MATERIALIZED (
+       |  SELECT q_id, cand, d2, rn AS rk FROM (
+       |    SELECT q_id, cand, d2,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, cand) AS rn
+       |    FROM (
+       |      SELECT c.q_id, c.cand,
+       |        CAST(SUM((ma.qv - mb.qv) * (ma.qv - mb.qv)) AS BIGINT) AS d2
+       |      FROM (
+       |        SELECT q.q_id, g.dst AS cand
+       |        FROM q JOIN gr g ON g.src = q.q_id) c
+       |      JOIN mv ma ON ma.vec_id = c.q_id
+       |      JOIN mv mb ON mb.vec_id = c.cand AND mb.dim = ma.dim
+       |      GROUP BY c.q_id, c.cand))
+       |  WHERE rn <= $GsBeam),
+       |${(1 to GsRounds).map(gsRoundCte).mkString(",\n")}
+       |SELECT q_id, rk, cand AS nn_id, d2
+       |FROM b$GsRounds WHERE rk <= $K ORDER BY q_id, rk""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "s20_nn_descent" -> s20OracleSql,
+    "s21_graph_search" -> s21OracleSql,
     "s11_mmr" -> s11OracleSql,
     "s12_drift" ->
       """WITH x AS (

@@ -81,7 +81,8 @@ class DegenerateInputSpec extends AnyFunSuite {
     "s14_knn_graph", "s15_communities",
     "s16_int8_search",  // scale = 0 on zero vectors
     "s19_ivf_exact",    // all-zero milli vectors, distance 0 ties
-    "s20_nn_descent")   // every candidate at d2 = 0 → pure id ties
+    "s20_nn_descent",   // every candidate at d2 = 0 → pure id ties
+    "s21_graph_search")
 
   for (name <- targets)
     test(s"$name survives constant/zero-range slices") {

@@ -580,6 +580,21 @@ class PlanSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("s21 graph search probes the graph via broadcast; corpus never scanned") {
+    val p = plan("s21_graph_search")
+    // the beam (|queries|·8 rows) must broadcast into the graph/vector
+    // joins — a sort-merge would shuffle the corpus-sized graph to
+    // meet a few hundred rows
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // re-rank keeps only local top-beam per q_id before the exchange
+    val ex = p.indexOf("Exchange hashpartitioning(q_id")
+    assert(ex > 0)
+    assert(p.indexOf("WindowGroupLimit", ex) > 0,
+      "no partial top-k below the rank exchange")
+    CacheScope.releaseAll()
+  }
+
   test("s13 arms prune top-K pre-shuffle; fusion joins two K-lists only") {
     val p = plan("s13_hybrid_rrf")
     // dense arm broadcasts the fixed query set into one corpus scan

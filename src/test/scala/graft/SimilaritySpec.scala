@@ -604,4 +604,51 @@ class SimilaritySpec extends AnyFunSuite {
       s"refinement did not improve recall: init=$init refined=$refined")
     assert(refined >= 0.3, s"s20 refined recall $refined below floor 0.3")
   }
+
+  test("s21 graph search: expansion rounds beat the seed neighbors alone") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    import graft.functions.VectorFunctions.milli_l2
+    val e = Tables.embeddings(spark, sfDir)
+    // exact milli-L2 top-5 for the SAME deterministic query set — the
+    // truth the beam chases
+    val m = e.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("mv"))
+    val q = m.filter(col("vec_id") % 97 === 0 &&
+        col("vec_id") < operators.Similarity.QueryIdBound)
+      .select(col("vec_id").as("q_id"), col("mv").as("q_mv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))
+    val truth = m.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("d2", milli_l2(col("q_mv"), col("mv")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double =
+      rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+        .count(truth.contains).toDouble / truth.size
+    val seeds = operators.Similarity.graphSearch(e, 0).collect()
+    CacheScope.releaseAll()
+    val got = SparkEntry.queries("s21_graph_search")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    // structure: ≤5 per query, prefix ranks, d2 non-decreasing
+    got.groupBy(_.getLong(0)).foreach { case (qid, ns) =>
+      assert(ns.length <= 5)
+      assert(ns.map(_.getInt(1)).sorted.toSeq == (1 to ns.length),
+        s"query $qid ranks not a prefix")
+      val byRk = ns.sortBy(_.getInt(1)).map(_.getLong(3))
+      assert(byRk.zip(byRk.tail).forall { case (a, b) => a <= b })
+    }
+    val seedR = recallOf(seeds)
+    val gotR = recallOf(got)
+    // expansion is monotone (a displaced candidate is displaced by a
+    // strictly closer one, which then belongs to the truth set too),
+    // so >= always holds — the STRICT gate is what catches a broken
+    // expansion join. Measured on this fixture: seeds 0.43 → 0.63
+    // after 2 rounds; deterministic, so floors gate regressions.
+    assert(gotR > seedR + 0.1,
+      s"expansion did not improve recall: seeds=$seedR final=$gotR")
+    assert(gotR >= 0.5, s"s21 recall $gotR below floor 0.5")
+  }
 }

@@ -373,14 +373,23 @@ object Similarity {
     * as [[graft.functions.HyperplaneSigs]]. */
   private[graft] val S19BlockDim = 64
 
+  /** Trained IVF centroids as (j, c_mv) rows — [[pqTrain]] at full
+    * vector width (flat exact-integer k-means) reshaped to one long
+    * array per cell; shared by the batch index build and the
+    * streaming ingest path. */
+  private[graft] def ivfCentroids(e: DataFrame,
+      nCells: Int = IvfNCells): DataFrame = {
+    val (_, c) = pqTrain(e, nCells, S19BlockDim, S19Rounds)
+    c.groupBy(col("j"))
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("cv")))),
+        el => el.getField("cv")).as("c_mv"))
+  }
+
   private[graft] def ivfExact(e: DataFrame,
       nCells: Int = IvfNCells, nProbe: Int = IvfNProbe): DataFrame = {
     import graft.functions.VectorFunctions.milli_l2
-    val (q, c) = pqTrain(e, nCells, S19BlockDim, S19Rounds)
     // trained centroids back to array form (j → 64 longs), broadcast
-    val cents = c.groupBy(col("j"))
-      .agg(transform(sort_array(collect_list(struct(col("dim"), col("cv")))),
-        el => el.getField("cv")).as("c_mv"))
+    val cents = ivfCentroids(e, nCells)
     val m = e.select(col("vec_id"),
       transform(col("embedding"),
         x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("mv"))

@@ -307,6 +307,58 @@ object EventStreams {
     * downstream consumers must be idempotent on (doc_id, corpus_id).
     * Per-batch cost is band collisions, exactly the batch d16 shape.
     */
+  val embSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(DoubleType)),
+    StructField("arrival", TimestampType)))
+
+  /** File-source stream over a directory of embedding delivery
+    * parquet (embedding staged as array<double>). */
+  def readEmbStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(embSchema).parquet(dir)
+
+  /** Streaming IVF ingest — the streaming twin of
+    * [[graft.operators.Similarity.s19_ivf_exact]]'s cell assignment:
+    * newly arriving vectors are routed to their nearest cell of the
+    * STANDING index (trained once on the static corpus by the same
+    * exact-integer Lloyd trainer), emitting (vec_id, cell, d2) append
+    * rows a downstream writer would fan into the per-cell bucketed
+    * index files. Assignment arithmetic is identical to the batch
+    * path — milli-quantized longs, exact L2, min(struct(d, cell))
+    * ties — so a replayed delivery matches the batch assignment row
+    * for row (StreamingSpec pins the parity).
+    *
+    * State/scale: the trained centroid table (nCells × 64 longs) is
+    * collected ONCE at query construction and burned into the plan as
+    * a literal, so per-batch work is a pure stateless map — no join,
+    * no shuffle, no streaming state, nothing keyed on the stream. At
+    * 100 TB-a-day ingest this is the only shape that holds: each
+    * executor assigns its partition's vectors against the in-plan
+    * centroid table. Re-training moves the centroids → restart the
+    * query (the centroids are a deployment artifact, not per-batch
+    * state); a groupBy-argmin formulation would instead buffer every
+    * vector in state until the watermark closed. */
+  def ivfIngestStream(delivery: DataFrame, corpus: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.milli_l2
+    import graft.operators.Similarity
+    val cents = Similarity.ivfCentroids(corpus).collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1)))
+    val centLit = array(cents.map { case (j, cv) =>
+      struct(lit(j).as("j"), array(cv.map(lit): _*).as("c_mv")) }: _*)
+    // argmin over the literal cells via array_min on (d, cell)
+    // structs — the exact tie rule the batch min(struct) agg uses
+    val dc = transform(centLit, c =>
+      struct(milli_l2(col("mv"), c.getField("c_mv")).as("d"),
+        c.getField("j").as("cell")))
+    delivery
+      .withColumn("mv", transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * 1000).cast(LongType)))
+      .withColumn("mdc", array_min(dc))
+      .select(col("vec_id"), col("arrival"),
+        col("mdc").getField("cell").as("cell"),
+        col("mdc").getField("d").as("d2"))
+  }
+
   def neardupScreenStream(delivery: DataFrame, corpus: DataFrame): DataFrame = {
     import graft.functions.TextHashFunctions.{array_jaccard, minhash_bands, word_shingles}
     def sh(text: org.apache.spark.sql.Column) =

@@ -366,4 +366,53 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed == closed)
     } finally q.stop()
   }
+
+  test("streaming IVF ingest matches the batch join+argmin assignment, zero state") {
+    import graft.functions.VectorFunctions.milli_l2
+    val all = Tables.embeddings(spark, sfDir)
+    val corpus = all.filter(col("vec_id") % 13 =!= 0)
+    val delivery = all.filter(col("vec_id") % 13 === 0)
+    val dir = Files.createTempDirectory("graft-embstream").toString
+    delivery
+      .withColumn("arrival", to_timestamp(lit("2026-01-01 00:00:00")))
+      .select(col("vec_id"), col("embedding").cast("array<double>"),
+        col("arrival"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = EventStreams.ivfIngestStream(
+        EventStreams.readEmbStream(spark, dir), corpus)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ivf_out").start()
+    try {
+      q.processAllAvailable()
+      // the map is stateless: no stateful operator may appear
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "IVF ingest grew streaming state")
+      val streamed = spark.table("ivf_out")
+        .select(col("vec_id"), col("cell"), col("d2")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      // truth: the INDEPENDENT batch formulation — s19's broadcast
+      // fan join + combinable min(struct) argmin over the same
+      // trained centroids
+      val cents = operators.Similarity.ivfCentroids(corpus)
+      val want = delivery.select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1000).cast("long")).as("mv"))
+        .join(broadcast(cents), lit(true))
+        .select(col("vec_id"),
+          struct(milli_l2(col("mv"), col("c_mv")).as("d"),
+            col("j").as("cell")).as("dc"))
+        .groupBy(col("vec_id")).agg(min(col("dc")).as("mdc"))
+        .select(col("vec_id"), col("mdc.cell"), col("mdc.d"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      CacheScope.releaseAll()
+      assert(want.nonEmpty, "empty delivery — vacuous")
+      assert(want.map(_._2).size > 0 && streamed.map(_._2).toSet.size > 1,
+        "all vectors landed in one cell — fixture carries no signal")
+      assert(streamed == want)
+    } finally {
+      q.stop()
+      CacheScope.releaseAll()
+      spark.catalog.clearCache()
+    }
+  }
 }

@@ -679,7 +679,7 @@ object Curation {
     * per-doc CLEAN token counts. One source for the formulas so the
     * two capstones cannot drift — the same rule the oracle side keeps
     * with [[p03OracleStages]]. */
-  private def p03Stages(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private[graft] def p03Stages(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import graft.functions.TextHashFunctions.word_shingles
     val docs = Tables.documents(s, d)
     // stage 1: curate (p01 stage-1 formulas verbatim)
@@ -800,8 +800,15 @@ object Curation {
     */
   def p06_epoch_build: Q = (s, d) => {
     val (sampled, scrub0) = p03Stages(s, d)
-    val scrub = scrub0.join(sampled.select(col("doc_id"), col("source")),
-      Seq("doc_id"))
+    // persisted: consumed TWICE (the per-source token aggregate that
+    // prices the epoch plan, and the repeat join) — unpersisted, each
+    // consumer re-runs the d30 span-scrub pipeline; at 100 TB that is
+    // a full duplicate corpus pass. (Local wall time is dominated by
+    // the shared stage-2 eager CC cuts, so the saving mostly shows at
+    // scale, not at sf0.1.)
+    val scrub = graft.CacheScope.persisted(
+      scrub0.join(sampled.select(col("doc_id"), col("source")),
+        Seq("doc_id")))
     val bySrc = scrub.groupBy(col("source"))
       .agg(sum(col("n_clean")).as("src_tokens"))
       .withColumn("sq", floor(sqrt(col("src_tokens"))).cast(LongType))

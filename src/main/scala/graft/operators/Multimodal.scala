@@ -241,9 +241,88 @@ object Multimodal {
     "m04_sample_assembly" -> m04_sample_assembly,
     "m05_phash_groups" -> m05_phash_groups,
     "m06_media_dedup_groups" -> m06_media_dedup_groups,
+    "m07_video_frame_dedup" -> m07_video_frame_dedup,
   )
 
+  /** Frame-sampling stride for [[m07_video_frame_dedup]] — matches
+    * [[frameSample]]'s default (every 4th frame). */
+  private[graft] val M07Stride = 4
+
+  /** m07 — cross-video duplicate-FRAME audit: [[Dedup.d24_line_dedup]]'s
+    * sub-document idea lifted to video. Each webm's sampled frames get
+    * a content-derived fingerprint (md5 of the payload's content
+    * digest + frame index — the m06 trick: the deterministic identity
+    * a real pipeline would get from a frame perceptual hash, here
+    * SQL-mirrorable), a frame shared by ≥ 2 distinct videos is a
+    * duplicate, and each video reports its sampled/duplicate frame
+    * counts and duplicate fraction (≥ 0.5 flags the video a near-dup
+    * candidate — re-uploads and edited re-cuts share most frames).
+    * Within one video every sampled index yields a distinct
+    * fingerprint, so "count ≥ 2 rows" IS "≥ 2 distinct videos" with
+    * no count-distinct expand.
+    *
+    * Scale shape: frames explode ≤ 16/stride rows per video (linear),
+    * the duplicate set is one map-side-combinable count on uniform
+    * 16-byte keys, and the flag joins back fp-keyed — no pair join
+    * ever forms (a hot boilerplate frame in V videos costs V rows,
+    * never V²), which is the whole point vs a naive frame×frame
+    * similarity join.
+    */
+  def m07_video_frame_dedup: Q = (s, d) =>
+    videoFrameDedup(Tables.documents(s, d))
+
+  private[graft] def videoFrameDedup(docs: DataFrame): DataFrame = {
+    // the webm slice of the synthetic corpus (synthesizeMedia's
+    // format rule); content_fp = the payload's text-derived half,
+    // fp independent of n_frames so re-cuts at other frame counts
+    // still collide on shared sampled indices
+    val vids = docs.filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), md5(col("text")).as("content_fp"),
+        (col("doc_id") % 16 + 1).cast(IntegerType).as("n_frames"))
+    val frames = graft.CacheScope.persisted(vids
+      .select(col("doc_id"), col("content_fp"),
+        explode(filter(sequence(lit(0), col("n_frames") - 1),
+          i => i % M07Stride === 0)).as("frame_idx"))
+      .select(col("doc_id"),
+        md5(concat(col("content_fp"), lit("#"),
+          col("frame_idx").cast(StringType))).as("fp")))
+    val dup = frames.groupBy(col("fp"))
+      .agg(count(lit(1)).as("nv")).filter(col("nv") >= 2)
+      .select(col("fp"), lit(1).as("__dup"))
+    frames.join(dup, Seq("fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sampled"), count(col("__dup")).as("n_dup"))
+      .withColumn("dup_frac", graft.Tables.rhalfup(
+        col("n_dup").cast(DoubleType) / col("n_sampled"), 4))
+      .withColumn("is_neardup", col("dup_frac") >= 0.5)
+      .orderBy(col("doc_id"))
+  }
+
   val oracles: Map[String, String] = Map(
+    // mirrors videoFrameDedup: webm slice, sampled frame indices via
+    // generate_series, fp = md5(md5(text) || '#' || idx); a frame in
+    // >= 2 rows is >= 2 videos (within-video fps are distinct). NULL
+    // text -> NULL fp on both sides; NULL never equi-joins, so
+    // null-payload frames count as never-duplicated on both engines.
+    "m07_video_frame_dedup" ->
+      s"""WITH v AS (
+        |  SELECT doc_id, md5(text) AS content_fp,
+        |    CAST(doc_id % 16 + 1 AS INT) AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    md5(content_fp || '#' || CAST(u.i AS VARCHAR)) AS fp
+        |  FROM v, unnest(generate_series(0, n_frames - 1)) u(i)
+        |  WHERE u.i % ${M07Stride} = 0),
+        |dup AS (SELECT fp FROM f GROUP BY fp HAVING COUNT(*) >= 2)
+        |SELECT f.doc_id, COUNT(*) AS n_sampled,
+        |  COUNT(d.fp) AS n_dup,
+        |  floor(CAST(COUNT(d.fp) AS DOUBLE) / COUNT(*) * 1e4 + 0.5) / 1e4
+        |    AS dup_frac,
+        |  floor(CAST(COUNT(d.fp) AS DOUBLE) / COUNT(*) * 1e4 + 0.5) / 1e4
+        |    >= 0.5 AS is_neardup
+        |FROM f LEFT JOIN dup d USING (fp)
+        |GROUP BY f.doc_id ORDER BY doc_id""".stripMargin,
     // mirrors synthesizeMedia's formulas: media = (md5||md5) ×4 = 128
     // bytes, format/width/height/n_frames are doc_id arithmetic
     "m03_media_stats" ->

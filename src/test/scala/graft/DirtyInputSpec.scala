@@ -67,7 +67,8 @@ class DirtyInputSpec extends AnyFunSuite {
     "p04_semantic_build", "p05_epoch_mixture", "p06_epoch_build",
     "d33_leakage_split",
     "t14_lm_quality",
-    "t18_lm_perplexity", "t21_code_switch", "t24_quality_classifier")
+    "t18_lm_perplexity", "t21_code_switch", "t24_quality_classifier",
+    "m07_video_frame_dedup")
 
   private val embTargets = Seq(
     "d05_embedding_neardup", "d15_semantic_dedup", "s01_ann_bruteforce",

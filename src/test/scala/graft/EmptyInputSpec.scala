@@ -56,7 +56,7 @@ class EmptyInputSpec extends AnyFunSuite {
     "s01_ann_bruteforce", "s02_ann_lsh", "s03_ann_ivf", "s06_quantize_int8",
     "s19_ivf_exact",
     "q69_funnel", "m03_media_stats", "m05_phash_groups",
-    "m06_media_dedup_groups",
+    "m06_media_dedup_groups", "m07_video_frame_dedup",
     "t16_bm25", "t17_shards", "d18_source_overlap", "s07_label_centroids",
     "t18_lm_perplexity", "d19_repeated_ngrams", "s08_semantic_decontam",
     "d20_bloom_decontam", "d21_crossmodal_cc", "d22_substring_pairs",

@@ -193,4 +193,33 @@ class MultimodalSpec extends AnyFunSuite {
       s"media groups diverged from exact-text truth (m06=${m06.size} " +
         s"groups, d01=${d01.size})")
   }
+
+  test("m07 flags shared frames across videos; other formats excluded") {
+    import spark.implicits._
+    // webm ids (doc_id % 3 == 2) with planted duplicate content:
+    //   2 (3 frames, samples {0}), 8 (9, {0,4,8}), 14 (15, {0,4,8,12})
+    //   share TEXT — frames collide on every commonly-sampled index;
+    //   5 and 20 are unique; 0/1 are jpeg/png copies of the dup text
+    //   and must not enter at all
+    val docs = Seq(
+      (0L, "dup text"), (1L, "dup text"), (2L, "dup text"),
+      (5L, "solo five"), (8L, "dup text"), (14L, "dup text"),
+      (20L, "solo twenty")).toDF("doc_id", "text")
+    val got = operators.Multimodal.videoFrameDedup(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    CacheScope.releaseAll()
+    assert(got.keySet == Set(2L, 5L, 8L, 14L, 20L),
+      "non-webm rows leaked into the frame audit")
+    // doc 2 samples only frame 0, shared by 8 and 14 → fully duplicated
+    assert(got(2L) == ((1L, 1L, 1.0, true)))
+    // doc 8's {0,4,8} all collide with 14's samples → fully duplicated
+    assert(got(8L) == ((3L, 3L, 1.0, true)))
+    // doc 14's {0,4,8} collide but frame 12 exists in no other video
+    assert(got(14L) == ((4L, 3L, 0.75, true)))
+    // unique-content videos carry zero duplicate frames
+    assert(got(5L) == ((2L, 0L, 0.0, false)))
+    assert(got(20L) == ((2L, 0L, 0.0, false)))
+  }
 }

@@ -580,6 +580,18 @@ class PlanSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("m07 frame audit aggregates map-side; no pair join ever forms") {
+    val p = plan("m07_video_frame_dedup")
+    // the duplicate set is a count on fp keys with map-side combine —
+    // a frame×frame similarity join would appear as a self-join of
+    // the exploded frames (or worse, a cartesian)
+    assert(p.contains("partial_count") || p.contains("partial_finalmerge"),
+      "duplicate-frame count lost its map-side combine")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    CacheScope.releaseAll()
+  }
+
   test("s21 graph search probes the graph via broadcast; corpus never scanned") {
     val p = plan("s21_graph_search")
     // the beam (|queries|·8 rows) must broadcast into the graph/vector

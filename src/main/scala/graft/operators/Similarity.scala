@@ -492,20 +492,9 @@ object Similarity {
 
   private[graft] def nnDescent(e: DataFrame, k: Int = NdK,
       rounds: Int = NdRounds): DataFrame = {
-    import graft.functions.VectorFunctions.milli_l2
     val mv = graft.CacheScope.persisted(e.select(col("vec_id"),
       transform(col("embedding"),
         x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("mv")))
-    def score(cand: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("src")).orderBy(col("d2"), col("dst"))
-      cand
-        .join(mv.select(col("vec_id").as("src"), col("mv").as("mv_a")), Seq("src"))
-        .join(mv.select(col("vec_id").as("dst"), col("mv").as("mv_b")), Seq("dst"))
-        .withColumn("d2", milli_l2(col("mv_a"), col("mv_b")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= k)
-        .select(col("src"), col("dst"), col("d2"), col("rk"))
-    }
     // init: exact top-k over the two overlapping digit groups (see
     // NdInitSpan) — all-pairs WITHIN a ≤span group, never corpus²
     def groupPairs(bkt: Column => Column): DataFrame = {
@@ -516,10 +505,36 @@ object Similarity {
         .select(col("src"), col("dst"))
     }
     val span2 = NdInitSpan.toLong * NdInitSpan
-    var g = score(
-      groupPairs(v => floor(v / NdInitSpan))
-        .unionAll(groupPairs(v => v % NdInitSpan + floor(v / span2) * span2))
-        .distinct())
+    val init = groupPairs(v => floor(v / NdInitSpan))
+      .unionAll(groupPairs(v => v % NdInitSpan + floor(v / span2) * span2))
+      .distinct()
+    ndRefine(mv, init, k, rounds)
+      .select(col("src").as("vec_id"), col("rk"), col("dst").as("nn_id"),
+        col("d2"))
+      .orderBy(col("vec_id"), col("rk"))
+  }
+
+  /** NN-descent refinement core shared by [[nnDescent]] (corpus-wide
+    * digit-group init) and [[cellGraph]] (IVF-cell-scoped init): score
+    * the init pairs, then `rounds` of capped reverse edges + 2-hop
+    * candidates + exact milli-L2 re-rank. Edges never leave whatever
+    * scope the init pairs respect — every later candidate composes
+    * existing edges — so scoping is purely the caller's init choice.
+    * Returns (src, dst, d2, rk). */
+  private def ndRefine(mv: DataFrame, init: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
+    import graft.functions.VectorFunctions.milli_l2
+    def score(cand: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("src")).orderBy(col("d2"), col("dst"))
+      cand
+        .join(mv.select(col("vec_id").as("src"), col("mv").as("mv_a")), Seq("src"))
+        .join(mv.select(col("vec_id").as("dst"), col("mv").as("mv_b")), Seq("dst"))
+        .withColumn("d2", milli_l2(col("mv_a"), col("mv_b")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select(col("src"), col("dst"), col("d2"), col("rk"))
+    }
+    var g = score(init)
     for (_ <- 1 to rounds) {
       // each round references the prior graph twice (forward + reverse
       // edges) and the symmetrized list twice (2-hop self-join) — the
@@ -543,8 +558,69 @@ object Similarity {
         .select(col("src"), col("dst"))
       g = score(nbr.unionAll(hop2).distinct())
     }
-    g.select(col("src").as("vec_id"), col("rk"), col("dst").as("nn_id"),
-        col("d2"))
+    g
+  }
+
+  /** s22 — the IVF-partitioned kNN graph: [[s20_nn_descent]] run
+    * INSIDE each of [[s19_ivf_exact]]'s cells (the billion-vector
+    * layout — IVF-then-graph — that systems like IVF-HNSW deploy:
+    * coarse quantization bounds every graph build to one cell, cells
+    * build embarrassingly parallel, and a query probes a few cells'
+    * graphs instead of one corpus-wide structure). Vectors are
+    * assigned to their exact-Lloyd cell (s19's trainer, shared
+    * [[ivfCentroids]]), the digit-group init runs WITHIN (cell,
+    * group), and because every refinement candidate composes existing
+    * edges, the whole graph provably stays within cells (spec-pinned,
+    * plus per-cell equality with a corpus restricted to that cell).
+    * Same exact-integer arithmetic as s20, so the oracle chains the
+    * proven Lloyd CTEs with the proven refinement CTEs and
+    * hash-matches at every SF.
+    *
+    * Scale shape: everything s20's is, with one improvement — all
+    * init/refinement joins carry the cell in their key, so a cluster
+    * can partition BY CELL and build each cell's graph with zero
+    * cross-partition traffic; the only corpus-wide exchanges are the
+    * (tiny, broadcast) centroid table and the one assignment agg.
+    */
+  def s22_cell_graph: Q = (s, d) =>
+    cellGraph(Tables.embeddings(s, d))
+
+  private[graft] def cellGraph(e: DataFrame, nCells: Int = IvfNCells,
+      k: Int = NdK, rounds: Int = NdRounds): DataFrame = {
+    import graft.functions.VectorFunctions.milli_l2
+    val cents = ivfCentroids(e, nCells)
+    val m = e.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("mv"))
+    // exact cell assignment — s19's broadcast fan + combinable
+    // min(struct) argmin with (dist, cell) ties
+    val fan = m.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("mv"),
+        struct(milli_l2(col("mv"), col("c_mv")).as("d"),
+          col("j").as("cell")).as("dc"))
+    val asg = graft.CacheScope.persisted(
+      fan.groupBy(col("vec_id"))
+        .agg(min(col("dc")).as("mdc"), first(col("mv")).as("mv"))
+        .select(col("vec_id"), col("mdc").getField("cell").as("cell"),
+          col("mv")))
+    // init: the s20 digit groups, scoped per cell
+    def groupPairs(bkt: Column => Column): DataFrame = {
+      val t = asg.select(col("vec_id"), col("cell"),
+        bkt(col("vec_id")).as("bkt"))
+      t.select(col("cell"), col("bkt"), col("vec_id").as("src"))
+        .join(t.select(col("cell"), col("bkt"), col("vec_id").as("dst")),
+          Seq("cell", "bkt"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"))
+    }
+    val span2 = NdInitSpan.toLong * NdInitSpan
+    val init = groupPairs(v => floor(v / NdInitSpan))
+      .unionAll(groupPairs(v => v % NdInitSpan + floor(v / span2) * span2))
+      .distinct()
+    ndRefine(asg.select(col("vec_id"), col("mv")), init, k, rounds)
+      .join(asg.select(col("vec_id").as("src"), col("cell")), Seq("src"))
+      .select(col("src").as("vec_id"), col("cell"), col("rk"),
+        col("dst").as("nn_id"), col("d2"))
       .orderBy(col("vec_id"), col("rk"))
   }
 
@@ -1209,6 +1285,7 @@ object Similarity {
     "s19_ivf_exact" -> s19_ivf_exact,
     "s20_nn_descent" -> s20_nn_descent,
     "s21_graph_search" -> s21_graph_search,
+    "s22_cell_graph" -> s22_cell_graph,
     "s13_hybrid_rrf" -> s13_hybrid_rrf,
     "s14_knn_graph" -> s14_knn_graph,
     "s11_mmr" -> s11_mmr,
@@ -1468,6 +1545,47 @@ object Similarity {
        |SELECT src AS vec_id, rk, dst AS nn_id, d2
        |FROM g$NdRounds ORDER BY vec_id, rk""".stripMargin
 
+  /** s22's oracle: the proven Lloyd CTEs (cell assignment) feeding the
+    * proven refinement CTEs, with the digit-group init additionally
+    * keyed on the cell. `mv` is re-read straight off the trainer's
+    * dim-exploded `q` — one quantization, both uses. */
+  private def s22OracleSql: String = {
+    val span2 = NdInitSpan.toLong * NdInitSpan
+    s"""${pqOracleSetup(IvfNCells, S19BlockDim, S19Rounds)},
+       |cells AS MATERIALIZED (
+       |  SELECT vec_id, j AS cell FROM (
+       |    SELECT vec_id, j,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+       |    FROM af) WHERE rn = 1),
+       |mv AS MATERIALIZED (SELECT vec_id, dim, qv FROM q),
+       |g0 AS MATERIALIZED (
+       |  SELECT src, dst, d2, rn AS rk FROM (
+       |    SELECT src, dst, d2,
+       |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY d2, dst) AS rn
+       |    FROM (
+       |      SELECT c.src, c.dst,
+       |        CAST(SUM((ma.qv - mb.qv) * (ma.qv - mb.qv)) AS BIGINT) AS d2
+       |      FROM (
+       |        SELECT a.vec_id AS src, b.vec_id AS dst
+       |        FROM cells a JOIN cells b ON a.cell = b.cell
+       |          AND a.vec_id // $NdInitSpan = b.vec_id // $NdInitSpan
+       |          AND a.vec_id <> b.vec_id
+       |        UNION
+       |        SELECT a.vec_id AS src, b.vec_id AS dst
+       |        FROM cells a JOIN cells b ON a.cell = b.cell
+       |          AND a.vec_id % $NdInitSpan = b.vec_id % $NdInitSpan
+       |          AND a.vec_id // $span2 = b.vec_id // $span2
+       |          AND a.vec_id <> b.vec_id) c
+       |      JOIN mv ma ON ma.vec_id = c.src
+       |      JOIN mv mb ON mb.vec_id = c.dst AND mb.dim = ma.dim
+       |      GROUP BY c.src, c.dst))
+       |  WHERE rn <= $NdK),
+       |${(1 to NdRounds).map(ndRoundCte).mkString(",\n")}
+       |SELECT g.src AS vec_id, c.cell, g.rk, g.dst AS nn_id, g.d2
+       |FROM g$NdRounds g JOIN cells c ON c.vec_id = g.src
+       |ORDER BY vec_id, rk""".stripMargin
+  }
+
   /** One s21 beam round as SQL reading beam b{j-1} over graph gr —
     * the mirror of graphSearch's loop body (expand the beam's graph
     * neighbors, drop the query itself, exact milli-L2 re-rank to the
@@ -1518,6 +1636,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "s20_nn_descent" -> s20OracleSql,
     "s21_graph_search" -> s21OracleSql,
+    "s22_cell_graph" -> s22OracleSql,
     "s11_mmr" -> s11OracleSql,
     "s12_drift" ->
       """WITH x AS (

@@ -75,7 +75,8 @@ class DirtyInputSpec extends AnyFunSuite {
     "s04_norm_stats", "s06_quantize_int8", "s07_label_centroids",
     "s13_hybrid_rrf", "s14_knn_graph", "s15_communities",
     "s16_int8_search", "s17_community_dedup", "s18_filtered_ann",
-    "s19_ivf_exact", "s20_nn_descent", "s21_graph_search")
+    "s19_ivf_exact", "s20_nn_descent", "s21_graph_search",
+    "s22_cell_graph")
 
   for (name <- docTargets ++ embTargets)
     test(s"$name survives null/empty/whitespace rows") {

@@ -607,6 +607,27 @@ class PlanSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("s22 cell graph keys its init exchange on the cell; partial top-k holds") {
+    // rounds=0 keeps the init in ONE lazy plan (the refinement rounds'
+    // eager lineage cuts would hide it from the final executedPlan):
+    // the init pair join must carry the cell in its key — that is what
+    // lets a cluster build every cell's graph with zero cross-cell
+    // traffic (the centroid fan is the one permitted BNLJ: 16 rows)
+    val p0 = operators.Similarity.cellGraph(
+        Tables.embeddings(spark, sfDir), rounds = 0)
+      .queryExecution.executedPlan.toString
+    assert(p0.contains("Exchange hashpartitioning(cell"))
+    assert(!p0.contains("CartesianProduct"))
+    val ex0 = p0.indexOf("Exchange hashpartitioning(src")
+    assert(ex0 > 0)
+    assert(p0.indexOf("WindowGroupLimit", ex0) > 0,
+      "no partial top-k below the rank exchange")
+    // the full query's final round keeps the same top-k discipline
+    val p = plan("s22_cell_graph")
+    assert(!p.contains("CartesianProduct"))
+    CacheScope.releaseAll()
+  }
+
   test("s13 arms prune top-K pre-shuffle; fusion joins two K-lists only") {
     val p = plan("s13_hybrid_rrf")
     // dense arm broadcasts the fixed query set into one corpus scan

@@ -651,4 +651,35 @@ class SimilaritySpec extends AnyFunSuite {
       s"expansion did not improve recall: seeds=$seedR final=$gotR")
     assert(gotR >= 0.5, s"s21 recall $gotR below floor 0.5")
   }
+
+  test("s22 cell graph: edges stay in-cell; a cell equals restricted NN-descent") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sfDir)
+    val got = SparkEntry.queries("s22_cell_graph")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(got.nonEmpty)
+    // edges never cross cells: every neighbor that has out-edges of
+    // its own sits in the same cell as its source
+    val cellOf = got.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach { r =>
+      assert(cellOf.get(r.getLong(3)).forall(_ == r.getInt(1)),
+        s"edge ${r.getLong(0)}→${r.getLong(3)} crosses cells")
+    }
+    assert(cellOf.values.toSet.size > 1, "one cell — scoping is vacuous")
+    // the strong property: the busiest cell's subgraph is EXACTLY
+    // nnDescent run on a corpus restricted to that cell's members —
+    // cell scoping changes where the graph is built, never what it is
+    val c = got.groupBy(_.getInt(1)).maxBy(_._2.length)._1
+    val members = got.filter(_.getInt(1) == c).map(_.getLong(0)).toSet
+    val gotSub = got.filter(_.getInt(1) == c)
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val want = operators.Similarity.nnDescent(
+        e.filter(col("vec_id").isInCollection(members))).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    CacheScope.releaseAll()
+    assert(gotSub == want,
+      s"cell $c subgraph diverged from restricted NN-descent")
+  }
 }

@@ -343,6 +343,11 @@ object EventStreams {
     import graft.operators.Similarity
     val cents = Similarity.ivfCentroids(corpus).collect()
       .map(r => (r.getInt(0), r.getSeq[Long](1)))
+    // loud, named failure: an empty literal array would otherwise die
+    // in analysis with an inscrutable getField-on-NULL type error
+    require(cents.nonEmpty,
+      "ivfIngestStream: the standing corpus trained zero centroids — " +
+        "an ingest stream needs a non-empty index to route into")
     val centLit = array(cents.map { case (j, cv) =>
       struct(lit(j).as("j"), array(cv.map(lit): _*).as("c_mv")) }: _*)
     // argmin over the literal cells via array_min on (d, cell)

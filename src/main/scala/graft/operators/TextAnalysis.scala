@@ -950,7 +950,63 @@ object TextAnalysis {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** Reference-vocabulary size for [[t28_token_drift]] — the drift
+    * statistic lives on the corpus's top-V tokens, so the comparison
+    * table is V rows no matter the corpus size. */
+  private[graft] val T28Vocab = 200
+
+  /** Rows emitted by [[t28_token_drift]]: the top drift contributors. */
+  private[graft] val T28TopK = 50
+
+  /** t28 — delivery-vs-corpus token-distribution drift: the token-side
+    * twin of s12's embedding drift monitor (the admit-this-delivery
+    * gate CCNet-style pipelines run on text statistics). The standing
+    * corpus's top-[[T28Vocab]] tokens form the reference vocabulary;
+    * both sides get add-one-smoothed probabilities over it, and each
+    * token's KL contribution p·log₂(p/q) — delivery relative to
+    * corpus — is floored to integer micro-units (t18's proven
+    * log-parity discipline; each row is ONE scalar formula, so there
+    * is no float-summation order to disagree on). Output: the
+    * [[T28TopK]] largest contributors — the tokens a drifted delivery
+    * over-represents — with raw counts for triage.
+    *
+    * Scale shape: one token-count shuffle per side (map-side combine
+    * on uniform token keys), the vocabulary is a TakeOrdered top-V
+    * (never a full sort), and everything after operates on ≤ V rows
+    * with the two totals broadcast — the full token stream is touched
+    * exactly twice, in one pass each.
+    */
+  def t28_token_drift: Q = (s, d) =>
+    tokenDrift(Tables.documents(s, d))
+
+  private[graft] def tokenDrift(docs: DataFrame): DataFrame = {
+    def toksOf(df: DataFrame) = df.select(
+      explode(array_remove(split(lower(col("text")), "\\s+"), "")).as("tok"))
+    val del = toksOf(docs.filter(col("doc_id") % 17 === 0))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c_del"))
+    val vocab = toksOf(docs.filter(col("doc_id") % 17 =!= 0))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c_corp"))
+      .orderBy(col("c_corp").desc, col("tok")).limit(T28Vocab)
+    val joined = graft.CacheScope.persisted(
+      vocab.join(del, Seq("tok"), "left")
+        .select(col("tok"), col("c_corp"),
+          coalesce(col("c_del"), lit(0L)).as("c_del")))
+    val tot = joined.agg(sum(col("c_del")).as("nd"),
+      sum(col("c_corp")).as("nc"), count(lit(1)).as("v"))
+    joined.crossJoin(broadcast(tot))
+      .withColumn("p",
+        (col("c_del") + 1).cast(DoubleType) / (col("nd") + col("v")))
+      .withColumn("q",
+        (col("c_corp") + 1).cast(DoubleType) / (col("nc") + col("v")))
+      .withColumn("contrib_micro",
+        floor(col("p") * log2(col("p") / col("q")) * 1000000L)
+          .cast(LongType))
+      .select(col("tok"), col("c_del"), col("c_corp"), col("contrib_micro"))
+      .orderBy(col("contrib_micro").desc, col("tok")).limit(T28TopK)
+  }
+
   val queries: Map[String, Q] = Map(
+    "t28_token_drift" -> t28_token_drift,
     "t27_fertility" -> t27_fertility,
     "t25_bpe_encode" -> t25_bpe_encode,
     "t23_bpe_merges" -> t23_bpe_merges,
@@ -1358,6 +1414,34 @@ object TextAnalysis {
         |CROSS JOIN t
         |WHERE c_bigram >= 10
         |ORDER BY bigram""".stripMargin,
+    "t28_token_drift" ->
+      s"""WITH tok_c AS (
+        |  SELECT tok, COUNT(*) AS c_corp FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+        |    FROM documents WHERE doc_id % 17 <> 0)
+        |  WHERE length(tok) > 0 GROUP BY tok),
+        |vocab AS (
+        |  SELECT tok, c_corp FROM tok_c
+        |  ORDER BY c_corp DESC, tok LIMIT $T28Vocab),
+        |tok_d AS (
+        |  SELECT tok, COUNT(*) AS c_del FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+        |    FROM documents WHERE doc_id % 17 = 0)
+        |  WHERE length(tok) > 0 GROUP BY tok),
+        |j AS (
+        |  SELECT v.tok, v.c_corp, COALESCE(d.c_del, 0) AS c_del
+        |  FROM vocab v LEFT JOIN tok_d d USING (tok)),
+        |tot AS (
+        |  SELECT SUM(c_del) AS nd, SUM(c_corp) AS nc, COUNT(*) AS v FROM j)
+        |SELECT tok, c_del, c_corp, contrib_micro FROM (
+        |  SELECT j.tok, j.c_del, j.c_corp,
+        |    CAST(floor(
+        |      (CAST(j.c_del + 1 AS DOUBLE) / (t.nd + t.v)) *
+        |      log2((CAST(j.c_del + 1 AS DOUBLE) / (t.nd + t.v)) /
+        |           (CAST(j.c_corp + 1 AS DOUBLE) / (t.nc + t.v))) *
+        |      1000000) AS BIGINT) AS contrib_micro
+        |  FROM j CROSS JOIN tot t)
+        |ORDER BY contrib_micro DESC, tok LIMIT $T28TopK""".stripMargin,
     "t07_vocab" ->
       """WITH tok AS (
         |  SELECT DISTINCT doc_id, lang,

@@ -68,7 +68,7 @@ class DirtyInputSpec extends AnyFunSuite {
     "d33_leakage_split",
     "t14_lm_quality",
     "t18_lm_perplexity", "t21_code_switch", "t24_quality_classifier",
-    "m07_video_frame_dedup")
+    "m07_video_frame_dedup", "t28_token_drift")
 
   private val embTargets = Seq(
     "d05_embedding_neardup", "d15_semantic_dedup", "s01_ann_bruteforce",

@@ -73,7 +73,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "s17_community_dedup", "s18_filtered_ann", "s20_nn_descent",
     "s21_graph_search", "s22_cell_graph", "d33_leakage_split",
     "p05_epoch_mixture",
-    "t27_fertility", "d31_corpus_report", "q74_sketch_rollup")
+    "t27_fertility", "t28_token_drift", "d31_corpus_report",
+    "q74_sketch_rollup")
 
   for (name <- targets)
     test(s"$name tolerates zero-row inputs") {

@@ -580,6 +580,17 @@ class PlanSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("t28 drift tops-k via TakeOrdered; no global sort, no 1-partition window") {
+    val p = plan("t28_token_drift")
+    // vocab selection and the final contributor ranking must both be
+    // TakeOrdered (distributed partial top-k), never a full sort or a
+    // partition-less window over the token table
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Window "), "rank regressed to a global window")
+    assert(!p.contains("CartesianProduct"))
+    CacheScope.releaseAll()
+  }
+
   test("m07 frame audit aggregates map-side; no pair join ever forms") {
     val p = plan("m07_video_frame_dedup")
     // the duplicate set is a count on fp keys with map-side combine —

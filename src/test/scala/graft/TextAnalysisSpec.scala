@@ -357,4 +357,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     // the head of the ranking is exact-count ordered
     assert(rows.head.getAs[String]("tok") == "hot")
   }
+
+  test("t28 drift: delivery-heavy tokens rank first with positive contribution") {
+    import spark.implicits._
+    // corpus (ids 1-8): 'aaa bbb' heavy, 'zzz' rare; delivery (0, 17):
+    // all-zzz — the statistic must surface zzz as the drift driver.
+    // A token ABSENT from the corpus vocab is invisible by design
+    // (drift lives on the reference vocabulary; NOVEL content is
+    // d23_gram_novelty's job).
+    val docs = (
+      (1L to 6L).map(i => (i, "aaa bbb aaa bbb")) ++
+        Seq((7L, "zzz"), (8L, "aaa bbb"),
+          (0L, "zzz zzz zzz zzz"), (17L, "zzz zzz zzz zzz"))
+      ).toDF("doc_id", "text")
+    val rows = operators.TextAnalysis.tokenDrift(docs).collect()
+    CacheScope.releaseAll()
+    assert(rows.length == 3, s"vocab is {aaa,bbb,zzz}; got ${rows.length}")
+    // ordering: contrib desc, token asc
+    val contribs = rows.map(_.getAs[Long]("contrib_micro"))
+    assert(contribs.zip(contribs.tail).forall { case (a, b) => a >= b })
+    val head = rows.head
+    assert(head.getAs[String]("tok") == "zzz", "drift driver not ranked first")
+    assert(head.getAs[Long]("contrib_micro") > 0)
+    assert(head.getAs[Long]("c_del") == 8L && head.getAs[Long]("c_corp") == 1L)
+    // corpus-heavy tokens the delivery lacks contribute negatively
+    rows.filter(_.getAs[String]("tok") != "zzz").foreach { r =>
+      assert(r.getAs[Long]("contrib_micro") < 0,
+        s"${r.getAs[String]("tok")} should read under-represented")
+    }
+  }
 }

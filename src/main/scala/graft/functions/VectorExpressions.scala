@@ -256,10 +256,15 @@ case class HyperplaneSigs(child: Expression, nTables: Int, bits: Int,
   * symmetric max-abs int8 quantization in ONE pass — scale =
   * max|xᵢ|/127, codeᵢ = floor(xᵢ/scale + 0.5) (all-zero codes when
   * scale = 0). Bit-identical to the HOF-lambda formulation it
-  * replaces (`transform`/`aggregate` chains run interpreted —
-  * measured 20×+ slower than a fused codegen loop on the d02 path);
-  * every arithmetic step is the same double op in the same order, so
-  * the s16 oracle hash is unchanged. The tinyint payload is also the
+  * replaces FOR FINITE INPUTS (`transform`/`aggregate` chains run
+  * interpreted — measured 20×+ slower than a fused codegen loop on
+  * the d02 path); every arithmetic step is the same double op in the
+  * same order, so the s16 oracle hash is unchanged. NaN elements are
+  * outside the parity claim: Spark's `greatest` treats NaN as largest
+  * (the lambda scale becomes NaN and every code NaN-casts), while
+  * this kernel's `av > maxabs` skips NaN — a finite scale and code 0
+  * for the NaN slot. The corpus contract (finite milli-lattice
+  * floats) never exercises the difference. The tinyint payload is also the
   * honest storage story: 1 byte/code instead of the lambda chain's
   * 8-byte doubles — the 4× scan-width win int8 search exists for.
   */

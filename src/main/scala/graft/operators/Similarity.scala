@@ -368,21 +368,33 @@ object Similarity {
   def s19_ivf_exact: Q = (s, d) => ivfExact(Tables.embeddings(s, d))
 
   private[graft] val S19Rounds = 2
-  /** Full vector width ⇒ single trainer block (flat k-means). Wider
-    * rows would train on their first 64 dims — same truncation rule
-    * as [[graft.functions.HyperplaneSigs]]. */
+  /** Full vector width ⇒ single trainer block (flat k-means). A WIDER
+    * corpus is unsupported and fails loudly in [[ivfCentroids]]: with
+    * blockDim < width, [[pqTrain]] would train independent per-block
+    * codebooks, and reshaping them per cell would concatenate
+    * unrelated per-block centroids into one vector while the s19/s22
+    * oracles rank per-(blk, j) — a silent engine/oracle divergence. */
   private[graft] val S19BlockDim = 64
 
   /** Trained IVF centroids as (j, c_mv) rows — [[pqTrain]] at full
     * vector width (flat exact-integer k-means) reshaped to one long
     * array per cell; shared by the batch index build and the
-    * streaming ingest path. */
+    * streaming ingest path. The single-block requirement (see
+    * [[S19BlockDim]]) is asserted INSIDE the plan — no extra job, and
+    * a wider corpus throws instead of silently diverging. */
   private[graft] def ivfCentroids(e: DataFrame,
       nCells: Int = IvfNCells): DataFrame = {
     val (_, c) = pqTrain(e, nCells, S19BlockDim, S19Rounds)
     c.groupBy(col("j"))
-      .agg(transform(sort_array(collect_list(struct(col("dim"), col("cv")))),
-        el => el.getField("cv")).as("c_mv"))
+      .agg(max(col("blk")).as("maxblk"),
+        transform(sort_array(collect_list(struct(col("dim"), col("cv")))),
+          el => el.getField("cv")).as("c_mv"))
+      .where(coalesce(assert_true(col("maxblk") === 0,
+        lit(s"ivfCentroids: embedding wider than $S19BlockDim dims is " +
+          "unsupported (the trainer would emit >1 block per cell); " +
+          "raise S19BlockDim to the full vector width"))
+        .cast(BooleanType), lit(true)))
+      .select(col("j"), col("c_mv"))
   }
 
   private[graft] def ivfExact(e: DataFrame,
@@ -585,8 +597,16 @@ object Similarity {
   def s22_cell_graph: Q = (s, d) =>
     cellGraph(Tables.embeddings(s, d))
 
-  private[graft] def cellGraph(e: DataFrame, nCells: Int = IvfNCells,
-      k: Int = NdK, rounds: Int = NdRounds): DataFrame = {
+  /** The shared IVF-graph index build behind [[s22_cell_graph]] (the
+    * whole output) and [[s23_cell_search]] (the consumer). Returns
+    *  - `cents`: the trained coarse centroids (j, c_mv) — 16 rows,
+    *  - `asg`: exact cell assignment (vec_id, cell, cd, mv) where `cd`
+    *    is the exact milli-L2 to the OWN centroid (the medoid key),
+    *  - `graph`: the per-cell refined kNN graph (src, cell, dst, d2, rk).
+    */
+  private[graft] def cellIndex(e: DataFrame, nCells: Int = IvfNCells,
+      k: Int = NdK, rounds: Int = NdRounds)
+      : (DataFrame, DataFrame, DataFrame) = {
     import graft.functions.VectorFunctions.milli_l2
     val cents = ivfCentroids(e, nCells)
     val m = e.select(col("vec_id"),
@@ -602,7 +622,7 @@ object Similarity {
       fan.groupBy(col("vec_id"))
         .agg(min(col("dc")).as("mdc"), first(col("mv")).as("mv"))
         .select(col("vec_id"), col("mdc").getField("cell").as("cell"),
-          col("mv")))
+          col("mdc").getField("d").as("cd"), col("mv")))
     // init: the s20 digit groups, scoped per cell
     def groupPairs(bkt: Column => Column): DataFrame = {
       val t = asg.select(col("vec_id"), col("cell"),
@@ -617,8 +637,15 @@ object Similarity {
     val init = groupPairs(v => floor(v / NdInitSpan))
       .unionAll(groupPairs(v => v % NdInitSpan + floor(v / span2) * span2))
       .distinct()
-    ndRefine(asg.select(col("vec_id"), col("mv")), init, k, rounds)
+    val graph = ndRefine(asg.select(col("vec_id"), col("mv")), init, k, rounds)
       .join(asg.select(col("vec_id").as("src"), col("cell")), Seq("src"))
+    (cents, asg, graph)
+  }
+
+  private[graft] def cellGraph(e: DataFrame, nCells: Int = IvfNCells,
+      k: Int = NdK, rounds: Int = NdRounds): DataFrame = {
+    val (_, _, graph) = cellIndex(e, nCells, k, rounds)
+    graph
       .select(col("src").as("vec_id"), col("cell"), col("rk"),
         col("dst").as("nn_id"), col("d2"))
       .orderBy(col("vec_id"), col("rk"))
@@ -701,6 +728,271 @@ object Similarity {
     beam.filter(col("rk") <= K)
       .select(col("q_id"), col("rk"), col("cand").as("nn_id"), col("d2"))
       .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** Cells probed per query in [[s23_cell_search]]: the nProbe nearest
+    * coarse centroids by exact milli-L2. 6 of [[IvfNCells]] — the
+    * serving point of the layout is reading a FRACTION of the index;
+    * the recall spec floors what 6/16 + beam search must still find
+    * (measured 0.567 vs the 0.70 exact-within-probed-cells ceiling;
+    * the gap is beam greediness, the knob a caller widens). */
+  private[graft] val S23NProbe = 6
+
+  /** s23 — cell-probed graph search: the QUERY half of
+    * [[s22_cell_graph]]'s billion-vector layout (the IVF-HNSW /
+    * DiskANN serving pattern). Per query: (1) rank the [[IvfNCells]]
+    * coarse centroids by exact milli-L2 and keep the [[S23NProbe]]
+    * nearest cells; (2) in each probed cell, beam-search that cell's
+    * SERVING graph — s22's graph symmetrized and component-bridged
+    * (see the build comment below) — with [[s21_graph_search]]'s
+    * rounds, entering at the cell's MEDOID (the member closest to its
+    * own centroid, ties to the smaller id — deterministic, and
+    * already paid for by the assignment pass); (3) fuse the per-cell
+    * beams into one exact top-[[K]] per query. Every step is
+    * [[graft.functions.MilliL2]] exact long arithmetic with (d2, id)
+    * ties, so the oracle chains s22's proven Lloyd + refinement CTEs
+    * with s21's proven beam CTEs (components via a fixed-round
+    * pointer-jumping mirror of the engine's CC) and hash-matches at
+    * every SF. A spec floors recall@K against the milli brute force
+    * and pins that probing MORE cells only helps.
+    *
+    * Scale shape: the probe ranking is |queries|×[[IvfNCells]] rows
+    * against the broadcast centroid table; medoids fall out of the
+    * assignment pass as one per-cell min(struct); every beam round
+    * joins a broadcast (|queries|·nprobe·beam)-row frame against the
+    * graph ON THE CELL KEY — with the standing graph stored
+    * partitioned by cell (see [[graft.sources.IndexStore]]), a query
+    * reads only its nprobe/ncells slice of the index off disk and no
+    * shuffle ever carries more than the beam. The corpus is never
+    * scanned.
+    */
+  def s23_cell_search: Q = (s, d) =>
+    cellProbeSearch(Tables.embeddings(s, d))
+
+  /** s25 — [[s23_cell_search]] served from the STANDING index: the
+    * query path consumes the saved artifact
+    * ([[graft.sources.IndexStore.ensureCellIndex]] — cell-partitioned
+    * parquet, fingerprint-gated load-or-build) instead of rebuilding
+    * the trainer + NN-descent inline. This is the missing lifecycle
+    * half of the ANN story at 100 TB: the index build is a batch job,
+    * queries read a saved layout and touch only the nprobe/ncells
+    * slice they probe (partition pruning on the graph and list
+    * scans). Results are identical to s23 by construction — saved ≡
+    * rebuilt is spec-pinned — so the same oracle hash-checks the
+    * whole save/load/serve cycle at every SF; on a warm index the
+    * wall time is the query alone (~0.2 s vs ~6 s, the bench line).
+    */
+  def s25_standing_search: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val (cents, asg, entries, graph) =
+      graft.sources.IndexStore.ensureCellIndex(s, d, e)
+    cellProbeSearchOn(cents, asg, entries, graph)
+  }
+
+  /** The standing per-cell serving index [[s23_cell_search]] queries
+    * and [[graft.sources.IndexStore]] persists: s22's graph (via
+    * [[cellIndex]]) HARDENED for serving, the two steps every
+    * production NN-descent deployment (e.g. pynndescent) runs before
+    * search:
+    *  1. SYMMETRIZE: a directed kNN graph reaches hubs but not
+    *     peripheral nodes (nothing central points at them), so the
+    *     search index stores both directions like DiskANN/HNSW.
+    *  2. BRIDGE COMPONENTS: a kNN graph fragments into disconnected
+    *     clusters (measured: 1–5 components per cell; recall stuck
+    *     at the medoid-component ceiling 0.37 even probing ALL
+    *     cells), so each component's min-id node gets an edge to the
+    *     cell medoid — the search graph is connected by construction
+    *     and every member is reachable from the entry.
+    * Components come from the engine's proven CC (edges never cross
+    * cells, so one corpus-wide pass IS per-cell CC); both steps stay
+    * in-cell by construction. Returns (cents, asg, entries, graph):
+    * the trained centroids, the cell assignment with milli vectors
+    * (the IVF "lists"), the per-cell medoid entry points, and the
+    * symmetrized+bridged search graph.
+    */
+  private[graft] def servingIndex(e: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (cents, asg, g) = cellIndex(e)
+    val gdir = graft.CacheScope.checkpointed(
+      g.select(col("cell"), col("src"), col("dst")))
+    val gsym = gdir.unionAll(gdir.select(col("cell"),
+      col("dst").as("src"), col("src").as("dst"))).distinct()
+    // entry node per cell: its medoid — argmin (own-centroid d2, id)
+    val entries = asg.groupBy(col("cell"))
+      .agg(min(struct(col("cd"), col("vec_id"))).as("m"))
+      .select(col("cell"), col("m").getField("vec_id").as("entry"))
+    val comp = Dedup.dupClusters(
+      gdir.select(col("src").as("id_a"), col("dst").as("id_b")))
+    val reps = comp
+      .join(asg.select(col("vec_id").as("doc_id"), col("cell")), Seq("doc_id"))
+      .select(col("cell"), col("cluster_id").as("rep")).distinct()
+    val bridges = reps.join(broadcast(entries), Seq("cell"))
+      .filter(col("rep") =!= col("entry"))
+      .select(col("cell"), col("entry").as("src"), col("rep").as("dst"))
+    val graph = graft.CacheScope.checkpointed(
+      gsym.unionAll(bridges)
+        .unionAll(bridges.select(col("cell"),
+          col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+    (cents, asg, entries, graph)
+  }
+
+  private[graft] def cellProbeSearch(e: DataFrame,
+      nProbe: Int = S23NProbe, rounds: Int = GsRounds): DataFrame = {
+    val (cents, asg, entries, graph) = servingIndex(e)
+    cellProbeSearchOn(cents, asg, entries, graph, nProbe, rounds)
+  }
+
+  /** The pure QUERY half of [[s23_cell_search]], over an already-built
+    * (or [[graft.sources.IndexStore]]-loaded) serving index — probe
+    * ranking, per-cell beam rounds, exact fuse. Touches nothing but
+    * the four index tables. */
+  private[graft] def cellProbeSearchOn(cents: DataFrame, asg: DataFrame,
+      entries: DataFrame, graph: DataFrame,
+      nProbe: Int = S23NProbe, rounds: Int = GsRounds): DataFrame = {
+    import graft.functions.VectorFunctions.milli_l2
+    val q = asg.filter(col("vec_id") % 97 === 0 && col("vec_id") < QueryIdBound)
+      .select(col("vec_id").as("q_id"), col("mv").as("q_mv"))
+    // probe ranking: nProbe nearest cells by exact centroid distance
+    val wp = Window.partitionBy(col("q_id")).orderBy(col("cd"), col("j"))
+    val probes = q.join(broadcast(cents), lit(true))
+      .withColumn("cd", milli_l2(col("q_mv"), col("c_mv")))
+      .withColumn("prn", row_number().over(wp))
+      .filter(col("prn") <= nProbe)
+      .select(col("q_id"), col("j").as("cell"))
+    def rescore(cand: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("q_id"), col("cell"))
+        .orderBy(col("d2"), col("cand"))
+      cand
+        .join(asg.select(col("vec_id").as("cand"), col("mv").as("c_mv")),
+          Seq("cand"))
+        .join(broadcast(q), Seq("q_id"))
+        .withColumn("d2", milli_l2(col("q_mv"), col("c_mv")))
+        .withColumn("brk", row_number().over(w))
+        .filter(col("brk") <= GsBeam)
+        .select(col("q_id"), col("cell"), col("cand"), col("d2"))
+    }
+    // entry beam: the medoid itself plus its out-neighbors. The beam
+    // side of every graph probe is broadcast — the graph (k·n rows,
+    // the one corpus-sized frame) is only ever the build side's probe
+    // target, never shuffled
+    val seed = probes.join(broadcast(entries), Seq("cell"))
+    val seedNbr = broadcast(seed)
+      .join(graph, Seq("cell"))
+      .filter(col("entry") === col("src"))
+      .select(col("q_id"), col("cell"), col("dst").as("cand"))
+    var beam = rescore(
+      seed.select(col("q_id"), col("cell"), col("entry").as("cand"))
+        .unionAll(seedNbr)
+        .filter(col("cand") =!= col("q_id")).distinct())
+    for (_ <- 1 to rounds) {
+      val bp = graft.CacheScope.checkpointed(
+        beam.select(col("q_id"), col("cell"), col("cand")))
+      val nb = broadcast(bp).join(graph,
+          bp("cell") === graph("cell") && bp("cand") === graph("src"))
+        .select(bp("q_id"), bp("cell"), graph("dst").as("cand"))
+      beam = rescore(
+        bp.unionAll(nb).filter(col("cand") =!= col("q_id")).distinct())
+    }
+    // fuse: per-cell beams → one exact per-query top-K (cells are
+    // disjoint member sets, so no cross-cell duplicates exist)
+    val wf = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cand"))
+    beam.withColumn("rk", row_number().over(wf))
+      .filter(col("rk") <= K)
+      .select(col("q_id"), col("rk"), col("cand").as("nn_id"), col("d2"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** s24 — incremental kNN-graph maintenance: how a 100 TB standing
+    * index absorbs a daily delivery WITHOUT a rebuild (the q73/d16
+    * incremental story applied to ANN). The standing graph is
+    * [[s20_nn_descent]]'s over the corpus EXCLUDING the delivery
+    * (vec_id % 5 = 0, the s12 delivery convention). Per delivery
+    * vector: (1) seed with the s20 digit groups RESTRICTED to
+    * standing members (≤ 2·[[NdInitSpan]] candidates, deterministic,
+    * geometry-blind — the same init the full build trusts);
+    * (2) [[s21_graph_search]]-style beam rounds over the standing
+    * graph; (3) the final beam IS the new node's out-edge list
+    * ([[GsBeam]] = [[NdK]]). Standing nodes SELECTED by some delivery
+    * ("touched") re-rank {their old neighbors} ∪ {the deliveries that
+    * picked them} — reverse edges reuse the already-exact symmetric
+    * d2 — and every untouched row passes through byte-identical.
+    * Work ∝ |delivery|·beam + |touched|·k; the corpus is never
+    * rescanned. All exact milli arithmetic, so the oracle chains the
+    * standing-graph CTEs (parameterized to the old slice) with the
+    * beam CTEs and hash-matches at every SF. A spec gates merged-graph
+    * recall ≥ 0.9× a FULL rebuild's recall.
+    */
+  def s24_incremental_graph: Q = (s, d) =>
+    incrementalGraph(Tables.embeddings(s, d))
+
+  private[graft] def incrementalGraph(e: DataFrame,
+      rounds: Int = GsRounds): DataFrame = {
+    import graft.functions.VectorFunctions.milli_l2
+    val m = graft.CacheScope.persisted(e.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("mv")))
+    val old = m.filter(col("vec_id") % 5 =!= 0)
+    val del = m.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("q_id"), col("mv").as("q_mv"))
+    // the standing index (built once, consumed here; at scale this is
+    // an IndexStore read — see IndexStoreSpec's bucketed-graph pin)
+    val gFull = graft.CacheScope.checkpointed(
+      nnDescent(e.filter(col("vec_id") % 5 =!= 0))
+        .select(col("vec_id").as("src"), col("rk"), col("nn_id").as("dst"),
+          col("d2")))
+    val g = gFull.select(col("src"), col("dst"))
+    // seeds: the two digit groups of the delivery id over standing ids
+    def seedPairs(bkt: Column => Column): DataFrame =
+      del.select(col("q_id"), bkt(col("q_id")).as("bkt"))
+        .join(old.select(bkt(col("vec_id")).as("bkt"),
+          col("vec_id").as("cand")), Seq("bkt"))
+        .select(col("q_id"), col("cand"))
+    val span2 = NdInitSpan.toLong * NdInitSpan
+    val seeds = seedPairs(v => floor(v / NdInitSpan))
+      .unionAll(seedPairs(v => v % NdInitSpan + floor(v / span2) * span2))
+      .distinct()
+    def rescore(cand: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cand"))
+      cand
+        .join(old.select(col("vec_id").as("cand"), col("mv").as("c_mv")),
+          Seq("cand"))
+        .join(broadcast(del), Seq("q_id"))
+        .withColumn("d2", milli_l2(col("q_mv"), col("c_mv")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= GsBeam)
+        .select(col("q_id"), col("cand"), col("d2"), col("rk"))
+    }
+    var beam = rescore(seeds)
+    for (_ <- 1 to rounds) {
+      val bp = graft.CacheScope.checkpointed(
+        beam.select(col("q_id"), col("cand")))
+      val nb = broadcast(bp).join(g, bp("cand") === g("src"))
+        .select(bp("q_id"), g("dst").as("cand"))
+      beam = rescore(bp.unionAll(nb).distinct())
+    }
+    // the final beam (GsBeam = NdK) is the new node's out-edge list
+    val newEdges = graft.CacheScope.checkpointed(beam)
+    val touched = newEdges.select(col("cand").as("src")).distinct()
+    // touched standing nodes re-rank old neighbors ∪ reverse edges
+    // (d2 is symmetric — reuse the beam's exact value)
+    val wt = Window.partitionBy(col("src")).orderBy(col("d2"), col("dst"))
+    val upd = gFull.join(broadcast(touched), Seq("src"))
+      .select(col("src"), col("dst"), col("d2"))
+      .unionAll(newEdges.select(col("cand").as("src"),
+        col("q_id").as("dst"), col("d2")))
+      .withColumn("rk", row_number().over(wt))
+      .filter(col("rk") <= NdK)
+      .select(col("src"), col("rk"), col("dst"), col("d2"))
+    val untouched = gFull.join(broadcast(touched), Seq("src"), "left_anti")
+      .select(col("src"), col("rk"), col("dst"), col("d2"))
+    untouched
+      .unionAll(upd)
+      .unionAll(newEdges.select(col("q_id").as("src"), col("rk"),
+        col("cand").as("dst"), col("d2")))
+      .select(col("src").as("vec_id"), col("rk"), col("dst").as("nn_id"),
+        col("d2"))
+      .orderBy(col("vec_id"), col("rk"))
   }
 
   /** s06 — int8 scalar quantization of the embedding column with an
@@ -1286,6 +1578,9 @@ object Similarity {
     "s20_nn_descent" -> s20_nn_descent,
     "s21_graph_search" -> s21_graph_search,
     "s22_cell_graph" -> s22_cell_graph,
+    "s23_cell_search" -> s23_cell_search,
+    "s24_incremental_graph" -> s24_incremental_graph,
+    "s25_standing_search" -> s25_standing_search,
     "s13_hybrid_rrf" -> s13_hybrid_rrf,
     "s14_knn_graph" -> s14_knn_graph,
     "s11_mmr" -> s11_mmr,
@@ -1508,13 +1803,14 @@ object Similarity {
 
   /** The full graph CTE stack — mv milli quantization, the two-group
     * init g0, and the [[NdRounds]] refinement rounds — the DuckDB
-    * mirror of [[nnDescent]], shared by the s20 and s21 oracles.
-    * Returned pre-stripped like [[ndRoundCte]]. */
-  private def ndGraphCtes: String =
+    * mirror of [[nnDescent]] over relation `rel`, shared by the s20
+    * and s21 oracles (the whole corpus) and the s24 oracle (the
+    * standing slice). Returned pre-stripped like [[ndRoundCte]]. */
+  private def ndGraphCtes(rel: String = "embeddings"): String =
     s"""mv AS MATERIALIZED (
        |  SELECT vec_id, CAST(g - 1 AS INT) AS dim,
        |    CAST(floor(CAST(embedding[g] AS DOUBLE) * 1000) AS BIGINT) AS qv
-       |  FROM embeddings, unnest(generate_series(1, len(embedding))) u(g)),
+       |  FROM $rel, unnest(generate_series(1, len(embedding))) u(g)),
        |g0 AS MATERIALIZED (
        |  SELECT src, dst, d2, rn AS rk FROM (
        |    SELECT src, dst, d2,
@@ -1524,12 +1820,12 @@ object Similarity {
        |        CAST(SUM((ma.qv - mb.qv) * (ma.qv - mb.qv)) AS BIGINT) AS d2
        |      FROM (
        |        SELECT a.vec_id AS src, b.vec_id AS dst
-       |        FROM embeddings a JOIN embeddings b
+       |        FROM $rel a JOIN $rel b
        |          ON a.vec_id // $NdInitSpan = b.vec_id // $NdInitSpan
        |          AND a.vec_id <> b.vec_id
        |        UNION
        |        SELECT a.vec_id AS src, b.vec_id AS dst
-       |        FROM embeddings a JOIN embeddings b
+       |        FROM $rel a JOIN $rel b
        |          ON a.vec_id % $NdInitSpan = b.vec_id % $NdInitSpan
        |          AND a.vec_id // ${NdInitSpan.toLong * NdInitSpan}
        |            = b.vec_id // ${NdInitSpan.toLong * NdInitSpan}
@@ -1541,15 +1837,19 @@ object Similarity {
        |${(1 to NdRounds).map(ndRoundCte).mkString(",\n")}""".stripMargin
 
   private def s20OracleSql: String =
-    s"""WITH $ndGraphCtes
+    s"""WITH ${ndGraphCtes()}
        |SELECT src AS vec_id, rk, dst AS nn_id, d2
        |FROM g$NdRounds ORDER BY vec_id, rk""".stripMargin
 
-  /** s22's oracle: the proven Lloyd CTEs (cell assignment) feeding the
-    * proven refinement CTEs, with the digit-group init additionally
+  /** s22's CTE stack — the proven Lloyd CTEs (cell assignment) feeding
+    * the proven refinement CTEs, with the digit-group init additionally
     * keyed on the cell. `mv` is re-read straight off the trainer's
-    * dim-exploded `q` — one quantization, both uses. */
-  private def s22OracleSql: String = {
+    * dim-exploded `q` — one quantization, both uses. Shared by the s22
+    * oracle (the whole graph) and the s23 oracle (the query path over
+    * it), so the index the query probes cannot drift from the index
+    * s22 proves. Returned pre-stripped (the [[ndRoundCte]]
+    * convention). */
+  private def cellGraphCtes: String = {
     val span2 = NdInitSpan.toLong * NdInitSpan
     s"""${pqOracleSetup(IvfNCells, S19BlockDim, S19Rounds)},
        |cells AS MATERIALIZED (
@@ -1580,9 +1880,215 @@ object Similarity {
        |      JOIN mv mb ON mb.vec_id = c.dst AND mb.dim = ma.dim
        |      GROUP BY c.src, c.dst))
        |  WHERE rn <= $NdK),
-       |${(1 to NdRounds).map(ndRoundCte).mkString(",\n")}
+       |${(1 to NdRounds).map(ndRoundCte).mkString(",\n")}""".stripMargin
+  }
+
+  private def s22OracleSql: String =
+    s"""$cellGraphCtes
        |SELECT g.src AS vec_id, c.cell, g.rk, g.dst AS nn_id, g.d2
        |FROM g$NdRounds g JOIN cells c ON c.vec_id = g.src
+       |ORDER BY vec_id, rk""".stripMargin
+
+  /** Rounds of the fixed-round pointer-jumping min-label propagation
+    * in [[s23OracleSql]]'s component CTEs. Label reach grows ≥ 2^R
+    * hops, so 16 covers any component diameter ≤ 65536 — far over any
+    * cell's member count at every tested SF. Both engines converge to
+    * the same fixpoint (min member id per component), so the fixed
+    * mirror hash-matches the engine's run-to-convergence CC. */
+  private val S23CcRounds = 16
+
+  /** One CC round as SQL reading labels cc{i-1} over the symmetrized
+    * graph gr: propagate the min neighbor label, then pointer-jump
+    * l(v) ← l(l(v)) (the Shiloach–Vishkin shortcut that makes 16
+    * rounds enough). Pre-stripped. */
+  private def ccRoundCte(i: Int): String =
+    s"""ccp$i AS (
+       |  SELECT g.src AS node, MIN(l.lbl) AS lbl
+       |  FROM gr g JOIN cc${i - 1} l ON l.node = g.dst GROUP BY g.src),
+       |ccm$i AS MATERIALIZED (
+       |  SELECT c.node, LEAST(c.lbl, p.lbl) AS lbl
+       |  FROM cc${i - 1} c JOIN ccp$i p ON p.node = c.node),
+       |cc$i AS MATERIALIZED (
+       |  SELECT m.node, j.lbl
+       |  FROM ccm$i m JOIN ccm$i j ON j.node = m.lbl)""".stripMargin
+
+  /** One s23 beam round as SQL reading beam cb{j-1} over the cell-keyed
+    * search graph grs — [[gsRoundCte]] with (q_id, cell) as the beam
+    * key and the expansion join carrying the cell. Pre-stripped. */
+  private def s23RoundCte(j: Int): String =
+    s"""cb$j AS MATERIALIZED (
+       |  SELECT q_id, cell, cand, d2 FROM (
+       |    SELECT q_id, cell, cand, d2,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id, cell ORDER BY d2, cand)
+       |        AS rn
+       |    FROM (
+       |      SELECT c.q_id, c.cell, c.cand,
+       |        CAST(SUM((ma.qv - mb.qv) * (ma.qv - mb.qv)) AS BIGINT) AS d2
+       |      FROM (
+       |        SELECT DISTINCT q_id, cell, cand FROM (
+       |          SELECT q_id, cell, cand FROM cb${j - 1}
+       |          UNION ALL
+       |          SELECT b.q_id, b.cell, g.dst AS cand
+       |          FROM cb${j - 1} b
+       |          JOIN grs g ON g.cell = b.cell AND g.src = b.cand)
+       |        WHERE cand <> q_id) c
+       |      JOIN mv ma ON ma.vec_id = c.q_id
+       |      JOIN mv mb ON mb.vec_id = c.cand AND mb.dim = ma.dim
+       |      GROUP BY c.q_id, c.cell, c.cand))
+       |  WHERE rn <= $GsBeam)""".stripMargin
+
+  /** s23's oracle: s22's proven index CTEs (`cells`, `af`, the graph
+    * g{NdRounds}) feeding s21's proven beam shape, with probes ranked
+    * by the SAME af distances the assignment used, entries = per-cell
+    * medoids, and the final fuse a per-query top-K over the per-cell
+    * beams. */
+  private def s23OracleSql: String =
+    s"""$cellGraphCtes,
+       |gr AS MATERIALIZED (
+       |  SELECT DISTINCT cell, src, dst FROM (
+       |    SELECT c.cell, g.src, g.dst FROM g$NdRounds g
+       |    JOIN cells c ON c.vec_id = g.src
+       |    UNION ALL
+       |    SELECT c.cell, g.dst AS src, g.src AS dst FROM g$NdRounds g
+       |    JOIN cells c ON c.vec_id = g.src)),
+       |entries AS (
+       |  SELECT cell, vec_id AS entry FROM (
+       |    SELECT c.cell, c.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.cell ORDER BY a.dist, c.vec_id)
+       |        AS rn
+       |    FROM cells c JOIN af a ON a.vec_id = c.vec_id AND a.j = c.cell)
+       |  WHERE rn = 1),
+       |cc0 AS MATERIALIZED (
+       |  SELECT src AS node, LEAST(src, MIN(dst)) AS lbl
+       |  FROM gr GROUP BY src),
+       |${(1 to S23CcRounds).map(ccRoundCte).mkString(",\n")},
+       |reps AS (
+       |  SELECT DISTINCT c2.cell, c.lbl AS rep
+       |  FROM cc$S23CcRounds c JOIN cells c2 ON c2.vec_id = c.node),
+       |bridges AS (
+       |  SELECT r.cell, e.entry AS src, r.rep AS dst
+       |  FROM reps r JOIN entries e ON e.cell = r.cell
+       |  WHERE r.rep <> e.entry),
+       |grs AS MATERIALIZED (
+       |  SELECT DISTINCT cell, src, dst FROM (
+       |    SELECT cell, src, dst FROM gr
+       |    UNION ALL SELECT cell, src, dst FROM bridges
+       |    UNION ALL SELECT cell, dst AS src, src AS dst FROM bridges)),
+       |probes AS (
+       |  SELECT vec_id AS q_id, j AS cell FROM (
+       |    SELECT vec_id, j,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+       |    FROM af WHERE vec_id % 97 = 0 AND vec_id < $QueryIdBound)
+       |  WHERE rn <= $S23NProbe),
+       |cb0 AS MATERIALIZED (
+       |  SELECT q_id, cell, cand, d2 FROM (
+       |    SELECT q_id, cell, cand, d2,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id, cell ORDER BY d2, cand)
+       |        AS rn
+       |    FROM (
+       |      SELECT c.q_id, c.cell, c.cand,
+       |        CAST(SUM((ma.qv - mb.qv) * (ma.qv - mb.qv)) AS BIGINT) AS d2
+       |      FROM (
+       |        SELECT DISTINCT q_id, cell, cand FROM (
+       |          SELECT p.q_id, p.cell, e.entry AS cand
+       |          FROM probes p JOIN entries e ON e.cell = p.cell
+       |          UNION ALL
+       |          SELECT p.q_id, p.cell, g.dst AS cand
+       |          FROM probes p JOIN entries e ON e.cell = p.cell
+       |          JOIN grs g ON g.cell = p.cell AND g.src = e.entry)
+       |        WHERE cand <> q_id) c
+       |      JOIN mv ma ON ma.vec_id = c.q_id
+       |      JOIN mv mb ON mb.vec_id = c.cand AND mb.dim = ma.dim
+       |      GROUP BY c.q_id, c.cell, c.cand))
+       |  WHERE rn <= $GsBeam),
+       |${(1 to GsRounds).map(s23RoundCte).mkString(",\n")}
+       |SELECT q_id, rk, cand AS nn_id, d2 FROM (
+       |  SELECT q_id, cand, d2,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, cand) AS rk
+       |  FROM cb$GsRounds)
+       |WHERE rk <= $K ORDER BY q_id, rk""".stripMargin
+
+  /** One s24 beam round as SQL reading beam db{j-1} over the standing
+    * graph gr — [[gsRoundCte]] with the query side read from the
+    * DELIVERY quantization mvd (delivery vectors are not in the
+    * standing slice's mv). No self-filter: deliveries and standing
+    * candidates are disjoint by construction. Pre-stripped. */
+  private def s24RoundCte(j: Int): String =
+    s"""db$j AS MATERIALIZED (
+       |  SELECT q_id, cand, d2, rn AS rk FROM (
+       |    SELECT q_id, cand, d2,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, cand) AS rn
+       |    FROM (
+       |      SELECT c.q_id, c.cand,
+       |        CAST(SUM((ma.qv - mb.qv) * (ma.qv - mb.qv)) AS BIGINT) AS d2
+       |      FROM (
+       |        SELECT DISTINCT q_id, cand FROM (
+       |          SELECT q_id, cand FROM db${j - 1}
+       |          UNION ALL
+       |          SELECT b.q_id, g.dst AS cand
+       |          FROM db${j - 1} b JOIN gr g ON g.src = b.cand)) c
+       |      JOIN mvd ma ON ma.vec_id = c.q_id
+       |      JOIN mv mb ON mb.vec_id = c.cand AND mb.dim = ma.dim
+       |      GROUP BY c.q_id, c.cand))
+       |  WHERE rn <= $GsBeam)""".stripMargin
+
+  /** s24's oracle: the standing-graph CTEs over the old slice feeding
+    * delivery-seeded beam CTEs, then the touched re-rank and the
+    * three-way merge — the exact mirror of [[incrementalGraph]]. */
+  private def s24OracleSql: String = {
+    val span2 = NdInitSpan.toLong * NdInitSpan
+    s"""WITH old AS MATERIALIZED (
+       |  SELECT * FROM embeddings WHERE vec_id % 5 <> 0),
+       |${ndGraphCtes("old")},
+       |gr AS MATERIALIZED (SELECT src, dst FROM g$NdRounds),
+       |mvd AS MATERIALIZED (
+       |  SELECT vec_id, CAST(g - 1 AS INT) AS dim,
+       |    CAST(floor(CAST(embedding[g] AS DOUBLE) * 1000) AS BIGINT) AS qv
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) u(g)
+       |  WHERE vec_id % 5 = 0),
+       |db0 AS MATERIALIZED (
+       |  SELECT q_id, cand, d2, rn AS rk FROM (
+       |    SELECT q_id, cand, d2,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, cand) AS rn
+       |    FROM (
+       |      SELECT c.q_id, c.cand,
+       |        CAST(SUM((ma.qv - mb.qv) * (ma.qv - mb.qv)) AS BIGINT) AS d2
+       |      FROM (
+       |        SELECT DISTINCT q_id, cand FROM (
+       |          SELECT d.vec_id AS q_id, o.vec_id AS cand
+       |          FROM embeddings d JOIN old o
+       |            ON d.vec_id // $NdInitSpan = o.vec_id // $NdInitSpan
+       |          WHERE d.vec_id % 5 = 0
+       |          UNION ALL
+       |          SELECT d.vec_id, o.vec_id
+       |          FROM embeddings d JOIN old o
+       |            ON d.vec_id % $NdInitSpan = o.vec_id % $NdInitSpan
+       |            AND d.vec_id // $span2 = o.vec_id // $span2
+       |          WHERE d.vec_id % 5 = 0)) c
+       |      JOIN mvd ma ON ma.vec_id = c.q_id
+       |      JOIN mv mb ON mb.vec_id = c.cand AND mb.dim = ma.dim
+       |      GROUP BY c.q_id, c.cand))
+       |  WHERE rn <= $GsBeam),
+       |${(1 to GsRounds).map(s24RoundCte).mkString(",\n")},
+       |newe AS MATERIALIZED (SELECT q_id, cand, d2, rk FROM db$GsRounds),
+       |touched AS (SELECT DISTINCT cand AS src FROM newe),
+       |upd AS (
+       |  SELECT src, dst, d2, rn AS rk FROM (
+       |    SELECT src, dst, d2,
+       |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY d2, dst) AS rn
+       |    FROM (
+       |      SELECT g.src, g.dst, g.d2
+       |      FROM g$NdRounds g JOIN touched t ON t.src = g.src
+       |      UNION ALL
+       |      SELECT n.cand AS src, n.q_id AS dst, n.d2 FROM newe n))
+       |  WHERE rn <= $NdK)
+       |SELECT src AS vec_id, rk, dst AS nn_id, d2 FROM (
+       |  SELECT g.src, g.rk, g.dst, g.d2 FROM g$NdRounds g
+       |  ANTI JOIN touched t ON t.src = g.src
+       |  UNION ALL
+       |  SELECT src, rk, dst, d2 FROM upd
+       |  UNION ALL
+       |  SELECT q_id AS src, rk, cand AS dst, d2 FROM newe)
        |ORDER BY vec_id, rk""".stripMargin
   }
 
@@ -1611,7 +2117,7 @@ object Similarity {
        |  WHERE rn <= $GsBeam)""".stripMargin
 
   private def s21OracleSql: String =
-    s"""WITH $ndGraphCtes,
+    s"""WITH ${ndGraphCtes()},
        |gr AS MATERIALIZED (SELECT src, dst FROM g$NdRounds),
        |q AS (SELECT vec_id AS q_id FROM embeddings
        |      WHERE vec_id % 97 = 0 AND vec_id < $QueryIdBound),
@@ -1637,6 +2143,12 @@ object Similarity {
     "s20_nn_descent" -> s20OracleSql,
     "s21_graph_search" -> s21OracleSql,
     "s22_cell_graph" -> s22OracleSql,
+    "s23_cell_search" -> s23OracleSql,
+    "s24_incremental_graph" -> s24OracleSql,
+    // s25 serves s23's exact results from the saved index — one oracle
+    // text, two names: a drift between build-and-serve and
+    // save/load/serve fails the hash compare
+    "s25_standing_search" -> s23OracleSql,
     "s11_mmr" -> s11OracleSql,
     "s12_drift" ->
       """WITH x AS (

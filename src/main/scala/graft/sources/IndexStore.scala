@@ -1,0 +1,169 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Standing-index lifecycle for the ANN family — the piece that turns
+  * the s19–s23 structures from per-query rebuilds into what they are
+  * at 100 TB: batch-built artifacts a query path READS.
+  *
+  *  - The s22/s23 serving index ([[saveCellIndex]]/[[loadCellIndex]]):
+  *    centroids + cell-assigned vectors + per-cell entry points + the
+  *    symmetrized, component-bridged search graph. The two corpus-
+  *    sized tables are laid out PARTITIONED BY CELL, so a query that
+  *    probes nprobe of ncells cells reads exactly that fraction of
+  *    the index off disk (partition pruning) — the IVF promise made
+  *    physical.
+  *  - The s20 corpus-wide kNN graph ([[saveKnnGraph]]): a catalog
+  *    table BUCKETED BY src, so every later src-keyed join/group
+  *    (incremental maintenance, degree audits, s21 deliveries at
+  *    batch size) is exchange-free.
+  *  - The d16 MinHash band index ([[saveBandIndex]]): bucketed by the
+  *    band hash — the probe join's index side scans matching buckets
+  *    only, and an equality probe prunes to ONE bucket.
+  *
+  * Freshness is fingerprint-gated: [[ensureCellIndex]] re-reads a
+  * saved index only when the corpus fingerprint (count + id sum + a
+  * content term) matches what the index was built from, and rebuilds
+  * otherwise — a stale index can mis-serve silently, so the gate is
+  * on every load, not on a human remembering to invalidate.
+  *
+  * Locally the catalog is per-session (in-memory + spark-warehouse
+  * files); on a real cluster the same calls land in the shared
+  * metastore. [[registerKnnGraph]] re-attaches bucketing metadata to
+  * the on-disk files for a fresh session — bucket info lives in the
+  * catalog, not in parquet.
+  */
+object IndexStore {
+
+  /** Root for path-addressed index artifacts. Overridable for tests. */
+  @volatile var root: String = "/tmp/graft_index"
+
+  /** Cheap corpus identity: (row count, Σ vec_id, Σ floor(x₀·1000)).
+    * One aggregate scan; the content term catches a regenerated
+    * corpus that kept its ids. */
+  def corpusFingerprint(e: DataFrame): String = {
+    val r = e.agg(
+      count(lit(1)),
+      coalesce(sum(col("vec_id")), lit(0L)),
+      coalesce(sum(floor(try_element_at(col("embedding"), lit(1))
+        .cast("double") * 1000).cast(LongType)), lit(0L))).head()
+    s"${r.getLong(0)}_${r.getLong(1)}_${r.getLong(2)}"
+  }
+
+  private def fs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def writeMeta(spark: SparkSession, dir: String,
+      fingerprint: String): Unit = {
+    val (f, p) = fs(spark, s"$dir/_graft_meta")
+    val out = f.create(p, true)
+    try out.write(fingerprint.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readMeta(spark: SparkSession, dir: String): Option[String] =
+    // ANY unreadable meta (absent, truncated, checksum-corrupt) is a
+    // fingerprint miss: the caller rebuilds and rewrites — a damaged
+    // artifact must force a rebuild, never an error or a stale serve
+    try {
+      val (f, p) = fs(spark, s"$dir/_graft_meta")
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        try {
+          val bytes = new Array[Byte](256)
+          val n = in.read(bytes)
+          Some(new String(bytes, 0, math.max(n, 0), "UTF-8"))
+        } finally in.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Persist a serving index built by
+    * [[graft.operators.Similarity.servingIndex]]. The corpus-sized
+    * tables (assignment "lists" and the search graph) go partitioned
+    * by cell; centroids and entries are tiny flat files. The meta
+    * fingerprint is written LAST, so a crash mid-save can never leave
+    * a fingerprint pointing at half an index. */
+  def saveCellIndex(spark: SparkSession, dir: String, fingerprint: String,
+      cents: DataFrame, asg: DataFrame, entries: DataFrame,
+      graph: DataFrame): Unit = {
+    cents.write.mode(SaveMode.Overwrite).parquet(s"$dir/cents")
+    entries.write.mode(SaveMode.Overwrite).parquet(s"$dir/entries")
+    asg.write.mode(SaveMode.Overwrite)
+      .partitionBy("cell").parquet(s"$dir/asg")
+    graph.write.mode(SaveMode.Overwrite)
+      .partitionBy("cell").parquet(s"$dir/graph")
+    writeMeta(spark, dir, fingerprint)
+  }
+
+  /** Read a saved serving index back as (cents, asg, entries, graph),
+    * columns in the builder's order. The partitioned reads are where
+    * the layout pays: a filter or join on `cell` prunes directories
+    * at planning time. */
+  def loadCellIndex(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val cents = spark.read.parquet(s"$dir/cents").select("j", "c_mv")
+    val asg = spark.read.parquet(s"$dir/asg")
+      .select("vec_id", "cell", "cd", "mv")
+    val entries = spark.read.parquet(s"$dir/entries")
+      .select("cell", "entry")
+    val graph = spark.read.parquet(s"$dir/graph")
+      .select("cell", "src", "dst")
+    (cents, asg, entries, graph)
+  }
+
+  /** Load-or-build: returns the serving index for `corpusDir`'s
+    * embeddings, READ FROM the saved artifact (a hit costs zero build
+    * work — the query path consumes parquet, not a rebuild). On a
+    * fingerprint miss the index is rebuilt, saved, and read back, so
+    * the returned frames are the artifact either way. An EMPTY corpus
+    * never persists (empty partitioned writes produce no readable
+    * files); it returns the builder's frames directly. */
+  def ensureCellIndex(spark: SparkSession, corpusDir: String,
+      e: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val key = corpusDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val dir = s"$root/$key"
+    val fp = corpusFingerprint(e)
+    if (fp.startsWith("0_"))
+      return graft.operators.Similarity.servingIndex(e)
+    if (!readMeta(spark, dir).contains(fp)) {
+      val (cents, asg, entries, graph) =
+        graft.operators.Similarity.servingIndex(e)
+      saveCellIndex(spark, dir, fp, cents, asg, entries, graph)
+    }
+    loadCellIndex(spark, dir)
+  }
+
+  /** Persist the s20 corpus-wide kNN graph as a catalog table bucketed
+    * and sorted by src: every later equi-join/aggregation on src scans
+    * matching buckets with no exchange. */
+  def saveKnnGraph(g: DataFrame, table: String, buckets: Int = 32): Unit =
+    g.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "src").sortBy("src")
+      .format("parquet").saveAsTable(table)
+
+  /** Re-attach bucketing metadata to an existing saved graph in a
+    * FRESH session (bucket info lives in the catalog, which is
+    * per-session locally): point a new table at the files with the
+    * same bucket spec. The schema is read from the files. */
+  def registerKnnGraph(spark: SparkSession, table: String, path: String,
+      buckets: Int = 32): Unit = {
+    val schema = spark.read.parquet(path).schema.toDDL
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(
+      s"""CREATE TABLE $table ($schema) USING parquet
+         |CLUSTERED BY (src) SORTED BY (src) INTO $buckets BUCKETS
+         |LOCATION '$path'""".stripMargin)
+  }
+
+  /** Persist d16's standing band index (band hash → corpus doc)
+    * bucketed by the band hash: the delivery probe join reads matching
+    * buckets only, and an equality probe prunes to one bucket. */
+  def saveBandIndex(idx: DataFrame, table: String, buckets: Int = 32): Unit =
+    idx.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "bh").sortBy("bh")
+      .format("parquet").saveAsTable(table)
+}

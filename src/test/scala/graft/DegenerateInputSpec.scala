@@ -82,7 +82,9 @@ class DegenerateInputSpec extends AnyFunSuite {
     "s16_int8_search",  // scale = 0 on zero vectors
     "s19_ivf_exact",    // all-zero milli vectors, distance 0 ties
     "s20_nn_descent",   // every candidate at d2 = 0 → pure id ties
-    "s21_graph_search", "s22_cell_graph")
+    "s21_graph_search", "s22_cell_graph",
+    "s23_cell_search",  // one cell absorbs everything, medoid pure-tie
+    "s24_incremental_graph", "s25_standing_search")
 
   for (name <- targets)
     test(s"$name survives constant/zero-range slices") {

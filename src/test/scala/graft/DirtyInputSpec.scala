@@ -76,7 +76,8 @@ class DirtyInputSpec extends AnyFunSuite {
     "s13_hybrid_rrf", "s14_knn_graph", "s15_communities",
     "s16_int8_search", "s17_community_dedup", "s18_filtered_ann",
     "s19_ivf_exact", "s20_nn_descent", "s21_graph_search",
-    "s22_cell_graph")
+    "s22_cell_graph", "s23_cell_search", "s24_incremental_graph",
+    "s25_standing_search")
 
   for (name <- docTargets ++ embTargets)
     test(s"$name survives null/empty/whitespace rows") {

@@ -1,0 +1,133 @@
+package graft
+
+import graft.sources.IndexStore
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The standing-index lifecycle: a saved ANN index must serve results
+  * IDENTICAL to an inline rebuild, its layout must actually prune
+  * (cell partitions, src/bh buckets), and a stale artifact must be
+  * detected and rebuilt — silently mis-serving from an old index is
+  * the failure mode this store exists to prevent.
+  */
+class IndexStoreSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def dropTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = new java.io.File(s"spark-warehouse/$name")
+    if (loc.exists())
+      org.apache.commons.io.FileUtils.deleteDirectory(loc)
+  }
+
+  private def rowSet(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  test("saved cell index serves bit-identical results to the inline build") {
+    IndexStore.root = "/tmp/graft_index_spec"
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(IndexStore.root))
+    val inline = rowSet(SparkEntry.queries("s23_cell_search")(spark, sfDir))
+    CacheScope.releaseAll()
+    // first call: fingerprint miss → build + save + read back
+    val first = rowSet(SparkEntry.queries("s25_standing_search")(spark, sfDir))
+    CacheScope.releaseAll()
+    assert(first == inline, "save/load/serve diverged from the inline build")
+    // second call: fingerprint hit → pure load; the plans must be
+    // parquet scans of the artifact, not a rebuild
+    val e = Tables.embeddings(spark, sfDir)
+    val (_, _, _, graph) = IndexStore.ensureCellIndex(spark, sfDir, e)
+    val p = graph.queryExecution.executedPlan.toString
+    assert(p.contains("FileScan parquet") &&
+      p.contains("graft_index_spec"),
+      s"warm ensure did not serve from the saved artifact:\n$p")
+    val second = rowSet(SparkEntry.queries("s25_standing_search")(spark, sfDir))
+    CacheScope.releaseAll()
+    assert(second == inline)
+  }
+
+  test("stale fingerprint forces a rebuild; fresh one is reused") {
+    IndexStore.root = "/tmp/graft_index_spec"
+    val e = Tables.embeddings(spark, sfDir)
+    val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val metaPath = java.nio.file.Paths.get(
+      s"${IndexStore.root}/$key/_graft_meta")
+    IndexStore.ensureCellIndex(spark, sfDir, e)
+    CacheScope.releaseAll()
+    val good = new String(java.nio.file.Files.readAllBytes(metaPath), "UTF-8")
+    // corrupt the fingerprint: the next ensure must rebuild and restore it
+    java.nio.file.Files.write(metaPath, "stale".getBytes("UTF-8"))
+    IndexStore.ensureCellIndex(spark, sfDir, e)
+    CacheScope.releaseAll()
+    val after = new String(java.nio.file.Files.readAllBytes(metaPath), "UTF-8")
+    assert(after == good, "stale index was not rebuilt")
+  }
+
+  test("cell-partitioned graph scan prunes to the probed cells") {
+    IndexStore.root = "/tmp/graft_index_spec"
+    val e = Tables.embeddings(spark, sfDir)
+    val (_, _, _, graph) = IndexStore.ensureCellIndex(spark, sfDir, e)
+    val pruned = graph.filter(col("cell") === 3)
+    val p = pruned.queryExecution.executedPlan.toString
+    // the cell filter must land in PartitionFilters (directory-level
+    // skip), not in the data filters of a full scan
+    assert(p.contains("PartitionFilters: [isnotnull(cell"),
+      s"cell filter not pushed to partition pruning:\n$p")
+    assert(pruned.count() > 0)
+    CacheScope.releaseAll()
+  }
+
+  test("bucketed kNN graph aggregates and re-registers without exchanges") {
+    dropTable("knn_idx_spec")
+    val g = operators.Similarity.nnDescent(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id").as("src"), col("rk"), col("nn_id").as("dst"),
+        col("d2"))
+    IndexStore.saveKnnGraph(g, "knn_idx_spec", buckets = 4)
+    CacheScope.releaseAll()
+    val agg = spark.table("knn_idx_spec").groupBy(col("src"))
+      .agg(count(lit(1)).as("deg"))
+    val p = agg.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"src aggregation over the bucketed graph still shuffles:\n$p")
+    val saved = rowSet(spark.table("knn_idx_spec"))
+    // a fresh session only has the files — re-attaching the bucket
+    // spec must restore the exchange-free plan AND the same rows
+    val path = new java.io.File("spark-warehouse/knn_idx_spec").getAbsolutePath
+    IndexStore.registerKnnGraph(spark, "knn_idx_reg", path, buckets = 4)
+    val agg2 = spark.table("knn_idx_reg").groupBy(col("src"))
+      .agg(count(lit(1)).as("deg"))
+    val p2 = agg2.queryExecution.executedPlan.toString
+    assert(!p2.contains("Exchange hashpartitioning"),
+      s"re-registered graph lost its bucketing:\n$p2")
+    assert(rowSet(spark.table("knn_idx_reg")) == saved)
+    spark.sql("DROP TABLE IF EXISTS knn_idx_reg")
+  }
+
+  test("band index probe prunes to one bucket on an equality probe") {
+    dropTable("band_idx_spec")
+    val docs = Tables.documents(spark, sfDir)
+    import graft.functions.TextHashFunctions.minhash_bands
+    val idx = docs.filter(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id").as("corpus_id"),
+        explode(array_distinct(minhash_bands(
+          split(lower(col("text")), "\\s+"), 16, 4))).as("bh"))
+    IndexStore.saveBandIndex(idx, "band_idx_spec", buckets = 8)
+    val one = idx.select(col("bh")).head().getLong(0)
+    // autoBucketedScan drops the bucketed layout for filter-only plans
+    // (it only scores joins/aggs); disable it so the point probe keeps
+    // the layout and bucket pruning can apply — the serving-path config
+    val auto = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(auto)
+    try {
+      spark.conf.set(auto, "false")
+      val probe = spark.table("band_idx_spec").filter(col("bh") === one)
+      val p = probe.queryExecution.executedPlan.toString
+      assert(p.contains("SelectedBucketsCount: 1 out of 8"),
+        s"equality probe scanned more than one bucket:\n$p")
+      assert(probe.count() > 0)
+    } finally spark.conf.set(auto, prev)
+    CacheScope.releaseAll()
+  }
+}

@@ -639,6 +639,41 @@ class PlanSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("s23 probes are cell-keyed broadcasts; both top-ks prune pre-shuffle") {
+    val p = plan("s23_cell_search")
+    // beam + query frames broadcast into the graph/vector joins — the
+    // graph (the one corpus-sized frame) is only ever probed, never
+    // shuffled to meet a few hundred beam rows
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // per-(query, cell) beam prune AND the per-query fuse both keep
+    // only local top-k before their exchange
+    assert("row_number\\(\\), 8, Partial".r.findAllIn(p).nonEmpty,
+      "per-cell beam shuffles its full candidate list instead of local top-8")
+    assert("row_number\\(\\), 5, Partial".r.findAllIn(p).nonEmpty,
+      "fuse shuffles unpruned beams instead of local top-5")
+    // the beam re-rank is keyed on (q_id, cell) — the exchange that
+    // lets a cluster serve every probed cell independently
+    assert("Exchange hashpartitioning\\(q_id#\\d+L, cell".r
+      .findAllIn(p).nonEmpty, "beam re-rank lost its cell key")
+    CacheScope.releaseAll()
+  }
+
+  test("s24 merge is delivery-bounded: broadcast probes, no corpus rescan") {
+    val p = plan("s24_incremental_graph")
+    // the touched set and beam frames broadcast into every join — a
+    // sort-merge against the standing graph would shuffle it to meet
+    // a delivery-sized frame; a cartesian would mean a corpus rescan
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // both re-ranks (delivery beam, touched update) keep only local
+    // top-k before their exchange
+    assert("row_number\\(\\), 8, Partial".r.findAllIn(p).nonEmpty,
+      "a re-rank shuffles its full candidate list instead of local top-8")
+    CacheScope.releaseAll()
+  }
+
   test("s13 arms prune top-K pre-shuffle; fusion joins two K-lists only") {
     val p = plan("s13_hybrid_rrf")
     // dense arm broadcasts the fixed query set into one corpus scan

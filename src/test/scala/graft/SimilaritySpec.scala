@@ -682,4 +682,106 @@ class SimilaritySpec extends AnyFunSuite {
     assert(gotSub == want,
       s"cell $c subgraph diverged from restricted NN-descent")
   }
+
+  test("s23 cell-probed search: recall holds at 6/16 cells; more probes only help") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    import graft.functions.VectorFunctions.milli_l2
+    val e = Tables.embeddings(spark, sfDir)
+    // exact milli-L2 top-5 for the same deterministic query set
+    val m = e.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("mv"))
+    val q = m.filter(col("vec_id") % 97 === 0 &&
+        col("vec_id") < operators.Similarity.QueryIdBound)
+      .select(col("vec_id").as("q_id"), col("mv").as("q_mv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))
+    val truth = m.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("d2", milli_l2(col("q_mv"), col("mv")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double =
+      rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+        .count(truth.contains).toDouble / truth.size
+    val got = SparkEntry.queries("s23_cell_search")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    // structure: ≤5 per query, prefix ranks, d2 non-decreasing
+    got.groupBy(_.getLong(0)).foreach { case (qid, ns) =>
+      assert(ns.length <= 5)
+      assert(ns.map(_.getInt(1)).sorted.toSeq == (1 to ns.length),
+        s"query $qid ranks not a prefix")
+      val byRk = ns.sortBy(_.getInt(1)).map(_.getLong(3))
+      assert(byRk.zip(byRk.tail).forall { case (a, b) => a <= b })
+    }
+    // probing every cell searches a superset of candidates per query,
+    // so its recall bounds the nprobe=4 recall from above — a broken
+    // probe ranking (wrong cells) shows up as a gap the floor catches
+    val all = operators.Similarity.cellProbeSearch(
+      e, nProbe = operators.Similarity.IvfNCells).collect()
+    CacheScope.releaseAll()
+    val gotR = recallOf(got)
+    val allR = recallOf(all)
+    // a truth member entering ANY probed cell's beam always survives
+    // the fuse (only other truth members can outrank it), and per-cell
+    // beams are independent of how many cells are probed — so more
+    // probes means a candidate superset and recall is exactly monotone
+    assert(allR >= gotR,
+      s"probing all cells lost recall: nprobe6=$gotR all=$allR")
+    // measured on this fixture: 0.5667 at 6/16 cells, 0.8667 at 16/16
+    // (the exact-within-probed-cells ceilings are 0.70 and 1.0; the
+    // gap is beam greediness). Deterministic → floors gate regressions
+    // — a broken bridge/probe/entry join, not noise. s21's floor is
+    // 0.5; the cell-probed path must not serve worse.
+    assert(gotR >= 0.5, s"s23 recall $gotR at 6/16 cells below floor 0.5")
+  }
+
+  test("s24 incremental maintenance recalls >=0.9x a full rebuild") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    import graft.functions.VectorFunctions.milli_l2
+    val e = Tables.embeddings(spark, sfDir)
+    val k = operators.Similarity.NdK
+    // exact milli-L2 top-k over ALL pairs of the FULL corpus — the
+    // truth both graphs chase (the s20 spec's construction)
+    val m = e.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("mv"))
+    val w = Window.partitionBy(col("src")).orderBy(col("d2"), col("dst"))
+    val truth = m.select(col("vec_id").as("src"), col("mv").as("ma"))
+      .join(m.select(col("vec_id").as("dst"), col("mv").as("mb")),
+        col("src") =!= col("dst"))
+      .withColumn("d2", milli_l2(col("ma"), col("mb")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("src"), col("dst")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double =
+      rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+        .count(truth.contains).toDouble / truth.size
+    val merged = SparkEntry.queries("s24_incremental_graph")(spark, sfDir)
+      .collect()
+    CacheScope.releaseAll()
+    // structure: prefix ranks, d2 non-decreasing, out-degree <= k,
+    // and EVERY corpus node (standing + delivery) has a list
+    merged.groupBy(_.getLong(0)).foreach { case (id, ns) =>
+      assert(ns.length <= k)
+      assert(ns.map(_.getInt(1)).sorted.toSeq == (1 to ns.length),
+        s"node $id ranks not a prefix")
+      val byRk = ns.sortBy(_.getInt(1)).map(_.getLong(3))
+      assert(byRk.zip(byRk.tail).forall { case (a, b) => a <= b })
+    }
+    val nNodes = e.count()
+    assert(merged.map(_.getLong(0)).distinct.length == nNodes,
+      "a corpus node is missing from the merged graph")
+    val full = operators.Similarity.nnDescent(e).collect()
+    CacheScope.releaseAll()
+    val rm = recallOf(merged)
+    val rf = recallOf(full)
+    // the point of the op: absorbing the delivery with delivery-bounded
+    // work must not degrade the graph materially vs rebuilding it all
+    assert(rm >= 0.9 * rf,
+      s"incremental merge degraded recall: merged=$rm full-rebuild=$rf")
+  }
 }

@@ -146,6 +146,23 @@ def main(sf_dir: str, out_dir: str, only=None, timeout=None) -> int:
         try:
             duck = con.execute(sql).fetchdf()
         except Exception as e:  # noqa: BLE001
+            # stop and drain the timer BEFORE closing: the finally
+            # clause only runs at the `continue` below, i.e. AFTER this
+            # body — so without this a kill() already mid-run could
+            # interrupt() a connection concurrently being close()d
+            # (thread race on the duckdb handle), and the finally's
+            # absorb would execute against the fresh connection, where
+            # it drains nothing. timer=None makes the finally skip its
+            # (now redundant) join/absorb.
+            done.set()
+            if timer:
+                timer.cancel()
+                timer.join()
+                timer = None
+                try:
+                    con.execute("SELECT 1")
+                except Exception:  # noqa: BLE001
+                    pass
             if timed_out:
                 print(f"TIMEOUT {name}: oracle exceeded {timeout:.0f}s in DuckDB")
                 n_to += 1

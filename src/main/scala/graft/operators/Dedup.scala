@@ -1603,6 +1603,75 @@ object Dedup {
        |  FROM ed JOIN r${i - 1} r ON r.node = ed.src
        |  GROUP BY ed.dst)""".stripMargin
 
+  /** d15's oracle, BOTH tiers of [[scopedDomination]]: blocks ≤
+    * [[D05MaxExactBlock]] members get the exact pair join (the only
+    * tier that fires at driver-checked SFs, where this oracle is
+    * byte-equivalent to the old exact-only one), and larger blocks get
+    * a bit-exact SQL mirror of the hyperplane-LSH route — the referee
+    * the 25× parity run lacked. Exactness of the mirror:
+    *  - the plane matrix is read from the ENGINE's own
+    *    [[graft.functions.VectorOps.planesFor]] (same seed, same
+    *    cache) and embedded as double literals — `Double.toString`
+    *    emits shortest-round-trip text, so DuckDB parses back the
+    *    identical doubles;
+    *  - `list_dot_product` accumulates left-to-right over doubles,
+    *    the same IEEE chain as the kernel's ascending-d loop, so each
+    *    plane dot (and hence each sign bit) is bit-identical;
+    *  - probes are the bucket plus its [[LshPlanes]] hamming-1 flips,
+    *    mirrored with integer xor. Assumes the default 64-dim corpus
+    *    (`spark.graft.embedding.dim`), like every oracle. */
+  private def d15OracleSql: String = {
+    val dim = 64
+    val planes = graft.functions.VectorOps.planesFor(42L, 1, LshPlanes, dim)
+    def planeLit(b: Int): String =
+      (0 until dim).map(d => planes(b * dim + d).toString)
+        .mkString("[", ", ", "]")
+    val sigExpr = (0 until LshPlanes).map(b =>
+      s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), " +
+        s"${planeLit(b)}) >= 0 THEN ${1 << b} ELSE 0 END)")
+      .mkString("\n    + ")
+    val probeList = ("sig" +: (0 until LshPlanes).map(p =>
+      s"xor(sig, ${1 << p})")).mkString("[", ", ", "]")
+    s"""WITH sized AS MATERIALIZED (
+       |  SELECT e.vec_id, e.label, e.embedding, c.n AS __n
+       |  FROM embeddings e JOIN (
+       |    SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label) c
+       |    ON e.label IS NOT DISTINCT FROM c.label),
+       |dom_small AS (
+       |  SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS dominated_by
+       |  FROM sized a JOIN sized b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE a.__n <= $D05MaxExactBlock
+       |    AND round(list_cosine_similarity(
+       |      CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4)
+       |    >= $D15Tau
+       |  GROUP BY b.vec_id),
+       |sigs AS MATERIALIZED (
+       |  SELECT vec_id, label, embedding,
+       |    $sigExpr AS sig
+       |  FROM sized WHERE __n > $D05MaxExactBlock),
+       |probes AS (
+       |  SELECT vec_id, label, embedding,
+       |    unnest($probeList) AS bucket
+       |  FROM sigs),
+       |dom_big AS (
+       |  SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS dominated_by
+       |  FROM sigs a JOIN probes b
+       |    ON a.label = b.label AND a.sig = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE round(list_cosine_similarity(
+       |      CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4)
+       |    >= $D15Tau
+       |  GROUP BY b.vec_id),
+       |dom AS (
+       |  SELECT vec_id, MIN(dominated_by) AS dominated_by FROM (
+       |    SELECT * FROM dom_small UNION ALL SELECT * FROM dom_big)
+       |  GROUP BY vec_id)
+       |SELECT e.vec_id, e.label, dom.dominated_by,
+       |  dom.dominated_by IS NULL AS kept
+       |FROM embeddings e LEFT JOIN dom USING (vec_id)
+       |ORDER BY e.vec_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "d32_screen_core" ->
       """WITH t AS (
@@ -2062,19 +2131,7 @@ object Dedup {
          |)
          |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach
          |GROUP BY id ORDER BY doc_id""".stripMargin,
-    "d15_semantic_dedup" ->
-      s"""WITH dom AS (
-         |  SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS dominated_by
-         |  FROM embeddings a JOIN embeddings b
-         |    ON a.label = b.label AND a.vec_id < b.vec_id
-         |  WHERE round(list_cosine_similarity(
-         |      CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4)
-         |    >= $D15Tau
-         |  GROUP BY b.vec_id)
-         |SELECT e.vec_id, e.label, dom.dominated_by,
-         |  dom.dominated_by IS NULL AS kept
-         |FROM embeddings e LEFT JOIN dom USING (vec_id)
-         |ORDER BY e.vec_id""".stripMargin,
+    "d15_semantic_dedup" -> d15OracleSql,
     "d05_embedding_neardup" ->
       """SELECT vec_id, nn_id, cos FROM (
         |  SELECT a.vec_id, b.vec_id AS nn_id,

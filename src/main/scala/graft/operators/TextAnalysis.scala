@@ -979,12 +979,21 @@ object TextAnalysis {
   def t28_token_drift: Q = (s, d) =>
     tokenDrift(Tables.documents(s, d))
 
-  private[graft] def tokenDrift(docs: DataFrame): DataFrame = {
+  private[graft] def tokenDrift(docs: DataFrame): DataFrame =
+    tokenDriftAgainst(docs.filter(col("doc_id") % 17 =!= 0),
+      docs.filter(col("doc_id") % 17 === 0))
+
+  /** The t28 core over an explicit (standing corpus, delivery) pair —
+    * shared by the batch query (doc_id % 17 split) and the streaming
+    * per-micro-batch gate
+    * ([[graft.streaming.EventStreams.tokenDriftReports]]). */
+  private[graft] def tokenDriftAgainst(corpus: DataFrame,
+      delivery: DataFrame): DataFrame = {
     def toksOf(df: DataFrame) = df.select(
       explode(array_remove(split(lower(col("text")), "\\s+"), "")).as("tok"))
-    val del = toksOf(docs.filter(col("doc_id") % 17 === 0))
+    val del = toksOf(delivery)
       .groupBy(col("tok")).agg(count(lit(1)).as("c_del"))
-    val vocab = toksOf(docs.filter(col("doc_id") % 17 =!= 0))
+    val vocab = toksOf(corpus)
       .groupBy(col("tok")).agg(count(lit(1)).as("c_corp"))
       .orderBy(col("c_corp").desc, col("tok")).limit(T28Vocab)
     val joined = graft.CacheScope.persisted(

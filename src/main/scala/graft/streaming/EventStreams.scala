@@ -317,6 +317,17 @@ object EventStreams {
   def readEmbStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(embSchema).parquet(dir)
 
+  /** [[embSchema]] plus the label column — the delivery shape the
+    * per-label drift gate monitors. */
+  val labeledEmbSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType), StructField("label", IntegerType),
+    StructField("embedding", ArrayType(DoubleType)),
+    StructField("arrival", TimestampType)))
+
+  /** File-source stream over labeled embedding deliveries. */
+  def readLabeledEmbStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(labeledEmbSchema).parquet(dir)
+
   /** Streaming IVF ingest — the streaming twin of
     * [[graft.operators.Similarity.s19_ivf_exact]]'s cell assignment:
     * newly arriving vectors are routed to their nearest cell of the
@@ -363,6 +374,82 @@ object EventStreams {
         col("mdc").getField("cell").as("cell"),
         col("mdc").getField("d").as("d2"))
   }
+
+  /** Streaming embedding-drift gate — the streaming twin of
+    * [[graft.operators.Similarity.s12_drift]] (the admit-this-delivery
+    * monitor): each micro-batch of arriving vectors is compared
+    * against the STANDING corpus's per-(label, dim) statistics and a
+    * drift report (per-label exact micro-unit L1 mean shift, max
+    * shifted dimension) is handed to `sink` with the batch id. The
+    * arithmetic is s12's bit for bit — integer micro sums,
+    * floor-divided means, (delta, dim) ties — so a replayed delivery
+    * produces s12's exact rows (StreamingSpec pins the parity).
+    *
+    * State/scale: foreachBatch is the zero-streaming-state seam — the
+    * per-batch aggregation runs in batch land, the standing stats are
+    * a static frame resolved once (label·dim rows, broadcastable),
+    * and nothing is keyed on the stream across batches. The report is
+    * delivery-sized work per batch: one map-side-combined aggregate
+    * over the batch plus a join against ≤ labels·dims rows.
+    */
+  def embeddingDriftReports(delivery: DataFrame, corpus: DataFrame)(
+      sink: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    def stats(df: DataFrame, cn: String, sn: String): DataFrame = df
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos").cast(IntegerType).as("dim"),
+        floor(col("col").cast(DoubleType) * 1e6).cast(LongType).as("vm"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as(cn), sum(col("vm")).as(sn))
+    val old = stats(corpus, "c_old", "s_old")
+    delivery.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        val nw = stats(batch.toDF(), "c_new", "s_new")
+        // s12's exact arithmetic: floor of the (exact) micro-sum over
+        // the side count, |mean_new - mean_old|, then the s12
+        // join-back argmax with min-dim ties
+        val per = old.join(nw, Seq("label", "dim"))
+          .withColumn("mean_old",
+            floor(col("s_old").cast(DoubleType) / col("c_old")))
+          .withColumn("mean_new",
+            floor(col("s_new").cast(DoubleType) / col("c_new")))
+          .withColumn("delta", abs(col("mean_new") - col("mean_old")))
+          .persist()
+        val agg = per.groupBy(col("label"))
+          .agg(max(col("c_old")).as("n_old"), max(col("c_new")).as("n_new"),
+            sum(col("delta")).as("l1_shift_micro"),
+            max(col("delta")).as("max_shift_micro"))
+        val argDim = per
+          .join(agg.select(col("label"), col("max_shift_micro")), Seq("label"))
+          .filter(col("delta") === col("max_shift_micro"))
+          .groupBy(col("label")).agg(min(col("dim")).as("max_shift_dim"))
+        val rep = agg.join(argDim, Seq("label"))
+          .select(col("label"), col("n_old"), col("n_new"),
+            col("l1_shift_micro"), col("max_shift_micro"),
+            col("max_shift_dim"))
+          .orderBy(col("label"))
+        try sink(id, rep) finally { per.unpersist(); () }
+    }
+  }
+
+  /** Streaming token-drift gate — the streaming twin of
+    * [[graft.operators.TextAnalysis.t28_token_drift]]: each arriving
+    * document micro-batch is scored against the standing corpus's
+    * top-vocabulary distribution and the per-token KL contributions
+    * (exact micro-units, t28's formula term for term) are handed to
+    * `sink`. Same zero-state foreachBatch shape as
+    * [[embeddingDriftReports]]; the reference vocabulary is a static
+    * ≤ V-row frame resolved once. */
+  def tokenDriftReports(delivery: DataFrame, corpus: DataFrame)(
+      sink: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    delivery.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        sink(id,
+          graft.operators.TextAnalysis.tokenDriftAgainst(corpus, batch.toDF()))
+    }
 
   def neardupScreenStream(delivery: DataFrame, corpus: DataFrame): DataFrame = {
     import graft.functions.TextHashFunctions.{array_jaccard, minhash_bands, word_shingles}

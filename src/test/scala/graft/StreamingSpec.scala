@@ -367,6 +367,77 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming embedding-drift gate reports exactly batch s12, zero state") {
+    val all = Tables.embeddings(spark, sfDir)
+    val corpus = all.filter(col("vec_id") % 5 =!= 0)
+    val dir = Files.createTempDirectory("graft-driftstream").toString
+    all.filter(col("vec_id") % 5 === 0)
+      .withColumn("arrival", to_timestamp(lit("2026-01-01 00:00:00")))
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>"), col("arrival"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val reports = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Array[org.apache.spark.sql.Row])]
+    val q = EventStreams.embeddingDriftReports(
+        EventStreams.readLabeledEmbStream(spark, dir), corpus) {
+        (id, rep) => reports += ((id, rep.collect())); ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "drift gate grew streaming state")
+      assert(reports.nonEmpty, "no micro-batch report emitted")
+      val streamed = reports.flatMap(_._2).map(_.mkString("|")).toSet
+      // truth: batch s12 on the same table (its is_new split IS this
+      // corpus/delivery split)
+      val want = SparkEntry.queries("s12_drift")(spark, sfDir).collect()
+        .map(_.mkString("|")).toSet
+      CacheScope.releaseAll()
+      assert(want.nonEmpty, "batch s12 empty — vacuous")
+      assert(streamed == want)
+    } finally {
+      q.stop()
+      CacheScope.releaseAll()
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("streaming token-drift gate reports exactly batch t28, zero state") {
+    val all = Tables.documents(spark, sfDir)
+    val corpus = all.filter(col("doc_id") % 17 =!= 0)
+    val dir = Files.createTempDirectory("graft-tokdriftstream").toString
+    all.filter(col("doc_id") % 17 === 0)
+      .withColumn("arrival", to_timestamp(lit("2026-01-01 00:00:00")))
+      .select("doc_id", "text", "lang", "source", "arrival")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val reports = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Array[org.apache.spark.sql.Row])]
+    val q = EventStreams.tokenDriftReports(
+        EventStreams.readDocStream(spark, dir), corpus) {
+        (id, rep) => reports += ((id, rep.collect())); ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "token-drift gate grew streaming state")
+      assert(reports.nonEmpty, "no micro-batch report emitted")
+      val streamed = reports.flatMap(_._2)
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // truth: batch t28 (its doc_id % 17 split IS this split)
+      val want = SparkEntry.queries("t28_token_drift")(spark, sfDir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      CacheScope.releaseAll()
+      assert(want.nonEmpty, "batch t28 empty — vacuous")
+      assert(streamed == want)
+    } finally {
+      q.stop()
+      CacheScope.releaseAll()
+      spark.catalog.clearCache()
+    }
+  }
+
   test("streaming IVF ingest matches the batch join+argmin assignment, zero state") {
     import graft.functions.VectorFunctions.milli_l2
     val all = Tables.embeddings(spark, sfDir)

@@ -40,16 +40,25 @@ object IndexStore {
   /** Root for path-addressed index artifacts. Overridable for tests. */
   @volatile var root: String = "/tmp/graft_index"
 
-  /** Cheap corpus identity: (row count, Σ vec_id, Σ floor(x₀·1000)).
-    * One aggregate scan; the content term catches a regenerated
-    * corpus that kept its ids. */
+  /** Content-strong corpus identity: (row count, Σ vec_id,
+    * Σ xxhash64(vec_id, embedding)). Still one aggregate scan and
+    * order-independent (sum-folded), but the per-row term hashes the
+    * FULL (id, vector) content — any single-row edit changes the fold
+    * with 2⁻⁶⁴ collision odds, including edits that preserve first-dim
+    * mass or swap two rows' embeddings (which the earlier
+    * Σ floor(x₀·1000) term could not see and would have silently
+    * served a stale index through). */
   def corpusFingerprint(e: DataFrame): String = {
+    // the hash sum folds as DECIMAL(38,0): full-range 64-bit hashes
+    // overflow a long sum within a handful of rows under ANSI mode,
+    // while 38 digits hold ~10¹⁹ hash magnitudes × 10¹⁹ rows exactly
     val r = e.agg(
       count(lit(1)),
       coalesce(sum(col("vec_id")), lit(0L)),
-      coalesce(sum(floor(try_element_at(col("embedding"), lit(1))
-        .cast("double") * 1000).cast(LongType)), lit(0L))).head()
-    s"${r.getLong(0)}_${r.getLong(1)}_${r.getLong(2)}"
+      coalesce(sum(xxhash64(col("vec_id"), col("embedding"))
+        .cast("decimal(38,0)")), lit(0)).cast("string")
+    ).head()
+    s"${r.getLong(0)}_${r.getLong(1)}_${r.getString(2)}"
   }
 
   private def fs(spark: SparkSession, path: String) = {
@@ -85,11 +94,17 @@ object IndexStore {
     * [[graft.operators.Similarity.servingIndex]]. The corpus-sized
     * tables (assignment "lists" and the search graph) go partitioned
     * by cell; centroids and entries are tiny flat files. The meta
-    * fingerprint is written LAST, so a crash mid-save can never leave
-    * a fingerprint pointing at half an index. */
+    * fingerprint is written LAST — and any PRIOR meta is deleted
+    * FIRST, so a crash at any point mid-save leaves no fingerprint at
+    * all (without the upfront delete, a crash between the data
+    * overwrites would leave the OLD fingerprint pointing at a mixed
+    * artifact, and a job later re-pointed at the old corpus would
+    * match it and silently serve the mix). */
   def saveCellIndex(spark: SparkSession, dir: String, fingerprint: String,
       cents: DataFrame, asg: DataFrame, entries: DataFrame,
       graph: DataFrame): Unit = {
+    val (f, p) = fs(spark, s"$dir/_graft_meta")
+    if (f.exists(p)) f.delete(p, false)
     cents.write.mode(SaveMode.Overwrite).parquet(s"$dir/cents")
     entries.write.mode(SaveMode.Overwrite).parquet(s"$dir/entries")
     asg.write.mode(SaveMode.Overwrite)
@@ -152,6 +167,20 @@ object IndexStore {
   def registerKnnGraph(spark: SparkSession, table: String, path: String,
       buckets: Int = 32): Unit = {
     val schema = spark.read.parquet(path).schema.toDDL
+    // dropping a MANAGED table deletes its warehouse files — if the
+    // name resolves to the managed table saveKnnGraph created at this
+    // very path, the DROP would delete the data being registered and
+    // leave the new external table pointing at nothing. Refuse loudly.
+    if (spark.catalog.tableExists(table)) {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      require(meta.tableType !=
+          org.apache.spark.sql.catalyst.catalog.CatalogTableType.MANAGED,
+        s"registerKnnGraph: '$table' exists as a MANAGED table — " +
+          "dropping it would delete its warehouse files (possibly the " +
+          s"very files at '$path'); register under a new name or drop " +
+          "the managed table explicitly first")
+    }
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(
       s"""CREATE TABLE $table ($schema) USING parquet

@@ -387,10 +387,15 @@ object EventStreams {
     *
     * State/scale: foreachBatch is the zero-streaming-state seam — the
     * per-batch aggregation runs in batch land, the standing stats are
-    * a static frame resolved once (label·dim rows, broadcastable),
-    * and nothing is keyed on the stream across batches. The report is
-    * delivery-sized work per batch: one map-side-combined aggregate
-    * over the batch plus a join against ≤ labels·dims rows.
+    * a PERSISTED frame (label·dim rows, broadcastable) computed once
+    * on the first batch and reused by every later one — without the
+    * persist each micro-batch would re-run the full corpus
+    * posexplode+aggregate, corpus-sized work per batch. Registered
+    * with [[graft.CacheScope]], so the harness's post-stream
+    * releaseAll frees the blocks. Nothing is keyed on the stream
+    * across batches. The report is delivery-sized work per batch: one
+    * map-side-combined aggregate over the batch plus a join against
+    * ≤ labels·dims rows.
     */
   def embeddingDriftReports(delivery: DataFrame, corpus: DataFrame)(
       sink: (Long, DataFrame) => Unit)
@@ -401,7 +406,7 @@ object EventStreams {
         floor(col("col").cast(DoubleType) * 1e6).cast(LongType).as("vm"))
       .groupBy(col("label"), col("dim"))
       .agg(count(lit(1)).as(cn), sum(col("vm")).as(sn))
-    val old = stats(corpus, "c_old", "s_old")
+    val old = graft.CacheScope.persisted(stats(corpus, "c_old", "s_old"))
     delivery.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           id: Long) =>

@@ -15,8 +15,9 @@ object DumpD15Lsh {
     operators.Dedup.semanticDedup(e, operators.Dedup.D15Tau, maxBlock = 10)
       .coalesce(1).write.mode("overwrite").parquet(s"$out/d15_forced")
     CacheScope.releaseAll()
-    val sql = SparkEntry.oracleSql("d15_semantic_dedup")
-      .replace("<= 1000", "<= 10").replace("> 1000", "> 10")
+    // same oracle source as the committed entry, ceiling threaded
+    // through as a parameter — no post-hoc text patching to corrupt
+    val sql = operators.Dedup.d15OracleSqlFor(10)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$out/oracle_sql.json"),
       "{\"d15_forced\": " + "\"" + sql.flatMap {

@@ -48,6 +48,48 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(second == inline)
   }
 
+  test("fingerprint sees content: swapping two embeddings changes it") {
+    // a sum-based fingerprint (count + Σid + Σ first-dim mass) is
+    // blind to edits that preserve those sums — swapping two rows'
+    // embeddings is exactly such an edit, and a blind fingerprint
+    // would silently serve the stale index over the edited corpus
+    val e = Tables.embeddings(spark, sfDir)
+    val fp = IndexStore.corpusFingerprint(e)
+    val ids = e.select(col("vec_id")).orderBy(col("vec_id"))
+      .limit(2).collect().map(_.getLong(0))
+    val (a, b) = (ids(0), ids(1))
+    val embOf = e.filter(col("vec_id").isin(a, b))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(embOf(a) != embOf(b),
+      "fixture degenerate: the two probe vectors are identical")
+    val swapped = e.withColumn("embedding",
+      when(col("vec_id") === a, typedLit(embOf(b)))
+        .when(col("vec_id") === b, typedLit(embOf(a)))
+        .otherwise(col("embedding")))
+    assert(IndexStore.corpusFingerprint(swapped) != fp,
+      "sum-preserving content edit went undetected — a stale index " +
+        "would be served over the edited corpus")
+  }
+
+  test("registerKnnGraph refuses to drop a managed table") {
+    dropTable("knn_guard_spec")
+    val g = spark.range(8).selectExpr("id AS src", "0L AS rk",
+      "id + 1 AS dst", "1L AS d2")
+    IndexStore.saveKnnGraph(g, "knn_guard_spec", buckets = 2)
+    val path =
+      new java.io.File("spark-warehouse/knn_guard_spec").getAbsolutePath
+    // re-registering over the MANAGED table saveKnnGraph created would
+    // DROP-delete the very files being registered — must refuse
+    val ex = intercept[IllegalArgumentException] {
+      IndexStore.registerKnnGraph(spark, "knn_guard_spec", path, buckets = 2)
+    }
+    assert(ex.getMessage.contains("MANAGED"))
+    // the refusal must leave the table and its data intact
+    assert(spark.table("knn_guard_spec").count() == 8)
+    dropTable("knn_guard_spec")
+  }
+
   test("stale fingerprint forces a rebuild; fresh one is reused") {
     IndexStore.root = "/tmp/graft_index_spec"
     val e = Tables.embeddings(spark, sfDir)

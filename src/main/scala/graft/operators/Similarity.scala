@@ -682,23 +682,46 @@ object Similarity {
     * (|queries|·[[GsBeam]] rows) broadcasts into those joins, so each
     * round is one broadcast-hash probe of the graph plus a
     * candidate-sized re-rank — no shuffle ever carries more than
-    * |queries|·beam·(k+1) rows. On a real cluster the standing graph
-    * would be a bucketed table on src; the query path touches only
-    * the buckets the beam lands in.
+    * |queries|·beam·(k+1) rows. The suite entry consumes the standing
+    * graph AS the [[graft.sources.IndexStore]] artifact — a bucketed
+    * (src) catalog table, fingerprint-gated load-or-build — so a warm
+    * query never rebuilds the index and probes bucket-local files;
+    * the inline default remains for ad-hoc library use.
     */
-  def s21_graph_search: Q = (s, d) =>
-    graphSearch(Tables.embeddings(s, d))
+  def s21_graph_search: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    graphSearch(e, standingGraph = Some(standingKnnGraph(s, d, "full", e)))
+  }
+
+  /** The standing kNN graph as an IndexStore artifact: load-or-build
+    * keyed on (corpus dir, slice tag) with the build knobs folded into
+    * the fingerprint. First call builds [[s20_nn_descent]]'s refined
+    * graph and saves it bucketed by src; every later call — the s21
+    * query path, the s24 maintenance path — READS the artifact instead
+    * of re-running NN-descent over the corpus. */
+  private[graft] def standingKnnGraph(s: SparkSession, d: String,
+      tag: String, standing: DataFrame): DataFrame =
+    graft.sources.IndexStore.ensureKnnGraph(s, s"${d}_$tag", standing,
+      params = s"k${NdK}r$NdRounds",
+      build = c => nnDescent(c).select(col("vec_id").as("src"), col("rk"),
+        col("nn_id").as("dst"), col("d2")))
 
   private[graft] def graphSearch(e: DataFrame,
-      rounds: Int = GsRounds): DataFrame = {
+      rounds: Int = GsRounds,
+      standingGraph: Option[DataFrame] = None): DataFrame = {
     import graft.functions.VectorFunctions.milli_l2
     val mv = graft.CacheScope.persisted(e.select(col("vec_id"),
       transform(col("embedding"),
         x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("mv")))
-    // the standing index this query path consumes — the same refined
-    // graph s20 exposes (its lineage cuts materialize it here)
-    val g = graft.CacheScope.checkpointed(
-      nnDescent(e).select(col("vec_id").as("src"), col("nn_id").as("dst")))
+    // the standing index this query path consumes — the IndexStore
+    // artifact when provided (the suite path: a bucketed file-backed
+    // table, already materialized), else the same refined graph s20
+    // exposes, built inline (its lineage cuts materialize it here)
+    val g = standingGraph match {
+      case Some(sg) => sg.select(col("src"), col("dst"))
+      case None => graft.CacheScope.checkpointed(
+        nnDescent(e).select(col("vec_id").as("src"), col("nn_id").as("dst")))
+    }
     val q = mv.filter(col("vec_id") % 97 === 0 && col("vec_id") < QueryIdBound)
       .select(col("vec_id").as("q_id"), col("mv").as("q_mv"))
     def rescore(cand: DataFrame): DataFrame = {
@@ -922,12 +945,23 @@ object Similarity {
     * standing-graph CTEs (parameterized to the old slice) with the
     * beam CTEs and hash-matches at every SF. A spec gates merged-graph
     * recall ≥ 0.9× a FULL rebuild's recall.
+    *
+    * The suite entry consumes the standing graph AS the
+    * [[graft.sources.IndexStore]] artifact (bucketed by src,
+    * fingerprint-gated) — the daily-delivery path must NOT rebuild
+    * the graph it maintains, so on a warm index the measured wall is
+    * load + absorb, not NN-descent. The inline default remains for
+    * ad-hoc library use.
     */
-  def s24_incremental_graph: Q = (s, d) =>
-    incrementalGraph(Tables.embeddings(s, d))
+  def s24_incremental_graph: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    incrementalGraph(e, standingGraph =
+      Some(standingKnnGraph(s, d, "m5", e.filter(col("vec_id") % 5 =!= 0))))
+  }
 
   private[graft] def incrementalGraph(e: DataFrame,
-      rounds: Int = GsRounds): DataFrame = {
+      rounds: Int = GsRounds,
+      standingGraph: Option[DataFrame] = None): DataFrame = {
     import graft.functions.VectorFunctions.milli_l2
     val m = graft.CacheScope.persisted(e.select(col("vec_id"),
       transform(col("embedding"),
@@ -935,12 +969,16 @@ object Similarity {
     val old = m.filter(col("vec_id") % 5 =!= 0)
     val del = m.filter(col("vec_id") % 5 === 0)
       .select(col("vec_id").as("q_id"), col("mv").as("q_mv"))
-    // the standing index (built once, consumed here; at scale this is
-    // an IndexStore read — see IndexStoreSpec's bucketed-graph pin)
-    val gFull = graft.CacheScope.checkpointed(
-      nnDescent(e.filter(col("vec_id") % 5 =!= 0))
-        .select(col("vec_id").as("src"), col("rk"), col("nn_id").as("dst"),
-          col("d2")))
+    // the standing index: the IndexStore artifact when provided (the
+    // suite path — a bucketed src-keyed table, already materialized),
+    // else built inline for ad-hoc library use
+    val gFull = standingGraph match {
+      case Some(sg) => sg.select(col("src"), col("rk"), col("dst"), col("d2"))
+      case None => graft.CacheScope.checkpointed(
+        nnDescent(e.filter(col("vec_id") % 5 =!= 0))
+          .select(col("vec_id").as("src"), col("rk"), col("nn_id").as("dst"),
+            col("d2")))
+    }
     val g = gFull.select(col("src"), col("dst"))
     // seeds: the two digit groups of the delivery id over standing ids
     def seedPairs(bkt: Column => Column): DataFrame =

@@ -152,6 +152,50 @@ object IndexStore {
     loadCellIndex(spark, dir)
   }
 
+  /** Load-or-build for a standing kNN graph (the s21 query path's and
+    * s24 maintenance path's consumer seam): fingerprint-gated like
+    * [[ensureCellIndex]], but the artifact is a catalog table BUCKETED
+    * BY src ([[saveKnnGraph]]'s layout), so every consumer join /
+    * aggregation / window keyed on src reads bucket-local files with
+    * no exchange. `params` folds the builder's knobs (k, rounds) into
+    * the fingerprint — a knob change is a rebuild, never a stale
+    * serve. A fingerprint hit with no catalog entry (a fresh session
+    * over an existing warehouse) re-attaches the bucket spec via
+    * [[registerKnnGraph]] instead of rebuilding; an empty corpus never
+    * persists. Same crash discipline as [[saveCellIndex]]: the prior
+    * meta is deleted before the table overwrite and the new meta is
+    * written last, so any mid-save state reads as a miss. */
+  def ensureKnnGraph(spark: SparkSession, key: String, standing: DataFrame,
+      params: String, build: DataFrame => DataFrame,
+      buckets: Int = 32): DataFrame = {
+    val safe = key.replaceAll("[^A-Za-z0-9_]", "_").toLowerCase
+    val table = s"graft_knn_$safe"
+    val metaDir = s"$root/knn_$safe"
+    val fp = s"${corpusFingerprint(standing)}_$params"
+    if (fp.startsWith("0_")) return build(standing)
+    val hit = readMeta(spark, metaDir).contains(fp)
+    if (hit && !spark.catalog.tableExists(table)) {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      registerKnnGraph(spark, table, s"$wh/$table", buckets)
+    } else if (!hit) {
+      val (f, p) = fs(spark, s"$metaDir/_graft_meta")
+      if (f.exists(p)) f.delete(p, false)
+      // clear any prior incarnation before rebuilding: a stale
+      // catalog entry may be EXTERNAL (the re-register path), whose
+      // drop leaves files behind, and a fresh session may find files
+      // with no catalog entry at all — either way saveAsTable refuses
+      // an existing location, so drop the entry AND the location
+      // (ours by construction: the graft_knn_ prefix + this key)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val (wf, wp) = fs(spark, s"$wh/$table")
+      if (wf.exists(wp)) wf.delete(wp, true)
+      saveKnnGraph(build(standing), table, buckets)
+      writeMeta(spark, metaDir, fp)
+    }
+    spark.table(table)
+  }
+
   /** Persist the s20 corpus-wide kNN graph as a catalog table bucketed
     * and sorted by src: every later equi-join/aggregation on src scans
     * matching buckets with no exchange. */

@@ -147,6 +147,41 @@ class IndexStoreSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS knn_idx_reg")
   }
 
+  test("s21/s24 serve from the standing kNN graph: saved ≡ rebuilt, " +
+      "warm plan reads the bucketed artifact") {
+    IndexStore.root = "/tmp/graft_index_spec"
+    val e = Tables.embeddings(spark, sfDir)
+    // inline library paths — the ground truth the artifact must equal
+    val s21Inline = rowSet(operators.Similarity.graphSearch(e))
+    CacheScope.releaseAll()
+    val s24Inline = rowSet(operators.Similarity.incrementalGraph(e))
+    CacheScope.releaseAll()
+    // wired suite paths: first call builds + saves, rows must match
+    val s21Wired = rowSet(SparkEntry.queries("s21_graph_search")(spark, sfDir))
+    CacheScope.releaseAll()
+    assert(s21Wired == s21Inline,
+      "s21 served from the saved graph diverged from the inline build")
+    val s24Wired = rowSet(
+      SparkEntry.queries("s24_incremental_graph")(spark, sfDir))
+    CacheScope.releaseAll()
+    assert(s24Wired == s24Inline,
+      "s24 maintaining the saved graph diverged from the inline build")
+    // warm ensure is a pure load: the graph frame must be a FileScan
+    // of the bucketed catalog table, with no NN-descent stages
+    val g = operators.Similarity.standingKnnGraph(spark, sfDir, "m5",
+      e.filter(col("vec_id") % 5 =!= 0))
+    val p = g.queryExecution.executedPlan.toString
+    assert(p.contains("FileScan parquet") && p.contains("graft_knn_"),
+      s"warm standing graph is not a read of the saved artifact:\n$p")
+    // the maintenance side's src-keyed work over the artifact is
+    // exchange-free — the bucketed layout doing its job
+    val agg = g.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val pa = agg.queryExecution.executedPlan.toString
+    assert(!pa.contains("Exchange hashpartitioning"),
+      s"src-keyed aggregation over the saved graph still shuffles:\n$pa")
+    CacheScope.releaseAll()
+  }
+
   test("band index probe prunes to one bucket on an equality probe") {
     dropTable("band_idx_spec")
     val docs = Tables.documents(spark, sfDir)

@@ -1033,6 +1033,109 @@ object Similarity {
       .orderBy(col("vec_id"), col("rk"))
   }
 
+  /** Load trigger for [[s26_index_health]]: a cell holding ≥ 2× its
+    * balanced share (load_permille ≥ 2000, where 1000 = exactly the
+    * corpus/nCells average) is overloaded — probe ranking sends every
+    * nearby query into a list that reads like 2+ cells' worth of
+    * vectors. */
+  private[graft] val S26LoadTrigger = 2000L
+
+  /** Drift trigger for [[s26_index_health]]: the mean member-to-
+    * centroid distance grown STRICTLY over 110% of the at-build mean
+    * (permille cross-multiplied — no division, no /0 edge). Strict
+    * `>` so an undisturbed cell (mean_now == mean_build) never
+    * fires. */
+  private[graft] val S26DriftTrigger = 1100L
+
+  /** s26 — standing-index health audit + refresh gate: the
+    * operational piece that makes the absorb-forever story honest.
+    * [[s24_incremental_graph]] adds nodes but never moves the IVF
+    * cells, so accumulated deliveries skew cell populations and stale
+    * centroids degrade probe ranking; something deterministic must
+    * measure that and call the rebuild. Per cell of the SAVED index
+    * (built on the standing slice, vec_id % 5 ≠ 0 — the delivery
+    * convention everywhere): at-build population and exact mean/max
+    * member-to-centroid milli-L2 (straight off the saved lists' `cd`
+    * column — one aggregate over the artifact), the deliveries routed
+    * to the STALE centroid (the same exact argmin as ingest), the
+    * post-absorb mean/max, a load_permille (cell share vs perfect
+    * balance), and the deterministic trigger: overloaded
+    * ([[S26LoadTrigger]]) OR mean distance drifted
+    * ([[S26DriftTrigger]]). All exact integer math — counts, milli-L2
+    * sums, floor divisions — so the oracle chains the proven Lloyd
+    * CTEs (parameterized to the standing slice) and hash-matches at
+    * every SF. A spec degrades an index with skewed deliveries and
+    * watches the trigger fire where balance breaks.
+    *
+    * Scale shape: one aggregate scan over the saved lists, one
+    * broadcast fan of the (tiny) centroid table over the delivery
+    * with a combinable min(struct) argmin, two bounded-cardinality
+    * (cell) aggregates, and a ≤ nCells-row report. Nothing is ever
+    * pair-joined; at 100 TB this is one pass over delivery + lists.
+    */
+  def s26_index_health: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val standing = e.filter(col("vec_id") % 5 =!= 0)
+    val (cents, asg, _, _) =
+      graft.sources.IndexStore.ensureCellIndex(s, s"${d}_m5cell", standing)
+    indexHealth(cents, asg, e.filter(col("vec_id") % 5 === 0))
+  }
+
+  private[graft] def indexHealth(cents: DataFrame, asg: DataFrame,
+      delivery: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.milli_l2
+    // deliveries routed to the nearest SAVED centroid — stale by
+    // design, the exact arithmetic of the batch/streaming ingest
+    val routed = delivery
+      .select(col("vec_id"), transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("mv"))
+      .join(broadcast(cents), lit(true))
+      .select(col("vec_id"),
+        struct(milli_l2(col("mv"), col("c_mv")).as("d"),
+          col("j").as("cell")).as("dc"))
+      .groupBy(col("vec_id")).agg(min(col("dc")).as("mdc"))
+      .select(col("mdc").getField("cell").as("cell"),
+        col("mdc").getField("d").as("d2"))
+    val bst = asg.groupBy(col("cell")).agg(
+      count(lit(1)).as("n_build"), sum(col("cd")).as("s_build"),
+      max(col("cd")).as("x_build"))
+    val nst = routed.groupBy(col("cell")).agg(
+      count(lit(1)).as("n_new"), sum(col("d2")).as("s_new"),
+      max(col("d2")).as("x_new"))
+    // trained cell count: a count of the tiny centroid table (the
+    // audit's denominator must include cells with zero members)
+    val nCells = cents.count()
+    val j0 = bst.join(nst, Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("n_build"), lit(0L)).as("n_build"),
+        coalesce(col("s_build"), lit(0L)).as("s_build"),
+        coalesce(col("x_build"), lit(0L)).as("x_build"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("s_new"), lit(0L)).as("s_new"),
+        coalesce(col("x_new"), lit(0L)).as("x_new"))
+      .withColumn("n_now", col("n_build") + col("n_new"))
+      // the total spans ≤ nCells report rows — a single-partition
+      // window over a frame this small is free at any corpus size
+      .withColumn("n_total", sum(col("n_now")).over(Window.partitionBy()))
+    j0
+      .withColumn("load_permille", call_function("div",
+        col("n_now") * lit(1000L) * lit(nCells), col("n_total")))
+      .withColumn("mean_d2_build",
+        when(col("n_build") === 0, lit(0L)).otherwise(
+          call_function("div", col("s_build"), col("n_build"))))
+      .withColumn("mean_d2_now",
+        call_function("div", col("s_build") + col("s_new"), col("n_now")))
+      .withColumn("max_d2_now", greatest(col("x_build"), col("x_new")))
+      .withColumn("rebuild",
+        col("load_permille") >= S26LoadTrigger ||
+          col("mean_d2_now") * lit(1000L) >
+            col("mean_d2_build") * lit(S26DriftTrigger))
+      .select(col("cell"), col("n_build"), col("n_new"),
+        col("load_permille"), col("mean_d2_build"), col("mean_d2_now"),
+        col("max_d2_now"), col("rebuild"))
+      .orderBy(col("cell"))
+  }
+
   /** s06 — int8 scalar quantization of the embedding column with an
     * exact error report: the compression step a billion-vector ANN
     * deployment runs before indexing (4× smaller, SIMD-friendly).
@@ -1619,6 +1722,7 @@ object Similarity {
     "s23_cell_search" -> s23_cell_search,
     "s24_incremental_graph" -> s24_incremental_graph,
     "s25_standing_search" -> s25_standing_search,
+    "s26_index_health" -> s26_index_health,
     "s13_hybrid_rrf" -> s13_hybrid_rrf,
     "s14_knn_graph" -> s14_knn_graph,
     "s11_mmr" -> s11_mmr,
@@ -1666,14 +1770,17 @@ object Similarity {
     * pqAssign at the same (k, blockDim, rounds). With blockDim = the
     * full vector width there is a single block, so the "PQ" trainer IS
     * flat k-means — how s19 gets an oracle-bearing IVF coarse
-    * quantizer from the machinery s09 already proved. */
+    * quantizer from the machinery s09 already proved. `rel` lets a
+    * sliced caller (s26's standing-only trainer) substitute a
+    * filtered relation; aliasing it back to `embeddings` keeps every
+    * downstream column reference identical. */
   private def pqOracleSetup(k: Int = 4, blockDim: Int = 16,
-      rounds: Int = 2): String =
+      rounds: Int = 2, rel: String = "embeddings"): String =
     s"""WITH q AS (
        |  SELECT vec_id, CAST((g - 1) // $blockDim AS INT) AS blk,
        |    CAST(g - 1 AS INT) AS dim,
        |    CAST(floor(CAST(embedding[g] AS DOUBLE) * 1000) AS BIGINT) AS qv
-       |  FROM embeddings, unnest(generate_series(1, len(embedding))) u(g)),
+       |  FROM $rel, unnest(generate_series(1, len(embedding))) u(g)),
        |init AS (
        |  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
        |    AS j
@@ -2130,6 +2237,71 @@ object Similarity {
        |ORDER BY vec_id, rk""".stripMargin
   }
 
+  /** s26's oracle: the proven Lloyd CTEs trained on the standing
+    * slice (via [[pqOracleSetup]]'s `rel` hook, aliased back to
+    * `embeddings` so nothing downstream changes), the saved-list
+    * mirror `asg` (winning cell + its exact distance), delivery
+    * routing against the FINAL codebook c{rounds}, then pure integer
+    * per-cell bookkeeping — floor divisions and the cross-multiplied
+    * drift test, exactly the engine's. */
+  private def s26OracleSql: String = {
+    val R = S19Rounds
+    s"""${pqOracleSetup(IvfNCells, S19BlockDim, R,
+          rel = "(SELECT * FROM embeddings WHERE vec_id % 5 <> 0) embeddings")},
+       |asg AS MATERIALIZED (
+       |  SELECT vec_id, j AS cell, dist AS cd FROM (
+       |    SELECT vec_id, j, dist,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+       |    FROM af) WHERE rn = 1),
+       |mvd AS MATERIALIZED (
+       |  SELECT vec_id, CAST(g - 1 AS INT) AS dim,
+       |    CAST(floor(CAST(embedding[g] AS DOUBLE) * 1000) AS BIGINT) AS qv
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) u(g)
+       |  WHERE vec_id % 5 = 0),
+       |routed AS (
+       |  SELECT vec_id, j AS cell, d2 FROM (
+       |    SELECT vec_id, j, d2,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rn
+       |    FROM (
+       |      SELECT m.vec_id, c.j,
+       |        CAST(SUM((m.qv - c.cv) * (m.qv - c.cv)) AS BIGINT) AS d2
+       |      FROM mvd m JOIN c$R c ON c.dim = m.dim
+       |      GROUP BY m.vec_id, c.j)) WHERE rn = 1),
+       |bst AS (
+       |  SELECT cell, COUNT(*) AS n_build,
+       |    CAST(SUM(cd) AS BIGINT) AS s_build, MAX(cd) AS x_build
+       |  FROM asg GROUP BY cell),
+       |nst AS (
+       |  SELECT cell, COUNT(*) AS n_new,
+       |    CAST(SUM(d2) AS BIGINT) AS s_new, MAX(d2) AS x_new
+       |  FROM routed GROUP BY cell),
+       |jt AS (
+       |  SELECT COALESCE(b.cell, n.cell) AS cell,
+       |    COALESCE(n_build, 0) AS n_build, COALESCE(s_build, 0) AS s_build,
+       |    COALESCE(x_build, 0) AS x_build, COALESCE(n_new, 0) AS n_new,
+       |    COALESCE(s_new, 0) AS s_new, COALESCE(x_new, 0) AS x_new
+       |  FROM bst b FULL JOIN nst n ON n.cell = b.cell),
+       |fin AS (
+       |  SELECT cell, n_build, n_new,
+       |    CAST((n_build + n_new) * 1000 * k.nc // t.n_total AS BIGINT)
+       |      AS load_permille,
+       |    CAST(CASE WHEN n_build = 0 THEN 0
+       |      ELSE s_build // n_build END AS BIGINT) AS mean_d2_build,
+       |    CAST((s_build + s_new) // (n_build + n_new) AS BIGINT)
+       |      AS mean_d2_now,
+       |    GREATEST(x_build, x_new) AS max_d2_now
+       |  FROM jt,
+       |    (SELECT COUNT(DISTINCT j) AS nc FROM c$R) k,
+       |    (SELECT CAST(SUM(n_build + n_new) AS BIGINT) AS n_total
+       |     FROM jt) t)
+       |SELECT cell, n_build, n_new, load_permille, mean_d2_build,
+       |  mean_d2_now, max_d2_now,
+       |  load_permille >= $S26LoadTrigger
+       |    OR mean_d2_now * 1000 > mean_d2_build * $S26DriftTrigger
+       |    AS rebuild
+       |FROM fin ORDER BY cell""".stripMargin
+  }
+
   /** One s21 beam round as SQL reading beam b{j-1} over graph gr —
     * the mirror of graphSearch's loop body (expand the beam's graph
     * neighbors, drop the query itself, exact milli-L2 re-rank to the
@@ -2187,6 +2359,7 @@ object Similarity {
     // text, two names: a drift between build-and-serve and
     // save/load/serve fails the hash compare
     "s25_standing_search" -> s23OracleSql,
+    "s26_index_health" -> s26OracleSql,
     "s11_mmr" -> s11OracleSql,
     "s12_drift" ->
       """WITH x AS (

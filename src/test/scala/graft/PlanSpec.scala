@@ -674,6 +674,19 @@ class PlanSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("s26 audit is one delivery fan + bounded cell aggregates") {
+    val p = plan("s26_index_health")
+    // the delivery routes against the broadcast centroid table (a
+    // nested-loop over ≤ nCells rows); nothing is ever pair-joined
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // the argmin is a combinable min(struct) — partial agg before the
+    // vec_id exchange, so the fan never shuffles |delivery|·nCells rows
+    assert(p.contains("partial_min"),
+      "delivery argmin not combined map-side before the shuffle")
+    CacheScope.releaseAll()
+  }
+
   test("s13 arms prune top-K pre-shuffle; fusion joins two K-lists only") {
     val p = plan("s13_hybrid_rrf")
     // dense arm broadcasts the fixed query set into one corpus scan

@@ -784,4 +784,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rm >= 0.9 * rf,
       s"incremental merge degraded recall: merged=$rm full-rebuild=$rf")
   }
+
+  test("s26 health gate: skewed deliveries flip the rebuild trigger") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sfDir)
+    val standing = e.filter(col("vec_id") % 5 =!= 0)
+    val (cents, asg, _) = operators.Similarity.cellIndex(standing)
+    val asgP = CacheScope.persisted(asg)
+    // target the least-loaded cell — the sharpest contrast between
+    // the undisturbed audit and the skewed one
+    val tcell = asgP.groupBy(col("cell")).count()
+      .orderBy(col("count"), col("cell")).head().getAs[Number](0).longValue
+    val member = asgP.filter(col("cell") === tcell)
+      .orderBy(col("vec_id")).head().getLong(0)
+    val emb = e.filter(col("vec_id") === member)
+      .select(col("embedding")).head().getSeq[Float](0)
+    def auditRow(delivery: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.Row = {
+      val rep = operators.Similarity.indexHealth(cents, asgP, delivery)
+        .filter(col("cell") === tcell).collect()
+      assert(rep.length == 1)
+      rep.head
+    }
+    // undisturbed: no deliveries — nothing may fire for the target
+    // cell (load is its build share, mean distance is unchanged)
+    val quiet = auditRow(e.filter(lit(false)))
+    assert(!quiet.getAs[Boolean]("rebuild"),
+      s"undisturbed least-loaded cell already triggers: $quiet")
+    // skewed: every delivery clones a member of the target cell, so
+    // all of them route there — the load trigger must fire
+    val skew = auditRow(e.filter(col("vec_id") % 5 === 0)
+      .withColumn("embedding", typedLit(emb)))
+    assert(skew.getAs[Long]("load_permille") >=
+      operators.Similarity.S26LoadTrigger,
+      s"skewed deliveries did not overload the target cell: $skew")
+    assert(skew.getAs[Boolean]("rebuild"),
+      s"overloaded cell did not trigger a rebuild: $skew")
+    CacheScope.releaseAll()
+  }
 }

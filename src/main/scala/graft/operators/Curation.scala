@@ -835,6 +835,37 @@ object Curation {
       extra = Seq("repeat_factor", "w_tokens"))
   }
 
+  /** p07 — the end-to-end SERVING pipeline: the batch/serve split as
+    * one declarative chain, proving the three jobs compose.
+    *   1. BUILD JOB — [[p06_epoch_build]]'s full epoch-aware training
+    *      build; its manifest's distinct doc ids are the curated set;
+    *   2. INDEX JOB — the serving index (IVF cells + symmetrized,
+    *      bridged per-cell graph) over the curated documents'
+    *      embeddings (vec_id = doc_id, m04's join convention),
+    *      materialized as a fingerprint-gated
+    *      [[graft.sources.IndexStore]] artifact — the saved-index leg;
+    *   3. QUERY JOB — s23's probe-rank + per-cell beam + exact fuse
+    *      reading that artifact.
+    * Every stage is the proven standalone operator's exact formula,
+    * so the oracle chains p06's committed CTEs (as a scoped subquery)
+    * into the s23 stack re-targeted at the slice — one hash check
+    * across the whole build → save → serve composition.
+    *
+    * Scale = p06's (its stages dominate) + the index build over the
+    * curated slice; the query job on a warm artifact is s25's
+    * bounded probe work. The semi-join slice is doc-keyed — no new
+    * shuffle shape.
+    */
+  def p07_serving_pipeline: Q = (s, d) => {
+    val kept = p06_epoch_build(s, d).select(col("doc_id")).distinct()
+    val slice = Tables.embeddings(s, d)
+      .join(kept.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"),
+        "left_semi")
+    val (cents, asg, entries, graph) =
+      graft.sources.IndexStore.ensureCellIndex(s, s"${d}_p07", slice)
+    Similarity.cellProbeSearchOn(cents, asg, entries, graph)
+  }
+
   /** p04 — the SEMANTIC training-data build: p03's capstone shape
     * with the embedding-graph arm closing the loop. Where p03
     * canonicalizes via d29 (pair-graph clusters from textual n-gram
@@ -1056,6 +1087,7 @@ object Curation {
     "p04_semantic_build" -> p04_semantic_build,
     "p05_epoch_mixture" -> p05_epoch_mixture,
     "p06_epoch_build" -> p06_epoch_build,
+    "p07_serving_pipeline" -> p07_serving_pipeline,
   )
 
   /** Oracle CTE chain for p03's stages 1–5 (curate → d29 canonical
@@ -1288,7 +1320,13 @@ object Curation {
          |  CAST(floor((cum - n_clean) / 2048.0) AS BIGINT) AS bin,
          |  CAST(cum AS BIGINT) AS cum_tokens
          |FROM cm ORDER BY shard, pos""".stripMargin,
-    "p06_epoch_build" ->
+    "p06_epoch_build" -> p06OracleSql,
+    "p07_serving_pipeline" -> p07OracleSql,
+  ) ++ oraclesTail
+
+  /** p06's oracle as a def so [[p07OracleSql]] can embed it as the
+    * build-job subquery — one committed text, two consumers. */
+  private def p06OracleSql: String =
       s"""$p03OracleStages,
          |scrubl AS (
          |  SELECT s.doc_id, s.n_clean, sp.source
@@ -1333,7 +1371,21 @@ object Curation {
          |  CAST(w_tokens AS BIGINT) AS w_tokens,
          |  CAST(floor((cum - w_tokens) / 2048.0) AS BIGINT) AS bin,
          |  CAST(cum AS BIGINT) AS cum_tokens
-         |FROM cm ORDER BY shard, pos""".stripMargin,
+         |FROM cm ORDER BY shard, pos""".stripMargin
+
+  /** p07's oracle: p06's committed text as a SCOPED subquery (its CTE
+    * names stay inside the parens), the curated slice, then the s23
+    * stack re-targeted at it. Composed by plain concatenation — the
+    * embedded fragments are already margin-stripped and p06's carries
+    * `||` concats a second stripMargin would eat. */
+  private def p07OracleSql: String =
+    "WITH kept AS MATERIALIZED (\n" +
+      "  SELECT DISTINCT doc_id FROM (\n" + p06OracleSql + "\n  ) pm),\n" +
+      "slice AS MATERIALIZED (\n" +
+      "  SELECT e.* FROM embeddings e JOIN kept k ON k.doc_id = e.vec_id),\n" +
+      Similarity.s23OracleSqlOn("slice embeddings").stripPrefix("WITH ")
+
+  private def oraclesTail: Map[String, String] = Map(
     "p02_incremental" -> {
       val (scores, pred) = TextAnalysis.langOracleSql
       s"""WITH base AS (

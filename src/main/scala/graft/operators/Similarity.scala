@@ -872,10 +872,22 @@ object Similarity {
     * the four index tables. */
   private[graft] def cellProbeSearchOn(cents: DataFrame, asg: DataFrame,
       entries: DataFrame, graph: DataFrame,
+      nProbe: Int = S23NProbe, rounds: Int = GsRounds): DataFrame =
+    cellProbeSearchFor(
+      asg.filter(col("vec_id") % 97 === 0 && col("vec_id") < QueryIdBound)
+        .select(col("vec_id").as("q_id"), col("mv").as("q_mv")),
+      cents, asg, entries, graph, nProbe, rounds)
+
+  /** [[cellProbeSearchOn]] for an EXTERNAL query set — (q_id, q_mv)
+    * milli vectors that need not live in the corpus (the streaming
+    * serve path hands each micro-batch here). Identical arithmetic;
+    * the in-corpus suite path is the special case where the queries
+    * are read off the assignment table. */
+  private[graft] def cellProbeSearchFor(q0: DataFrame, cents: DataFrame,
+      asg: DataFrame, entries: DataFrame, graph: DataFrame,
       nProbe: Int = S23NProbe, rounds: Int = GsRounds): DataFrame = {
     import graft.functions.VectorFunctions.milli_l2
-    val q = asg.filter(col("vec_id") % 97 === 0 && col("vec_id") < QueryIdBound)
-      .select(col("vec_id").as("q_id"), col("mv").as("q_mv"))
+    val q = q0.select(col("q_id"), col("q_mv"))
     // probe ranking: nProbe nearest cells by exact centroid distance
     val wp = Window.partitionBy(col("q_id")).orderBy(col("cd"), col("j"))
     val probes = q.join(broadcast(cents), lit(true))
@@ -1993,10 +2005,12 @@ object Similarity {
     * oracle (the whole graph) and the s23 oracle (the query path over
     * it), so the index the query probes cannot drift from the index
     * s22 proves. Returned pre-stripped (the [[ndRoundCte]]
-    * convention). */
-  private def cellGraphCtes: String = {
+    * convention). `rel` re-targets the trainer at a sliced corpus
+    * (p07's curated set), aliased back to `embeddings` so the whole
+    * downstream stack is untouched. */
+  private def cellGraphCtes(rel: String = "embeddings"): String = {
     val span2 = NdInitSpan.toLong * NdInitSpan
-    s"""${pqOracleSetup(IvfNCells, S19BlockDim, S19Rounds)},
+    s"""${pqOracleSetup(IvfNCells, S19BlockDim, S19Rounds, rel)},
        |cells AS MATERIALIZED (
        |  SELECT vec_id, j AS cell FROM (
        |    SELECT vec_id, j,
@@ -2029,7 +2043,7 @@ object Similarity {
   }
 
   private def s22OracleSql: String =
-    s"""$cellGraphCtes
+    s"""${cellGraphCtes()}
        |SELECT g.src AS vec_id, c.cell, g.rk, g.dst AS nn_id, g.d2
        |FROM g$NdRounds g JOIN cells c ON c.vec_id = g.src
        |ORDER BY vec_id, rk""".stripMargin
@@ -2087,8 +2101,14 @@ object Similarity {
     * by the SAME af distances the assignment used, entries = per-cell
     * medoids, and the final fuse a per-query top-K over the per-cell
     * beams. */
-  private def s23OracleSql: String =
-    s"""$cellGraphCtes,
+  private def s23OracleSql: String = s23OracleSqlOn("embeddings")
+
+  /** [[s23OracleSql]] with the trainer re-targeted at `rel` — the
+    * seam p07's pipeline oracle uses to probe an index built on the
+    * curated slice. Includes the leading WITH; composite callers
+    * stripPrefix it and prepend their stage CTEs. */
+  private[operators] def s23OracleSqlOn(rel: String): String =
+    s"""${cellGraphCtes(rel)},
        |gr AS MATERIALIZED (
        |  SELECT DISTINCT cell, src, dst FROM (
        |    SELECT c.cell, g.src, g.dst FROM g$NdRounds g

@@ -456,6 +456,46 @@ object EventStreams {
           graft.operators.TextAnalysis.tokenDriftAgainst(corpus, batch.toDF()))
     }
 
+  /** Streaming ANN serve — the query-side leg of the standing-index
+    * story: vectors arriving as a stream are answered against the
+    * SAVED s25 serving index ([[graft.sources.IndexStore
+    * .ensureCellIndex]], resolved once at stream construction), each
+    * micro-batch running the exact s23 probe-rank + per-cell beam +
+    * fuse over the artifact and handing the per-query top-K to `sink`
+    * with the batch id. The arithmetic is
+    * [[graft.operators.Similarity.cellProbeSearchFor]]'s bit for bit,
+    * so a replayed query batch reproduces the batch s25 rows
+    * (StreamingSpec pins the parity).
+    *
+    * State/scale: the same zero-streaming-state foreachBatch seam as
+    * the drift gates — per batch the search runs in batch land over
+    * the file-backed index (cell-partitioned: a batch probing
+    * nprobe/ncells cells reads that fraction of the graph off disk),
+    * the query side of every join broadcasts, and nothing is keyed on
+    * the stream across batches. At serving scale this is the
+    * query-router shape: each micro-batch costs |batch|·beam·(k+1)
+    * exact distance evaluations and never scans the corpus. */
+  def annServeStream(queries: DataFrame, corpusDir: String,
+      corpus: DataFrame)(sink: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.Similarity
+    val (cents, asg, entries, graph) = graft.sources.IndexStore
+      .ensureCellIndex(corpus.sparkSession, corpusDir, corpus)
+    queries.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        val q = batch.toDF().select(col("vec_id").as("q_id"),
+          transform(col("embedding"),
+            x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("q_mv"))
+        // the per-round beam checkpoints register with CacheScope; the
+        // STREAM owner releases them (releaseAll) when it stops — a
+        // per-batch release here could free frames a concurrent query
+        // in the same session still needs
+        sink(id,
+          Similarity.cellProbeSearchFor(q, cents, asg, entries, graph))
+    }
+  }
+
   def neardupScreenStream(delivery: DataFrame, corpus: DataFrame): DataFrame = {
     import graft.functions.TextHashFunctions.{array_jaccard, minhash_bands, word_shingles}
     def sh(text: org.apache.spark.sql.Column) =

@@ -687,6 +687,18 @@ class PlanSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("p07 serves from the saved artifact; no cartesians anywhere") {
+    // the query job's plan must READ the index artifact (the build
+    // and slice stages already ran as the batch job — that is the
+    // point of the composition), with s23's broadcast discipline
+    val p = plan("p07_serving_pipeline")
+    assert(p.contains("FileScan parquet"),
+      "p07's query job does not read the saved index")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    CacheScope.releaseAll()
+  }
+
   test("s13 arms prune top-K pre-shuffle; fusion joins two K-lists only") {
     val p = plan("s13_hybrid_rrf")
     // dense arm broadcasts the fixed query set into one corpus scan

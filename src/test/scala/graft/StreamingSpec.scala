@@ -486,4 +486,43 @@ class StreamingSpec extends AnyFunSuite {
       spark.catalog.clearCache()
     }
   }
+
+  test("streaming ANN serve answers exactly batch s25, zero state") {
+    sources.IndexStore.root = "/tmp/graft_index_annserve"
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(sources.IndexStore.root))
+    val all = Tables.embeddings(spark, sfDir)
+    // the query stream: s23/s25's own query set (%97 convention),
+    // arriving as a delivery — answers must equal the batch path's
+    val dir = Files.createTempDirectory("graft-annserve").toString
+    all.filter(col("vec_id") % 97 === 0 &&
+        col("vec_id") < operators.Similarity.QueryIdBound)
+      .withColumn("arrival", to_timestamp(lit("2026-01-01 00:00:00")))
+      .select(col("vec_id"), col("embedding").cast("array<double>"),
+        col("arrival"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val reports = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Array[org.apache.spark.sql.Row])]
+    val q = EventStreams.annServeStream(
+        EventStreams.readEmbStream(spark, dir), sfDir, all) {
+        (id, rep) => reports += ((id, rep.collect())); ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "ANN serve grew streaming state")
+      assert(reports.nonEmpty, "no micro-batch answer emitted")
+      val streamed = reports.flatMap(_._2).map(_.mkString("|")).toSet
+      val want = SparkEntry.queries("s25_standing_search")(spark, sfDir)
+        .collect().map(_.mkString("|")).toSet
+      CacheScope.releaseAll()
+      assert(want.nonEmpty, "batch s25 empty — vacuous")
+      assert(streamed == want)
+    } finally {
+      q.stop()
+      CacheScope.releaseAll()
+      spark.catalog.clearCache()
+      sources.IndexStore.root = "/tmp/graft_index"
+    }
+  }
 }

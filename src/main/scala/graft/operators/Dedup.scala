@@ -1628,7 +1628,7 @@ object Dedup {
     * old exact-only one), and larger blocks get a bit-exact SQL
     * mirror of the hyperplane-LSH route — the referee the 25× parity
     * run lacked. `maxBlock` is a parameter so the forced-tier harness
-    * ([[graft.DumpD15Lsh]]) builds its ceiling-10 oracle from the
+    * ([[graft.DumpLshForced]]) builds its ceiling-10 oracle from the
     * same source instead of patching the SQL text. Exactness of the
     * mirror:
     *  - the plane matrix is read from the ENGINE's own
@@ -1643,18 +1643,81 @@ object Dedup {
     *    mirrored with integer xor. Plane literals are generated at
     *    [[OracleEmbeddingDim]]; the suite entry asserts the engine
     *    config matches. */
-  private[graft] def d15OracleSqlFor(maxBlock: Long): String = {
+  /** The engine's [[lshSignature]] over column `embedding` as a DuckDB
+    * expression — plane literals from the ENGINE's own
+    * [[graft.functions.VectorOps.planesFor]] (Double.toString
+    * round-trips, list_dot_product chains left-to-right like the
+    * kernel), so each sign bit is bit-identical. One source shared by
+    * every LSH-tier oracle (d15, the blockedKnn mirror, the
+    * community-domination mirror) so the mirrors cannot drift. */
+  private[graft] def lshSigSqlExpr: String = {
     val dim = OracleEmbeddingDim
     val planes = graft.functions.VectorOps.planesFor(42L, 1, LshPlanes, dim)
     def planeLit(b: Int): String =
       (0 until dim).map(d => planes(b * dim + d).toString)
         .mkString("[", ", ", "]")
-    val sigExpr = (0 until LshPlanes).map(b =>
+    (0 until LshPlanes).map(b =>
       s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), " +
         s"${planeLit(b)}) >= 0 THEN ${1 << b} ELSE 0 END)")
       .mkString("\n    + ")
-    val probeList = ("sig" +: (0 until LshPlanes).map(p =>
-      s"xor(sig, ${1 << p})")).mkString("[", ", ", "]")
+  }
+
+  /** The engine's [[lshProbeArray]] (bucket + hamming-1 flips) over
+    * column `sig`, as a DuckDB list expression. */
+  private[graft] def lshProbeListSql: String =
+    ("sig" +: (0 until LshPlanes).map(p => s"xor(sig, ${1 << p})"))
+      .mkString("[", ", ", "]")
+
+  /** Two-tier CTE mirror of [[blockedKnn]] at `k`: exact pairs for
+    * label blocks ≤ `maxBlock`, the d15-proven hyperplane route above
+    * — the referee the 25× runs lacked for d05/s14 (and, via the s15
+    * chain, everything built on the kNN graph). Ends at
+    * `knn2t(vec_id, nn_id, cos, rk)`; pre-stripped, no margin pipes.
+    * At oracle-checked SFs every block is under the ceiling, so the
+    * big tier is empty and the text is value-equivalent to the old
+    * exact-only mirror. */
+  private[graft] def blockedKnnOracleCtes(k: Int, maxBlock: Long): String = {
+    val cosAB = "round(list_cosine_similarity(CAST(a.embedding AS " +
+      "DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4)"
+    s"""bsized AS MATERIALIZED (
+       |  SELECT e.vec_id, e.label, e.embedding, c.n AS __bn
+       |  FROM embeddings e JOIN (
+       |    SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label) c
+       |    ON e.label = c.label),
+       |knn_small AS (
+       |  SELECT vec_id, nn_id, cos, rk FROM (
+       |    SELECT a.vec_id, b.vec_id AS nn_id, $cosAB AS cos,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |        ORDER BY $cosAB DESC, b.vec_id) AS rk
+       |    FROM bsized a JOIN bsized b
+       |      ON a.label = b.label AND a.vec_id <> b.vec_id
+       |    WHERE a.__bn <= $maxBlock) t
+       |  WHERE rk <= $k),
+       |bsig AS MATERIALIZED (
+       |  SELECT vec_id, label, embedding,
+       |    $lshSigSqlExpr AS sig
+       |  FROM bsized WHERE __bn > $maxBlock),
+       |bprobe AS (
+       |  SELECT vec_id, label, embedding,
+       |    unnest($lshProbeListSql) AS bucket
+       |  FROM bsig),
+       |knn_big AS (
+       |  SELECT vec_id, nn_id, cos, rk FROM (
+       |    SELECT a.vec_id, b.vec_id AS nn_id, $cosAB AS cos,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |        ORDER BY $cosAB DESC, b.vec_id) AS rk
+       |    FROM bprobe a JOIN bsig b
+       |      ON b.label = a.label AND b.sig = a.bucket
+       |      AND b.vec_id <> a.vec_id) t
+       |  WHERE rk <= $k),
+       |knn2t AS MATERIALIZED (
+       |  SELECT * FROM knn_small UNION ALL SELECT * FROM knn_big)"""
+      .stripMargin
+  }
+
+  private[graft] def d15OracleSqlFor(maxBlock: Long): String = {
+    val sigExpr = lshSigSqlExpr
+    val probeList = lshProbeListSql
     s"""WITH sized AS MATERIALIZED (
        |  SELECT e.vec_id, e.label, e.embedding, c.n AS __n
        |  FROM embeddings e JOIN (
@@ -2156,17 +2219,8 @@ object Dedup {
          |GROUP BY id ORDER BY doc_id""".stripMargin,
     "d15_semantic_dedup" -> d15OracleSqlFor(D05MaxExactBlock),
     "d05_embedding_neardup" ->
-      """SELECT vec_id, nn_id, cos FROM (
-        |  SELECT a.vec_id, b.vec_id AS nn_id,
-        |    round(list_cosine_similarity(
-        |      CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4)
-        |      AS cos,
-        |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
-        |      ORDER BY round(list_cosine_similarity(
-        |        CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4)
-        |        DESC, b.vec_id) AS rk
-        |  FROM embeddings a JOIN embeddings b
-        |    ON a.label = b.label AND a.vec_id <> b.vec_id) t
-        |WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+      s"""WITH ${blockedKnnOracleCtes(1, D05MaxExactBlock)}
+         |SELECT vec_id, nn_id, cos FROM knn2t ORDER BY vec_id"""
+        .stripMargin,
   )
 }

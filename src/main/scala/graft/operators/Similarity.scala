@@ -1884,16 +1884,8 @@ object Similarity {
     * l0..lN rounds) as a WITH body — one source for the s15 and s17
     * oracles so a drifted copy cannot make them disagree. */
   private[graft] def lpaChainSql: String =
-    s"""knn AS MATERIALIZED (
-       |  SELECT vec_id, nn_id FROM (
-       |    SELECT a.vec_id, b.vec_id AS nn_id,
-       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
-       |        ORDER BY round(list_cosine_similarity(
-       |          CAST(a.embedding AS DOUBLE[]),
-       |          CAST(b.embedding AS DOUBLE[])), 4) DESC, b.vec_id) AS rk
-       |    FROM embeddings a JOIN embeddings b
-       |      ON a.label = b.label AND a.vec_id <> b.vec_id) t
-       |  WHERE rk <= $KnnGraphK),
+    s"""${Dedup.blockedKnnOracleCtes(KnnGraphK, Dedup.D05MaxExactBlock)},
+       |knn AS MATERIALIZED (SELECT vec_id, nn_id FROM knn2t),
        |edges AS MATERIALIZED (
        |  SELECT vec_id AS src, nn_id AS dst FROM knn
        |  UNION
@@ -1906,20 +1898,55 @@ object Similarity {
   /** [[lpaChainSql]] extended with the s17 domination CTEs (`com` =
     * final LPA labels, `dom` = per-victim min community dominator at
     * cosine ≥ τ) — shared by the s17 oracle and the p04 pipeline
-    * oracle so the keep rule cannot drift between them. */
+    * oracle so the keep rule cannot drift between them. The pair join
+    * is the two-tier [[Dedup.scopedDomination]] mirror with scope =
+    * community: exact for communities ≤ the ceiling, the d15-proven
+    * hyperplane route above — empty at oracle-checked SFs, the 25×
+    * referee otherwise. The ceiling is a parameter so the forced-tier
+    * harness ([[graft.DumpLshForced]]) builds its oracle from the
+    * same source (the d15OracleSqlFor convention). */
   private[graft] def lpaDomChainSql: String =
+    lpaDomChainSqlFor(S17MaxExactCommunity)
+
+  private[graft] def lpaDomChainSqlFor(maxExact: Long): String =
     s"""$lpaChainSql,
        |com AS MATERIALIZED (
        |  SELECT node AS vec_id, lbl AS community FROM l$LpaRounds),
-       |dom AS (
+       |csized AS MATERIALIZED (
+       |  SELECT e.vec_id, e.embedding, c.community, s.cn AS __cn
+       |  FROM embeddings e JOIN com c ON c.vec_id = e.vec_id
+       |  JOIN (SELECT community, COUNT(*) AS cn FROM com
+       |        GROUP BY community) s ON s.community = c.community),
+       |dom_small AS (
        |  SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS dominated_by
-       |  FROM embeddings a, com ca, embeddings b, com cb
-       |  WHERE ca.vec_id = a.vec_id AND cb.vec_id = b.vec_id
-       |    AND ca.community = cb.community AND a.vec_id < b.vec_id
+       |  FROM csized a JOIN csized b
+       |    ON a.community = b.community AND a.vec_id < b.vec_id
+       |  WHERE a.__cn <= $maxExact
        |    AND round(list_cosine_similarity(
        |      CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4)
        |      >= ${Dedup.D15Tau}
-       |  GROUP BY b.vec_id)""".stripMargin
+       |  GROUP BY b.vec_id),
+       |csig AS MATERIALIZED (
+       |  SELECT vec_id, community, embedding,
+       |    ${Dedup.lshSigSqlExpr} AS sig
+       |  FROM csized WHERE __cn > $maxExact),
+       |cprobe AS (
+       |  SELECT vec_id, community, embedding,
+       |    unnest(${Dedup.lshProbeListSql}) AS bucket
+       |  FROM csig),
+       |dom_big AS (
+       |  SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS dominated_by
+       |  FROM csig a JOIN cprobe b
+       |    ON a.community = b.community AND a.sig = b.bucket
+       |    AND a.vec_id < b.vec_id
+       |  WHERE round(list_cosine_similarity(
+       |      CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4)
+       |      >= ${Dedup.D15Tau}
+       |  GROUP BY b.vec_id),
+       |dom AS (
+       |  SELECT vec_id, MIN(dominated_by) AS dominated_by FROM (
+       |    SELECT * FROM dom_small UNION ALL SELECT * FROM dom_big)
+       |  GROUP BY vec_id)""".stripMargin
 
   /** One NN-descent round as SQL reading graph g{i-1} — the mirror of
     * nnDescent's loop body (capped reverse edges, symmetrized neighbor
@@ -2626,18 +2653,9 @@ object Similarity {
          |FROM com c LEFT JOIN dom USING (vec_id)
          |ORDER BY c.vec_id""".stripMargin,
     "s14_knn_graph" ->
-      s"""SELECT vec_id, nn_id, cos, rk FROM (
-         |  SELECT a.vec_id, b.vec_id AS nn_id,
-         |    round(list_cosine_similarity(
-         |      CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4)
-         |      AS cos,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
-         |      ORDER BY round(list_cosine_similarity(
-         |        CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4)
-         |        DESC, b.vec_id) AS INT) AS rk
-         |  FROM embeddings a JOIN embeddings b
-         |    ON a.label = b.label AND a.vec_id <> b.vec_id) t
-         |WHERE rk <= $KnnGraphK ORDER BY vec_id, rk""".stripMargin,
+      s"""WITH ${Dedup.blockedKnnOracleCtes(KnnGraphK, Dedup.D05MaxExactBlock)}
+         |SELECT vec_id, nn_id, cos, CAST(rk AS INT) AS rk FROM knn2t
+         |ORDER BY vec_id, rk""".stripMargin,
     "s01_ann_bruteforce" ->
       s"""SELECT q_id, vec_id, cos, rk FROM (
          |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,

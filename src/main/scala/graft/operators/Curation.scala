@@ -858,9 +858,14 @@ object Curation {
     */
   def p07_serving_pipeline: Q = (s, d) => {
     val kept = p06_epoch_build(s, d).select(col("doc_id")).distinct()
-    val slice = Tables.embeddings(s, d)
-      .join(kept.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"),
-        "left_semi")
+    // eager lineage cut: the slice is referenced by the fingerprint
+    // scan and every stage of the index build — uncut, each reference
+    // would clone p06's ENTIRE plan tree (measured: driver heap death
+    // at 8g from plan duplication, the d25/s20 loop trap in join form)
+    val slice = graft.CacheScope.checkpointed(
+      Tables.embeddings(s, d)
+        .join(kept.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"),
+          "left_semi"))
     val (cents, asg, entries, graph) =
       graft.sources.IndexStore.ensureCellIndex(s, s"${d}_p07", slice)
     Similarity.cellProbeSearchOn(cents, asg, entries, graph)

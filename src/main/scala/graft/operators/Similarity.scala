@@ -517,8 +517,25 @@ object Similarity {
         .select(col("src"), col("dst"))
     }
     val span2 = NdInitSpan.toLong * NdInitSpan
+    // geometry group: same-LSH-bucket vectors pair within ≤ NdInitSpan
+    // rank windows — the id groups alone are geometry-blind and on
+    // clustered corpora (near-dup clones at far-apart ids) never
+    // propose a node's true neighborhood; see cellIndex's init note
+    val sigT = e
+      .select(col("vec_id"),
+        Dedup.lshSignature(e.sparkSession, col("embedding")).as("sig"))
+      .withColumn("w", floor((row_number().over(
+        Window.partitionBy(col("sig")).orderBy(col("vec_id"))) - 1)
+        / NdInitSpan))
+    val sigPairs = sigT
+      .select(col("sig"), col("w"), col("vec_id").as("src"))
+      .join(sigT.select(col("sig"), col("w"), col("vec_id").as("dst")),
+        Seq("sig", "w"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
     val init = groupPairs(v => floor(v / NdInitSpan))
       .unionAll(groupPairs(v => v % NdInitSpan + floor(v / span2) * span2))
+      .unionAll(sigPairs)
       .distinct()
     ndRefine(mv, init, k, rounds)
       .select(col("src").as("vec_id"), col("rk"), col("dst").as("nn_id"),
@@ -634,8 +651,32 @@ object Similarity {
         .select(col("src"), col("dst"))
     }
     val span2 = NdInitSpan.toLong * NdInitSpan
+    // geometry group: vectors sharing a hyperplane-LSH bucket pair up
+    // within ≤ NdInitSpan rank windows (the digit-group cap applied to
+    // the RANK inside the bucket, so no bucket can go quadratic). The
+    // id groups are geometry-blind — on clustered corpora (near-dup
+    // clones with far-apart ids, the 100 TB norm) they never propose
+    // a node's true neighbors and the refinement rounds cannot invent
+    // them (measured: 10× clone corpus pinned serving recall at 0.26
+    // with the exact ceiling at 1.0). One LSH bucket per vector is
+    // already in the engine (the blockedKnn reroute tier); reusing it
+    // here makes the init geometry-aware at one extra map + window.
+    val sigT = e
+      .select(col("vec_id"),
+        Dedup.lshSignature(e.sparkSession, col("embedding")).as("sig"))
+      .join(asg.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .withColumn("w", floor((row_number().over(
+        Window.partitionBy(col("cell"), col("sig"))
+          .orderBy(col("vec_id"))) - 1) / NdInitSpan))
+    val sigPairs = sigT
+      .select(col("cell"), col("sig"), col("w"), col("vec_id").as("src"))
+      .join(sigT.select(col("cell"), col("sig"), col("w"),
+        col("vec_id").as("dst")), Seq("cell", "sig", "w"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
     val init = groupPairs(v => floor(v / NdInitSpan))
       .unionAll(groupPairs(v => v % NdInitSpan + floor(v / span2) * span2))
+      .unionAll(sigPairs)
       .distinct()
     val graph = ndRefine(asg.select(col("vec_id"), col("mv")), init, k, rounds)
       .join(asg.select(col("vec_id").as("src"), col("cell")), Seq("src"))
@@ -650,6 +691,13 @@ object Similarity {
         col("dst").as("nn_id"), col("d2"))
       .orderBy(col("vec_id"), col("rk"))
   }
+
+  /** Version of the graph/index builders, folded into every
+    * [[graft.sources.IndexStore]] fingerprint: an algorithm change
+    * (e.g. v2's geometry-aware init groups) must read as a stale
+    * artifact and force a rebuild — the corpus fingerprint alone
+    * cannot see builder changes. */
+  private[graft] val IndexBuilderVersion = 2
 
   /** Beam width per query per expansion round in [[s21_graph_search]]:
     * each round keeps the [[GsBeam]] exact-closest explored candidates
@@ -702,7 +750,7 @@ object Similarity {
   private[graft] def standingKnnGraph(s: SparkSession, d: String,
       tag: String, standing: DataFrame): DataFrame =
     graft.sources.IndexStore.ensureKnnGraph(s, s"${d}_$tag", standing,
-      params = s"k${NdK}r$NdRounds",
+      params = s"k${NdK}r${NdRounds}b$IndexBuilderVersion",
       build = c => nnDescent(c).select(col("vec_id").as("src"), col("rk"),
         col("nn_id").as("dst"), col("d2")))
 
@@ -833,9 +881,10 @@ object Similarity {
     * (the IVF "lists"), the per-cell medoid entry points, and the
     * symmetrized+bridged search graph.
     */
-  private[graft] def servingIndex(e: DataFrame)
+  private[graft] def servingIndex(e: DataFrame, nCells: Int = IvfNCells,
+      ndRounds: Int = NdRounds)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val (cents, asg, g) = cellIndex(e)
+    val (cents, asg, g) = cellIndex(e, nCells, rounds = ndRounds)
     val gdir = graft.CacheScope.checkpointed(
       g.select(col("cell"), col("src"), col("dst")))
     val gsym = gdir.unionAll(gdir.select(col("cell"),
@@ -885,7 +934,8 @@ object Similarity {
     * are read off the assignment table. */
   private[graft] def cellProbeSearchFor(q0: DataFrame, cents: DataFrame,
       asg: DataFrame, entries: DataFrame, graph: DataFrame,
-      nProbe: Int = S23NProbe, rounds: Int = GsRounds): DataFrame = {
+      nProbe: Int = S23NProbe, rounds: Int = GsRounds,
+      beamWidth: Int = GsBeam): DataFrame = {
     import graft.functions.VectorFunctions.milli_l2
     val q = q0.select(col("q_id"), col("q_mv"))
     // probe ranking: nProbe nearest cells by exact centroid distance
@@ -904,7 +954,7 @@ object Similarity {
         .join(broadcast(q), Seq("q_id"))
         .withColumn("d2", milli_l2(col("q_mv"), col("c_mv")))
         .withColumn("brk", row_number().over(w))
-        .filter(col("brk") <= GsBeam)
+        .filter(col("brk") <= beamWidth)
         .select(col("q_id"), col("cell"), col("cand"), col("d2"))
     }
     // entry beam: the medoid itself plus its out-neighbors. The beam
@@ -916,23 +966,33 @@ object Similarity {
       .join(graph, Seq("cell"))
       .filter(col("entry") === col("src"))
       .select(col("q_id"), col("cell"), col("dst").as("cand"))
+    // the beam traverses THROUGH the query's own node when it is in
+    // the corpus (d2 = 0 — it always survives the top-beam cut, and
+    // expanding its out-edges is the shortest path into its own
+    // neighborhood); self is excluded from the final RESULTS only.
+    // Filtering self from the beam looked harmless but is a
+    // reachability bug: an in-corpus query that is the min-id of its
+    // graph component IS that component's bridge target, so dropping
+    // it from the beam severs the only route in — measured at 10×
+    // (clone-cluster corpora) as recall pinned at 0.24 while the
+    // exact-within-probed-cells ceiling was 1.0.
     var beam = rescore(
       seed.select(col("q_id"), col("cell"), col("entry").as("cand"))
-        .unionAll(seedNbr)
-        .filter(col("cand") =!= col("q_id")).distinct())
+        .unionAll(seedNbr).distinct())
     for (_ <- 1 to rounds) {
       val bp = graft.CacheScope.checkpointed(
         beam.select(col("q_id"), col("cell"), col("cand")))
       val nb = broadcast(bp).join(graph,
           bp("cell") === graph("cell") && bp("cand") === graph("src"))
         .select(bp("q_id"), bp("cell"), graph("dst").as("cand"))
-      beam = rescore(
-        bp.unionAll(nb).filter(col("cand") =!= col("q_id")).distinct())
+      beam = rescore(bp.unionAll(nb).distinct())
     }
     // fuse: per-cell beams → one exact per-query top-K (cells are
-    // disjoint member sets, so no cross-cell duplicates exist)
+    // disjoint member sets, so no cross-cell duplicates exist); the
+    // query's own node leaves the running here
     val wf = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cand"))
-    beam.withColumn("rk", row_number().over(wf))
+    beam.filter(col("cand") =!= col("q_id"))
+      .withColumn("rk", row_number().over(wf))
       .filter(col("rk") <= K)
       .select(col("q_id"), col("rk"), col("cand").as("nn_id"), col("d2"))
       .orderBy(col("q_id"), col("rk"))
@@ -999,8 +1059,21 @@ object Similarity {
           col("vec_id").as("cand")), Seq("bkt"))
         .select(col("q_id"), col("cand"))
     val span2 = NdInitSpan.toLong * NdInitSpan
+    // geometry seeds: a delivery joins the standing vectors in its
+    // LSH bucket (cost ∝ collisions — the d05/d16 probe-join bound);
+    // the id seeds alone never reach a delivery's near-twins when ids
+    // are far apart, and the beam cannot recover what no seed proposes
+    val oldSig = e.filter(col("vec_id") % 5 =!= 0)
+      .select(col("vec_id").as("cand"),
+        Dedup.lshSignature(e.sparkSession, col("embedding")).as("sig"))
+    val delSig = e.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("q_id"),
+        Dedup.lshSignature(e.sparkSession, col("embedding")).as("sig"))
+    val sigSeeds = delSig.join(oldSig, Seq("sig"))
+      .select(col("q_id"), col("cand"))
     val seeds = seedPairs(v => floor(v / NdInitSpan))
       .unionAll(seedPairs(v => v % NdInitSpan + floor(v / span2) * span2))
+      .unionAll(sigSeeds)
       .distinct()
     def rescore(cand: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cand"))
@@ -1995,6 +2068,13 @@ object Similarity {
        |  SELECT vec_id, CAST(g - 1 AS INT) AS dim,
        |    CAST(floor(CAST(embedding[g] AS DOUBLE) * 1000) AS BIGINT) AS qv
        |  FROM $rel, unnest(generate_series(1, len(embedding))) u(g)),
+       |ndsig AS MATERIALIZED (
+       |  SELECT vec_id, sig,
+       |    (ROW_NUMBER() OVER (PARTITION BY sig ORDER BY vec_id) - 1)
+       |      // $NdInitSpan AS w
+       |  FROM (SELECT vec_id,
+       |    ${Dedup.lshSigSqlExpr} AS sig
+       |  FROM $rel)),
        |g0 AS MATERIALIZED (
        |  SELECT src, dst, d2, rn AS rk FROM (
        |    SELECT src, dst, d2,
@@ -2013,6 +2093,11 @@ object Similarity {
        |          ON a.vec_id % $NdInitSpan = b.vec_id % $NdInitSpan
        |          AND a.vec_id // ${NdInitSpan.toLong * NdInitSpan}
        |            = b.vec_id // ${NdInitSpan.toLong * NdInitSpan}
+       |          AND a.vec_id <> b.vec_id
+       |        UNION
+       |        SELECT a.vec_id AS src, b.vec_id AS dst
+       |        FROM ndsig a JOIN ndsig b
+       |          ON a.sig = b.sig AND a.w = b.w
        |          AND a.vec_id <> b.vec_id) c
        |      JOIN mv ma ON ma.vec_id = c.src
        |      JOIN mv mb ON mb.vec_id = c.dst AND mb.dim = ma.dim
@@ -2044,6 +2129,13 @@ object Similarity {
        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
        |    FROM af) WHERE rn = 1),
        |mv AS MATERIALIZED (SELECT vec_id, dim, qv FROM q),
+       |csig AS MATERIALIZED (
+       |  SELECT vec_id, cell, sig,
+       |    (ROW_NUMBER() OVER (PARTITION BY cell, sig ORDER BY vec_id) - 1)
+       |      // $NdInitSpan AS w
+       |  FROM (SELECT c.vec_id, c.cell,
+       |    ${Dedup.lshSigSqlExpr} AS sig
+       |  FROM cells c JOIN $rel ON embeddings.vec_id = c.vec_id)),
        |g0 AS MATERIALIZED (
        |  SELECT src, dst, d2, rn AS rk FROM (
        |    SELECT src, dst, d2,
@@ -2061,6 +2153,11 @@ object Similarity {
        |        FROM cells a JOIN cells b ON a.cell = b.cell
        |          AND a.vec_id % $NdInitSpan = b.vec_id % $NdInitSpan
        |          AND a.vec_id // $span2 = b.vec_id // $span2
+       |          AND a.vec_id <> b.vec_id
+       |        UNION
+       |        SELECT a.vec_id AS src, b.vec_id AS dst
+       |        FROM csig a JOIN csig b ON a.cell = b.cell
+       |          AND a.sig = b.sig AND a.w = b.w
        |          AND a.vec_id <> b.vec_id) c
        |      JOIN mv ma ON ma.vec_id = c.src
        |      JOIN mv mb ON mb.vec_id = c.dst AND mb.dim = ma.dim
@@ -2116,8 +2213,7 @@ object Similarity {
        |          UNION ALL
        |          SELECT b.q_id, b.cell, g.dst AS cand
        |          FROM cb${j - 1} b
-       |          JOIN grs g ON g.cell = b.cell AND g.src = b.cand)
-       |        WHERE cand <> q_id) c
+       |          JOIN grs g ON g.cell = b.cell AND g.src = b.cand)) c
        |      JOIN mv ma ON ma.vec_id = c.q_id
        |      JOIN mv mb ON mb.vec_id = c.cand AND mb.dim = ma.dim
        |      GROUP BY c.q_id, c.cell, c.cand))
@@ -2187,8 +2283,7 @@ object Similarity {
        |          UNION ALL
        |          SELECT p.q_id, p.cell, g.dst AS cand
        |          FROM probes p JOIN entries e ON e.cell = p.cell
-       |          JOIN grs g ON g.cell = p.cell AND g.src = e.entry)
-       |        WHERE cand <> q_id) c
+       |          JOIN grs g ON g.cell = p.cell AND g.src = e.entry)) c
        |      JOIN mv ma ON ma.vec_id = c.q_id
        |      JOIN mv mb ON mb.vec_id = c.cand AND mb.dim = ma.dim
        |      GROUP BY c.q_id, c.cell, c.cand))
@@ -2197,7 +2292,7 @@ object Similarity {
        |SELECT q_id, rk, cand AS nn_id, d2 FROM (
        |  SELECT q_id, cand, d2,
        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, cand) AS rk
-       |  FROM cb$GsRounds)
+       |  FROM cb$GsRounds WHERE cand <> q_id)
        |WHERE rk <= $K ORDER BY q_id, rk""".stripMargin
 
   /** One s24 beam round as SQL reading beam db{j-1} over the standing
@@ -2238,6 +2333,10 @@ object Similarity {
        |    CAST(floor(CAST(embedding[g] AS DOUBLE) * 1000) AS BIGINT) AS qv
        |  FROM embeddings, unnest(generate_series(1, len(embedding))) u(g)
        |  WHERE vec_id % 5 = 0),
+       |dsig AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    ${Dedup.lshSigSqlExpr} AS sig
+       |  FROM embeddings WHERE vec_id % 5 = 0),
        |db0 AS MATERIALIZED (
        |  SELECT q_id, cand, d2, rn AS rk FROM (
        |    SELECT q_id, cand, d2,
@@ -2256,7 +2355,10 @@ object Similarity {
        |          FROM embeddings d JOIN old o
        |            ON d.vec_id % $NdInitSpan = o.vec_id % $NdInitSpan
        |            AND d.vec_id // $span2 = o.vec_id // $span2
-       |          WHERE d.vec_id % 5 = 0)) c
+       |          WHERE d.vec_id % 5 = 0
+       |          UNION ALL
+       |          SELECT d.vec_id, o.vec_id
+       |          FROM dsig d JOIN ndsig o ON o.sig = d.sig)) c
        |      JOIN mvd ma ON ma.vec_id = c.q_id
        |      JOIN mv mb ON mb.vec_id = c.cand AND mb.dim = ma.dim
        |      GROUP BY c.q_id, c.cand))

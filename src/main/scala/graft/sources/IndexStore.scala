@@ -141,7 +141,10 @@ object IndexStore {
       e: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val key = corpusDir.replaceAll("[^A-Za-z0-9._-]", "_")
     val dir = s"$root/$key"
-    val fp = corpusFingerprint(e)
+    // builder version folded in: a servingIndex algorithm change must
+    // invalidate every saved artifact, not silently serve a v1 index
+    val fp = s"${corpusFingerprint(e)}_b" +
+      graft.operators.Similarity.IndexBuilderVersion
     if (fp.startsWith("0_"))
       return graft.operators.Similarity.servingIndex(e)
     if (!readMeta(spark, dir).contains(fp)) {

@@ -22,13 +22,47 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Relational.queries ++
-      operators.Relational2.queries ++
-      operators.Curation.queries ++
-      operators.Dedup.queries ++
-      operators.Similarity.queries ++
-      operators.TextAnalysis.queries ++
-      operators.Multimodal.queries
+    dimGuarded(
+      operators.Relational.queries ++
+        operators.Relational2.queries ++
+        operators.Curation.queries ++
+        operators.Dedup.queries ++
+        operators.Similarity.queries ++
+        operators.TextAnalysis.queries ++
+        operators.Multimodal.queries,
+      oracleSql)
+
+  /** Wraps every suite entry whose ORACLE text embeds the committed
+    * hyperplane-LSH plane literals (generated at
+    * [[graft.operators.Dedup.OracleEmbeddingDim]] — detected by their
+    * `list_dot_product` mirror, which appears in oracle SQL only via
+    * `lshSigSqlExpr`) with a loud dim check: on a corpus configured
+    * with a different `spark.graft.embedding.dim` the ENGINE hashes
+    * with one plane matrix and the static oracle text with another,
+    * so the two sides would value-diverge silently instead of
+    * failing at the source. One seam, so a future entry that embeds
+    * the mirror is guarded automatically. The engine APIs themselves
+    * (lshSignature and everything built on it) stay dim-generic —
+    * only the oracle-compared suite surface pins the fixture width. */
+  private def dimGuarded(
+      qs: Map[String, (SparkSession, String) => DataFrame],
+      os: Map[String, String])
+      : Map[String, (SparkSession, String) => DataFrame] =
+    qs.map { case (name, f) =>
+      if (os.get(name).exists(_.contains("list_dot_product(")))
+        name -> { (s: SparkSession, d: String) =>
+          val dim = Tables.embeddingDim(s)
+          require(dim == operators.Dedup.OracleEmbeddingDim,
+            s"$name: spark.graft.embedding.dim=$dim but the committed " +
+              "oracle's LSH plane literals were generated at " +
+              s"${operators.Dedup.OracleEmbeddingDim} dims — the engine and " +
+              "the oracle would hash with different plane matrices and " +
+              "silently value-diverge; call the library API directly for " +
+              "non-fixture widths")
+          f(s, d)
+        }
+      else name -> f
+    }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for ops whose hashing/sketching

@@ -867,7 +867,8 @@ object Curation {
         .join(kept.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"),
           "left_semi"))
     val (cents, asg, entries, graph) =
-      graft.sources.IndexStore.ensureCellIndex(s, s"${d}_p07", slice)
+      graft.sources.IndexStore.ensureCellIndex(s, s"${d}_p07", slice,
+        nCells = Similarity.IvfNCells) // oracle fixture sizing — pinned
     Similarity.cellProbeSearchOn(cents, asg, entries, graph)
   }
 

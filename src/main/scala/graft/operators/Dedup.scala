@@ -1503,11 +1503,14 @@ object Dedup {
     * min-id rule (the best-connected copy is usually the cleanest).
     *
     * Scale: the degree-annotated symmetric edge list is built once
-    * (persisted — one consumer per round); the FIXED round count
-    * means no convergence probe ever re-executes the chain, so the
-    * rounds stay one lazy declarative plan (k chained shuffles in a
-    * single job) — no per-round materialization. An unbounded /
-    * probed loop would need d09's CacheScope.cut discipline instead.
+    * (persisted — one consumer per round); each round exchanges only
+    * the node-sized rank table. The loop cuts lineage every SECOND
+    * round: the round-12 probe timed the three disciplines at sf0.1
+    * (best-of-2, warm JVM) — fully-lazy 5-round chain 11.1 s,
+    * cut-every-round 8.8 s, cut-every-2-rounds 8.6 s (the pair
+    * producer alone is 2.9 s) — the deep lazy plan costs MORE than
+    * the per-cut materialization here, and halving the cut count
+    * keeps the win without paying 5 materializations.
     */
   def d25_pair_rank: Q = (s, d) =>
     pairRank(ngramJaccardPairs(Tables.documents(s, d)))
@@ -1530,13 +1533,17 @@ object Dedup {
       sym.join(deg, Seq("src")).repartition(col("src")))
     var ranks = deg.select(col("src").as("node"))
       .withColumn("rk", lit(1000000L))
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       ranks = ed.join(ranks.hint("shuffle_hash"), ed("src") === ranks("node"))
         .groupBy(col("dst"))
         .agg((lit(150000L) +
           sum(call_function("div", col("rk") * 17L, col("deg") * 20L)))
           .as("rk"))
         .select(col("dst").as("node"), col("rk"))
+      // two-round batched lineage cuts — measured fastest (see the
+      // scaladoc); the final round stays lazy for the consumer join
+      if (r % 2 == 0 && r < rounds)
+        ranks = graft.CacheScope.checkpointed(ranks)
     }
     ranks.join(deg, ranks("node") === deg("src"))
       .select(col("node").as("doc_id"), col("deg"),

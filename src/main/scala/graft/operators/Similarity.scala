@@ -783,20 +783,33 @@ object Similarity {
         .filter(col("rk") <= GsBeam)
         .select(col("q_id"), col("cand"), col("d2"), col("rk"))
     }
-    // entry beam: the query node's own out-neighbors (in-corpus
-    // queries enter at themselves; nnDescent emits no self edges)
+    // entry beam: the query's own node plus its out-neighbors. The
+    // beam traverses THROUGH self (d2 = 0 — it always survives the
+    // top-beam cut, and expanding its out-edges is the shortest route
+    // back into its own neighborhood when a detour leaves it); self
+    // leaves the running at the final fuse only. Filtering self
+    // MID-beam is the reachability defect cellProbeSearchFor fixed:
+    // any candidate whose best route runs through the query node
+    // loses that route, and refinement cannot re-propose what the
+    // filter dropped.
     var beam = rescore(
-      q.select(col("q_id")).join(g, col("q_id") === col("src"))
-        .select(col("q_id"), col("dst").as("cand")))
+      q.select(col("q_id"), col("q_id").as("cand"))
+        .unionAll(q.select(col("q_id")).join(g, col("q_id") === col("src"))
+          .select(col("q_id"), col("dst").as("cand")))
+        .distinct())
     for (_ <- 1 to rounds) {
       val bp = graft.CacheScope.checkpointed(
         beam.select(col("q_id"), col("cand")))
       val nb = bp.join(g, bp("cand") === g("src"))
         .select(col("q_id"), g("dst").as("cand"))
-      beam = rescore(
-        bp.unionAll(nb).filter(col("cand") =!= col("q_id")).distinct())
+      beam = rescore(bp.unionAll(nb).distinct())
     }
-    beam.filter(col("rk") <= K)
+    // fuse: self exits here, ranks recomputed over the survivors
+    val wf = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cand"))
+    beam.filter(col("cand") =!= col("q_id"))
+      .select(col("q_id"), col("cand"), col("d2"))
+      .withColumn("rk", row_number().over(wf))
+      .filter(col("rk") <= K)
       .select(col("q_id"), col("rk"), col("cand").as("nn_id"), col("d2"))
       .orderBy(col("q_id"), col("rk"))
   }
@@ -838,7 +851,9 @@ object Similarity {
     * scanned.
     */
   def s23_cell_search: Q = (s, d) =>
-    cellProbeSearch(Tables.embeddings(s, d))
+    // the fixture sizing is part of the committed oracle (its Lloyd
+    // CTEs carry the cell count as literals) — pinned, not defaulted
+    cellProbeSearch(Tables.embeddings(s, d), nCells = IvfNCells)
 
   /** s25 — [[s23_cell_search]] served from the STANDING index: the
     * query path consumes the saved artifact
@@ -856,7 +871,8 @@ object Similarity {
   def s25_standing_search: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
     val (cents, asg, entries, graph) =
-      graft.sources.IndexStore.ensureCellIndex(s, d, e)
+      graft.sources.IndexStore.ensureCellIndex(s, d, e,
+        nCells = IvfNCells) // the oracle's fixture sizing — pinned
     cellProbeSearchOn(cents, asg, entries, graph)
   }
 
@@ -881,10 +897,43 @@ object Similarity {
     * (the IVF "lists"), the per-cell medoid entry points, and the
     * symmetrized+bridged search graph.
     */
-  private[graft] def servingIndex(e: DataFrame, nCells: Int = IvfNCells,
+  /** Default serving-cell count for an n-vector corpus: the standard
+    * IVF ncells ∝ √n sizing (per-cell population ≈ √n too, so the
+    * |q|·ncells probe ranking and the per-cell graph work stay
+    * balanced as the corpus grows), ⌈√n⌉ rounded UP to a multiple of
+    * [[IvfNCells]] and floored at [[IvfNCells]]. Measured on the 10×
+    * clone corpus (SERVECURVE.md): the previously-pinned 16 cells held
+    * serving recall at 0.50 while √n-sized cells reach 0.73 at the
+    * same probed fraction — cell POPULATION, not probe count, was the
+    * binding knob. Capped at 2¹⁸ cells so the centroid table stays
+    * comfortably broadcastable at any corpus size (2¹⁸ × 64 longs ≈
+    * 134 MB). The suite entries PIN [[IvfNCells]] instead — their
+    * committed oracles' Lloyd CTEs carry the cell count as literals,
+    * so the fixture sizing is part of the oracle contract. */
+  private[graft] def servingNCells(n: Long): Int = {
+    val r = math.ceil(math.sqrt(math.max(n, 1L).toDouble)).toLong
+    val up = ((r + IvfNCells - 1) / IvfNCells) * IvfNCells
+    math.min(math.max(IvfNCells.toLong, up), 1L << 18).toInt
+  }
+
+  /** Query-time beam width for the cell-probed serving path: explicit
+    * argument (> 0) wins, else the session conf
+    * `spark.graft.ann.beamWidth`, else [[GsBeam]]. The second
+    * query-time recall lever next to nprobe — SERVECURVE.md's 10×
+    * sweep prices it (wider beam = more exact distance evaluations
+    * per probed cell, no index change). */
+  private[graft] def beamWidthOf(s: SparkSession, explicit: Int = -1): Int =
+    if (explicit > 0) explicit
+    else s.conf.get("spark.graft.ann.beamWidth", GsBeam.toString).toInt
+
+  private[graft] def servingIndex(e: DataFrame, nCells: Int = -1,
       ndRounds: Int = NdRounds)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val (cents, asg, g) = cellIndex(e, nCells, rounds = ndRounds)
+    // -1 = the √n default (one count job); callers that already know
+    // the corpus size (ensureCellIndex parses it off the fingerprint)
+    // or pin the fixture sizing pass an explicit count
+    val nc = if (nCells > 0) nCells else servingNCells(e.count())
+    val (cents, asg, g) = cellIndex(e, nc, rounds = ndRounds)
     val gdir = graft.CacheScope.checkpointed(
       g.select(col("cell"), col("src"), col("dst")))
     val gsym = gdir.unionAll(gdir.select(col("cell"),
@@ -910,8 +959,9 @@ object Similarity {
   }
 
   private[graft] def cellProbeSearch(e: DataFrame,
-      nProbe: Int = S23NProbe, rounds: Int = GsRounds): DataFrame = {
-    val (cents, asg, entries, graph) = servingIndex(e)
+      nProbe: Int = S23NProbe, rounds: Int = GsRounds,
+      nCells: Int = -1): DataFrame = {
+    val (cents, asg, entries, graph) = servingIndex(e, nCells)
     cellProbeSearchOn(cents, asg, entries, graph, nProbe, rounds)
   }
 
@@ -931,12 +981,25 @@ object Similarity {
     * milli vectors that need not live in the corpus (the streaming
     * serve path hands each micro-batch here). Identical arithmetic;
     * the in-corpus suite path is the special case where the queries
-    * are read off the assignment table. */
+    * are read off the assignment table.
+    *
+    * `selfIsInCorpus` controls the final self-exclusion: when the
+    * q_ids ARE corpus vec_ids (the suite/batch convention), the
+    * query's own node is dropped from the results (it would always
+    * win at d2 = 0). When the queries come from an EXTERNAL id
+    * namespace, a q_id can NUMERICALLY collide with an unrelated
+    * corpus vec_id — both are dense longs from 0 — and the same
+    * filter would silently erase that vector from the query's top-K;
+    * external callers pass false and keep every corpus candidate. */
   private[graft] def cellProbeSearchFor(q0: DataFrame, cents: DataFrame,
       asg: DataFrame, entries: DataFrame, graph: DataFrame,
       nProbe: Int = S23NProbe, rounds: Int = GsRounds,
-      beamWidth: Int = GsBeam): DataFrame = {
+      beamWidth: Int = -1, selfIsInCorpus: Boolean = true): DataFrame = {
     import graft.functions.VectorFunctions.milli_l2
+    // -1 = session-resolved (`spark.graft.ann.beamWidth`, else GsBeam)
+    // so every serving consumer — s23/s25/p07/the streaming serve —
+    // honors the query-time knob without a signature change
+    val bw = beamWidthOf(q0.sparkSession, beamWidth)
     val q = q0.select(col("q_id"), col("q_mv"))
     // probe ranking: nProbe nearest cells by exact centroid distance
     val wp = Window.partitionBy(col("q_id")).orderBy(col("cd"), col("j"))
@@ -954,7 +1017,7 @@ object Similarity {
         .join(broadcast(q), Seq("q_id"))
         .withColumn("d2", milli_l2(col("q_mv"), col("c_mv")))
         .withColumn("brk", row_number().over(w))
-        .filter(col("brk") <= beamWidth)
+        .filter(col("brk") <= bw)
         .select(col("q_id"), col("cell"), col("cand"), col("d2"))
     }
     // entry beam: the medoid itself plus its out-neighbors. The beam
@@ -989,9 +1052,10 @@ object Similarity {
     }
     // fuse: per-cell beams → one exact per-query top-K (cells are
     // disjoint member sets, so no cross-cell duplicates exist); the
-    // query's own node leaves the running here
+    // query's own node leaves the running here — but ONLY when the
+    // query ids live in the corpus namespace (see the doc comment)
     val wf = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cand"))
-    beam.filter(col("cand") =!= col("q_id"))
+    (if (selfIsInCorpus) beam.filter(col("cand") =!= col("q_id")) else beam)
       .withColumn("rk", row_number().over(wf))
       .filter(col("rk") <= K)
       .select(col("q_id"), col("rk"), col("cand").as("nn_id"), col("d2"))
@@ -1162,7 +1226,8 @@ object Similarity {
     val e = Tables.embeddings(s, d)
     val standing = e.filter(col("vec_id") % 5 =!= 0)
     val (cents, asg, _, _) =
-      graft.sources.IndexStore.ensureCellIndex(s, s"${d}_m5cell", standing)
+      graft.sources.IndexStore.ensureCellIndex(s, s"${d}_m5cell", standing,
+        nCells = IvfNCells) // the oracle's fixture sizing — pinned
     indexHealth(cents, asg, e.filter(col("vec_id") % 5 === 0))
   }
 
@@ -1219,6 +1284,77 @@ object Similarity {
         col("load_permille"), col("mean_d2_build"), col("mean_d2_now"),
         col("max_d2_now"), col("rebuild"))
       .orderBy(col("cell"))
+  }
+
+  /** The ACT half of the [[s26_index_health]] story — audit, then
+    * refresh when the audit says so. Resolves the standing artifact
+    * at `key` (fingerprint-gated load-or-build, `nCells` pinned or
+    * √n-defaulted like every ensure path), runs the deterministic
+    * [[indexHealth]] audit against `delivery`, and when ANY cell
+    * trips, re-trains the serving index on standing ∪ delivery and
+    * SWAPS the artifact at the same key — inheriting
+    * [[graft.sources.IndexStore.saveCellIndex]]'s delete-first/
+    * write-last crash discipline, so a crash mid-swap reads as a
+    * fingerprint miss, never a mixed serve. A live
+    * [[graft.streaming.EventStreams.annServeStream]] watching the
+    * same key picks the refreshed index up on its next micro-batch
+    * (one meta read). Returns (refreshed?, the index to serve).
+    *
+    * Scale shape: the audit is s26's one-pass bookkeeping; the trip
+    * test pulls ONE boolean off a ≤ nCells-row frame; the rebuild is
+    * the same batch index job the artifact came from, over the
+    * absorbed corpus. Nothing new shuffles, nothing is pair-joined.
+    */
+  private[graft] def refreshIfNeeded(s: SparkSession, key: String,
+      standing: DataFrame, delivery: DataFrame, nCells: Int = -1)
+      : (Boolean, (DataFrame, DataFrame, DataFrame, DataFrame)) = {
+    val idx = graft.sources.IndexStore.ensureCellIndex(s, key, standing,
+      nCells)
+    val tripped = indexHealth(idx._1, idx._2, delivery)
+      .filter(col("rebuild")).limit(1).count() > 0
+    if (!tripped) (false, idx)
+    else {
+      // absorbed corpus: standing ∪ delivery, embeddings widened to
+      // double so a transformed delivery (the drift case) unions
+      // cleanly with a float-typed standing slice
+      def wide(f: DataFrame) = f.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("embedding"))
+      (true, graft.sources.IndexStore.ensureCellIndex(s, key,
+        wide(standing).unionByName(wide(delivery)), nCells))
+    }
+  }
+
+  /** s27 — the composed absorb → audit → rebuild → serve chain, the
+    * refresh loop [[s26_index_health]]'s trigger feeds. The standing
+    * index is built on the %5 standing slice; the delivery is the %5
+    * slice DRIFTED (+0.5 in every dimension — a new-data distribution
+    * the stale centroids mis-serve, the realistic refresh trigger;
+    * the undisturbed delivery is spec-pinned NOT to trip). The audit
+    * fires on the drifted mean distance, [[refreshIfNeeded]] re-trains
+    * on standing ∪ delivery and swaps the artifact, and the output is
+    * the s23 query path over the REFRESHED index. The oracle is the
+    * s23 stack re-targeted at the absorbed corpus — it hash-matches
+    * ONLY IF the trigger fired and the refresh swapped (a no-trip run
+    * would serve the standing-only index and value-diverge), so the
+    * whole composition sits under one hash check at every SF; the
+    * engine additionally fails loudly if the trip did not happen.
+    *
+    * Scale shape: [[refreshIfNeeded]]'s (audit = one pass; rebuild =
+    * the batch index job) + s23's bounded probe work. */
+  def s27_index_refresh: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val standing = e.filter(col("vec_id") % 5 =!= 0)
+    val delivery = e.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => x.cast(DoubleType) + lit(0.5)).as("embedding"))
+    val (refreshed, (cents, asg, entries, graph)) =
+      refreshIfNeeded(s, s"${d}_m5ref", standing, delivery,
+        nCells = IvfNCells) // the oracle's fixture sizing — pinned
+    // a silent no-trip must not serve a green-looking stale result
+    // (an EMPTY corpus legitimately has nothing to trip or serve)
+    require(refreshed || delivery.isEmpty,
+      "s27_index_refresh: the drifted delivery failed to trip the audit")
+    cellProbeSearchOn(cents, asg, entries, graph)
   }
 
   /** s06 — int8 scalar quantization of the embedding column with an
@@ -1808,6 +1944,7 @@ object Similarity {
     "s24_incremental_graph" -> s24_incremental_graph,
     "s25_standing_search" -> s25_standing_search,
     "s26_index_health" -> s26_index_health,
+    "s27_index_refresh" -> s27_index_refresh,
     "s13_hybrid_rrf" -> s13_hybrid_rrf,
     "s14_knn_graph" -> s14_knn_graph,
     "s11_mmr" -> s11_mmr,
@@ -2453,8 +2590,10 @@ object Similarity {
 
   /** One s21 beam round as SQL reading beam b{j-1} over graph gr —
     * the mirror of graphSearch's loop body (expand the beam's graph
-    * neighbors, drop the query itself, exact milli-L2 re-rank to the
-    * best [[GsBeam]]). Pre-stripped like [[ndRoundCte]]. */
+    * neighbors, exact milli-L2 re-rank to the best [[GsBeam]]). The
+    * beam traverses THROUGH the query's own node, exactly like the
+    * engine; self exits at the final fuse only. Pre-stripped like
+    * [[ndRoundCte]]. */
   private def gsRoundCte(j: Int): String =
     s"""b$j AS MATERIALIZED (
        |  SELECT q_id, cand, d2, rn AS rk FROM (
@@ -2468,8 +2607,7 @@ object Similarity {
        |          SELECT q_id, cand FROM b${j - 1}
        |          UNION ALL
        |          SELECT b.q_id, g.dst AS cand
-       |          FROM b${j - 1} b JOIN gr g ON g.src = b.cand)
-       |        WHERE cand <> q_id) c
+       |          FROM b${j - 1} b JOIN gr g ON g.src = b.cand)) c
        |      JOIN mv ma ON ma.vec_id = c.q_id
        |      JOIN mv mb ON mb.vec_id = c.cand AND mb.dim = ma.dim
        |      GROUP BY c.q_id, c.cand))
@@ -2488,15 +2626,21 @@ object Similarity {
        |      SELECT c.q_id, c.cand,
        |        CAST(SUM((ma.qv - mb.qv) * (ma.qv - mb.qv)) AS BIGINT) AS d2
        |      FROM (
-       |        SELECT q.q_id, g.dst AS cand
-       |        FROM q JOIN gr g ON g.src = q.q_id) c
+       |        SELECT DISTINCT q_id, cand FROM (
+       |          SELECT q_id, q_id AS cand FROM q
+       |          UNION ALL
+       |          SELECT q.q_id, g.dst AS cand
+       |          FROM q JOIN gr g ON g.src = q.q_id)) c
        |      JOIN mv ma ON ma.vec_id = c.q_id
        |      JOIN mv mb ON mb.vec_id = c.cand AND mb.dim = ma.dim
        |      GROUP BY c.q_id, c.cand))
        |  WHERE rn <= $GsBeam),
        |${(1 to GsRounds).map(gsRoundCte).mkString(",\n")}
-       |SELECT q_id, rk, cand AS nn_id, d2
-       |FROM b$GsRounds WHERE rk <= $K ORDER BY q_id, rk""".stripMargin
+       |SELECT q_id, rk, cand AS nn_id, d2 FROM (
+       |  SELECT q_id, cand, d2,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, cand) AS rk
+       |  FROM b$GsRounds WHERE cand <> q_id)
+       |WHERE rk <= $K ORDER BY q_id, rk""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "s20_nn_descent" -> s20OracleSql,
@@ -2509,6 +2653,17 @@ object Similarity {
     // save/load/serve fails the hash compare
     "s25_standing_search" -> s23OracleSql,
     "s26_index_health" -> s26OracleSql,
+    // the s23 stack re-targeted at the ABSORBED corpus (standing ∪
+    // the +0.5-drifted delivery): hash-matches only if the engine's
+    // audit tripped and the refresh actually swapped the artifact
+    "s27_index_refresh" -> s23OracleSqlOn(
+      """(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+        |   FROM embeddings WHERE vec_id % 5 <> 0
+        |   UNION ALL
+        |   SELECT vec_id,
+        |     list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.5)
+        |   FROM embeddings WHERE vec_id % 5 = 0) embeddings"""
+        .stripMargin),
     "s11_mmr" -> s11OracleSql,
     "s12_drift" ->
       """WITH x AS (

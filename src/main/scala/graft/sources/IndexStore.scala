@@ -73,6 +73,19 @@ object IndexStore {
     try out.write(fingerprint.getBytes("UTF-8")) finally out.close()
   }
 
+  /** The artifact directory [[ensureCellIndex]] keys `corpusDir` to —
+    * exposed so long-lived consumers (the streaming serve path) can
+    * watch the SAME location for a refreshed artifact. */
+  def cellIndexDir(corpusDir: String): String =
+    s"$root/${corpusDir.replaceAll("[^A-Za-z0-9._-]", "_")}"
+
+  /** The fingerprint the artifact at `dir` currently serves (None when
+    * absent/unreadable). One tiny file read — cheap enough to poll
+    * per micro-batch; a changed value means a refresh swapped the
+    * index and the consumer should [[loadCellIndex]] again. */
+  def currentMeta(spark: SparkSession, dir: String): Option[String] =
+    readMeta(spark, dir)
+
   private def readMeta(spark: SparkSession, dir: String): Option[String] =
     // ANY unreadable meta (absent, truncated, checksum-corrupt) is a
     // fingerprint miss: the caller rebuilds and rewrites — a damaged
@@ -137,19 +150,33 @@ object IndexStore {
     * the returned frames are the artifact either way. An EMPTY corpus
     * never persists (empty partitioned writes produce no readable
     * files); it returns the builder's frames directly. */
+  /** `nCells` ≤ 0 resolves to the √n serving default
+    * ([[graft.operators.Similarity.servingNCells]], computed off the
+    * row count the fingerprint scan already paid for); the suite
+    * entries pin their fixture sizing instead (their committed
+    * oracles carry the cell count as Lloyd-CTE literals). The
+    * RESOLVED count is folded into the fingerprint, so a knob change
+    * — or corpus growth moving the √n default — busts the artifact
+    * instead of silently serving the stale layout. */
   def ensureCellIndex(spark: SparkSession, corpusDir: String,
-      e: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val key = corpusDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val dir = s"$root/$key"
+      e: DataFrame, nCells: Int = -1)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val dir = cellIndexDir(corpusDir)
+    val corpusFp = corpusFingerprint(e)
+    if (corpusFp.startsWith("0_"))
+      return graft.operators.Similarity.servingIndex(e,
+        if (nCells > 0) nCells else graft.operators.Similarity.IvfNCells)
+    val nc =
+      if (nCells > 0) nCells
+      else graft.operators.Similarity.servingNCells(
+        corpusFp.takeWhile(_ != '_').toLong)
     // builder version folded in: a servingIndex algorithm change must
     // invalidate every saved artifact, not silently serve a v1 index
-    val fp = s"${corpusFingerprint(e)}_b" +
-      graft.operators.Similarity.IndexBuilderVersion
-    if (fp.startsWith("0_"))
-      return graft.operators.Similarity.servingIndex(e)
+    val fp = s"${corpusFp}_b" +
+      graft.operators.Similarity.IndexBuilderVersion + s"_c$nc"
     if (!readMeta(spark, dir).contains(fp)) {
       val (cents, asg, entries, graph) =
-        graft.operators.Similarity.servingIndex(e)
+        graft.operators.Similarity.servingIndex(e, nc)
       saveCellIndex(spark, dir, fp, cents, asg, entries, graph)
     }
     loadCellIndex(spark, dir)
@@ -172,7 +199,14 @@ object IndexStore {
       params: String, build: DataFrame => DataFrame,
       buckets: Int = 32): DataFrame = {
     val safe = key.replaceAll("[^A-Za-z0-9_]", "_").toLowerCase
-    val table = s"graft_knn_$safe"
+    // the table name carries a tag of THIS root: the meta lives under
+    // `root` (mutable — tests re-point it) while the catalog table is
+    // globally named in the session warehouse, so without the tag a
+    // meta hit under one root could pair with a table last built
+    // under a DIFFERENT root for a different corpus state and serve a
+    // stale graph with no rebuild. Tagged, each root owns its tables.
+    val rootTag = f"${root.hashCode & 0x7fffffff}%08x"
+    val table = s"graft_knn_${rootTag}_$safe"
     val metaDir = s"$root/knn_$safe"
     val fp = s"${corpusFingerprint(standing)}_$params"
     if (fp.startsWith("0_")) return build(standing)

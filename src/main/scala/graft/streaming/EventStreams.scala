@@ -459,13 +459,20 @@ object EventStreams {
   /** Streaming ANN serve — the query-side leg of the standing-index
     * story: vectors arriving as a stream are answered against the
     * SAVED s25 serving index ([[graft.sources.IndexStore
-    * .ensureCellIndex]], resolved once at stream construction), each
+    * .ensureCellIndex]], resolved at stream construction and
+    * re-checked per batch via one meta read, so a refresh that swaps
+    * the artifact is picked up by the next micro-batch), each
     * micro-batch running the exact s23 probe-rank + per-cell beam +
     * fuse over the artifact and handing the per-query top-K to `sink`
     * with the batch id. The arithmetic is
     * [[graft.operators.Similarity.cellProbeSearchFor]]'s bit for bit,
     * so a replayed query batch reproduces the batch s25 rows
-    * (StreamingSpec pins the parity).
+    * (StreamingSpec pins the parity). `sink` must consume its frame
+    * EAGERLY (collect or write before returning): the batch's beam
+    * checkpoints are released the moment it returns. Queries from an
+    * EXTERNAL id namespace (ids that are not corpus vec_ids) pass
+    * `selfIsInCorpus = false` so a numeric id collision cannot erase
+    * a corpus vector from its top-K.
     *
     * State/scale: the same zero-streaming-state foreachBatch seam as
     * the drift gates — per batch the search runs in batch land over
@@ -476,23 +483,48 @@ object EventStreams {
     * query-router shape: each micro-batch costs |batch|·beam·(k+1)
     * exact distance evaluations and never scans the corpus. */
   def annServeStream(queries: DataFrame, corpusDir: String,
-      corpus: DataFrame)(sink: (Long, DataFrame) => Unit)
+      corpus: DataFrame, selfIsInCorpus: Boolean = true,
+      nCells: Int = -1)(sink: (Long, DataFrame) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import graft.operators.Similarity
-    val (cents, asg, entries, graph) = graft.sources.IndexStore
-      .ensureCellIndex(corpus.sparkSession, corpusDir, corpus)
+    import graft.sources.IndexStore
+    val s = corpus.sparkSession
+    // resolve (build if stale) ONCE at stream construction — the only
+    // time the corpus itself is scanned (for the fingerprint)
+    val dir = IndexStore.cellIndexDir(corpusDir)
+    var index = IndexStore.ensureCellIndex(s, corpusDir, corpus, nCells)
+    var served = IndexStore.currentMeta(s, dir)
     queries.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           id: Long) =>
+        // refresh pickup: one tiny meta read per batch — when a
+        // rebuild (s27's refresh, or any ensureCellIndex under a new
+        // corpus state) swapped the artifact at this dir, later
+        // batches answer from the NEW index; no corpus scan, no
+        // stream restart. A mid-swap window (meta deleted, data
+        // half-written) reads as None and keeps serving the frames
+        // already resolved.
+        val now = IndexStore.currentMeta(s, dir)
+        if (now.isDefined && now != served) {
+          index = IndexStore.loadCellIndex(s, dir)
+          served = now
+        }
+        val (cents, asg, entries, graph) = index
         val q = batch.toDF().select(col("vec_id").as("q_id"),
           transform(col("embedding"),
             x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("q_mv"))
-        // the per-round beam checkpoints register with CacheScope; the
-        // STREAM owner releases them (releaseAll) when it stops — a
-        // per-batch release here could free frames a concurrent query
-        // in the same session still needs
-        sink(id,
-          Similarity.cellProbeSearchFor(q, cents, asg, entries, graph))
+        // per-batch release scope: the beam rounds register GsRounds
+        // localCheckpoint blocks per micro-batch; on a long-lived
+        // serving stream letting them accumulate until stop() is
+        // unbounded executor-storage growth. The sink contract is
+        // eager (it must consume — collect/write — before returning),
+        // so everything registered during THIS batch is releasable
+        // the moment it returns; frames registered before the mark
+        // (a concurrent query's) are untouched.
+        val m = graft.CacheScope.mark()
+        try sink(id, Similarity.cellProbeSearchFor(q, cents, asg, entries,
+          graph, selfIsInCorpus = selfIsInCorpus))
+        finally graft.CacheScope.releaseSince(m)
     }
   }
 

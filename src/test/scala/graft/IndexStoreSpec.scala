@@ -38,7 +38,10 @@ class IndexStoreSpec extends AnyFunSuite {
     // second call: fingerprint hit → pure load; the plans must be
     // parquet scans of the artifact, not a rebuild
     val e = Tables.embeddings(spark, sfDir)
-    val (_, _, _, graph) = IndexStore.ensureCellIndex(spark, sfDir, e)
+    // same pinned sizing as the s25 entry — a different nCells is a
+    // different fingerprint and would rebuild instead of warm-serving
+    val (_, _, _, graph) = IndexStore.ensureCellIndex(spark, sfDir, e,
+      nCells = operators.Similarity.IvfNCells)
     val p = graph.queryExecution.executedPlan.toString
     assert(p.contains("FileScan parquet") &&
       p.contains("graft_index_spec"),
@@ -180,6 +183,42 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(!pa.contains("Exchange hashpartitioning"),
       s"src-keyed aggregation over the saved graph still shuffles:\n$pa")
     CacheScope.releaseAll()
+  }
+
+  test("re-pointing the root cannot pair a meta with another root's " +
+      "table") {
+    // the kNN-graph meta lives under IndexStore.root but the catalog
+    // table is named in the shared session warehouse: un-tagged, a
+    // meta hit under root A could pair with a table last built under
+    // root B for a DIFFERENT corpus state — a stale graph served with
+    // no rebuild. The table name is tagged with its root, so each
+    // root owns its tables.
+    val rootA = "/tmp/graft_index_rootiso_a"
+    val rootB = "/tmp/graft_index_rootiso_b"
+    for (r <- Seq(rootA, rootB))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(r))
+    val e = Tables.embeddings(spark, sfDir)
+    def corpus(m: Int) = e.filter(col("vec_id") % 3 === m)
+    def build(c: org.apache.spark.sql.DataFrame) =
+      c.select(col("vec_id").as("src"), lit(1).as("rk"),
+        (col("vec_id") + 1).as("dst"), lit(0L).as("d2"))
+    val prior = IndexStore.root
+    try {
+      IndexStore.root = rootA
+      val a1 = rowSet(IndexStore.ensureKnnGraph(spark, "rootiso",
+        corpus(0), "p", build))
+      // same KEY, different root, different corpus — must not touch A
+      IndexStore.root = rootB
+      IndexStore.ensureKnnGraph(spark, "rootiso", corpus(1), "p", build)
+      // back under A with A's corpus: the meta hit must resolve to
+      // A's OWN table, not the one B just (re)built
+      IndexStore.root = rootA
+      val a2 = rowSet(IndexStore.ensureKnnGraph(spark, "rootiso",
+        corpus(0), "p", build))
+      assert(a1 == rowSet(build(corpus(0))), "A's first build is wrong")
+      assert(a2 == a1,
+        "root A's meta hit served root B's table — stale cross-root serve")
+    } finally { IndexStore.root = prior }
   }
 
   test("band index probe prunes to one bucket on an equality probe") {

@@ -687,6 +687,19 @@ class PlanSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("s27 serves the refreshed artifact with s23's broadcast discipline") {
+    // the audit + rebuild already ran eagerly inside the entry (that
+    // is the composition under test); the RETURNED plan is the query
+    // job and must read the swapped artifact's parquet, broadcast the
+    // beam sides, and never go cartesian
+    val p = plan("s27_index_refresh")
+    assert(p.contains("FileScan parquet"),
+      "s27's query job does not read the refreshed saved index")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    CacheScope.releaseAll()
+  }
+
   test("p07 serves from the saved artifact; no cartesians anywhere") {
     // the query job's plan must READ the index artifact (the build
     // and slice stages already ran as the batch job — that is the

@@ -822,4 +822,164 @@ class SimilaritySpec extends AnyFunSuite {
       s"overloaded cell did not trigger a rebuild: $skew")
     CacheScope.releaseAll()
   }
+
+  test("s27 refresh gate: quiet delivery keeps the artifact, drifted " +
+      "delivery swaps it and restores fresh-build recall") {
+    import org.apache.spark.sql.functions._
+    sources.IndexStore.root = "/tmp/graft_index_s27spec"
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(sources.IndexStore.root))
+    val e = Tables.embeddings(spark, sfDir)
+    val standing = e.filter(col("vec_id") % 5 =!= 0)
+    val key = s"${sfDir}_s27spec"
+    val dir = sources.IndexStore.cellIndexDir(key)
+    def meta(): Option[String] = sources.IndexStore.currentMeta(spark, dir)
+    // undisturbed delivery: the audit must NOT fire and the standing
+    // artifact must survive byte-identical (same fingerprint)
+    val quietDelivery = e.filter(col("vec_id") % 5 === 0)
+    val (r1, _) = operators.Similarity.refreshIfNeeded(
+      spark, key, standing, quietDelivery,
+      nCells = operators.Similarity.IvfNCells)
+    CacheScope.releaseAll()
+    val standingFp = meta()
+    assert(!r1, "an undisturbed delivery tripped the refresh")
+    assert(standingFp.isDefined, "standing artifact has no fingerprint")
+    assert(meta() == standingFp)
+    // drifted delivery: the audit fires, the refresh re-trains on
+    // standing ∪ delivery and SWAPS the artifact in place
+    val drifted = quietDelivery.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double") + lit(0.5))
+        .as("embedding"))
+    val (r2, (cents, asg, entries, graph)) =
+      operators.Similarity.refreshIfNeeded(spark, key, standing, drifted,
+        nCells = operators.Similarity.IvfNCells)
+    assert(r2, "the drifted delivery did not trip the refresh")
+    val refreshedFp = meta()
+    assert(refreshedFp.isDefined && refreshedFp != standingFp,
+      "refresh did not swap the artifact fingerprint")
+    // post-refresh serve ≡ a fresh build over the absorbed corpus —
+    // the refresh must restore exactly fresh-build recall, because
+    // the refreshed artifact IS a fresh build (spec-pinned, so a
+    // future 'cheaper' refresh path cannot silently degrade it)
+    val served = operators.Similarity
+      .cellProbeSearchOn(cents, asg, entries, graph)
+      .collect().map(_.mkString("|")).toSet
+    CacheScope.releaseAll()
+    def wide(f: org.apache.spark.sql.DataFrame) = f.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val fresh = operators.Similarity
+      .cellProbeSearch(wide(standing).unionByName(wide(drifted)),
+        nCells = operators.Similarity.IvfNCells)
+      .collect().map(_.mkString("|")).toSet
+    CacheScope.releaseAll()
+    assert(served.nonEmpty, "post-refresh serve returned nothing — vacuous")
+    assert(served == fresh,
+      "post-refresh serve diverged from a fresh build on the absorbed corpus")
+  }
+
+  test("servingNCells: sqrt-scaled, IvfNCells-floored, rounded, capped") {
+    import operators.Similarity.{servingNCells, IvfNCells}
+    assert(servingNCells(0L) == IvfNCells)
+    assert(servingNCells(1L) == IvfNCells)
+    assert(servingNCells(256L) == IvfNCells) // √256 = 16
+    // √2000 ≈ 44.7 → 45 → next multiple of 16
+    assert(servingNCells(2000L) == 48)
+    // √20000 ≈ 141.4 → 144
+    assert(servingNCells(20000L) == 144)
+    // monotone: more data never means fewer cells
+    val pts = Seq(1L, 100L, 10000L, 1000000L, 100000000L)
+    assert(pts.map(servingNCells).sliding(2).forall(p => p(0) <= p(1)))
+    // capped so the centroid table stays broadcastable
+    assert(servingNCells(Long.MaxValue) == (1 << 18))
+  }
+
+  test("beam width resolves explicit > session conf > shipped default") {
+    import org.apache.spark.sql.functions._
+    import operators.Similarity.{beamWidthOf, GsBeam}
+    assert(beamWidthOf(spark) == GsBeam)
+    assert(beamWidthOf(spark, 32) == 32)
+    spark.conf.set("spark.graft.ann.beamWidth", "24")
+    try {
+      assert(beamWidthOf(spark) == 24)
+      assert(beamWidthOf(spark, 32) == 32, "explicit width must win")
+      // the knob reaches the serving path: a wider beam can only add
+      // results per (q, cell) — and the default-path result equals
+      // the explicitly-pinned one, so the conf is actually read
+      val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      val (cents, asg, entries, graph) =
+        operators.Similarity.servingIndex(e,
+          operators.Similarity.IvfNCells)
+      val viaConf = operators.Similarity
+        .cellProbeSearchOn(cents, asg, entries, graph)
+        .collect().map(_.mkString("|")).toSet
+      spark.conf.unset("spark.graft.ann.beamWidth")
+      val pinned24 = operators.Similarity.cellProbeSearchFor(
+        asg.filter(col("vec_id") % 97 === 0 &&
+            col("vec_id") < operators.Similarity.QueryIdBound)
+          .select(col("vec_id").as("q_id"), col("mv").as("q_mv")),
+        cents, asg, entries, graph, beamWidth = 24)
+        .collect().map(_.mkString("|")).toSet
+      CacheScope.releaseAll()
+      assert(viaConf == pinned24,
+        "session-conf beam width did not reach the serving path")
+    } finally {
+      if (spark.conf.getOption("spark.graft.ann.beamWidth").isDefined)
+        spark.conf.unset("spark.graft.ann.beamWidth")
+    }
+  }
+
+  test("LSH-mirror suite entries refuse a non-fixture embedding dim " +
+      "loudly; dim-generic entries stay generic") {
+    spark.conf.set("spark.graft.embedding.dim", "128")
+    try {
+      // entries across the mirror families — the blockedKnn family,
+      // the v2-init graph family, and the refresh composite — all
+      // wear the one SparkEntry-level guard
+      for (name <- Seq("d05_embedding_neardup", "s20_nn_descent",
+          "s23_cell_search", "s27_index_refresh")) {
+        val ex = intercept[IllegalArgumentException] {
+          SparkEntry.queries(name)(spark, sfDir)
+        }
+        assert(ex.getMessage.contains("plane matrices"),
+          s"$name failed for the wrong reason: ${ex.getMessage}")
+      }
+      // an entry whose oracle has no plane literals must stay
+      // dim-generic (128 > the actual 64-wide rows is a configured
+      // UPPER BOUND, not a mismatch, for the engine paths)
+      assert(SparkEntry.queries("s01_ann_bruteforce")(spark, sfDir)
+        .count() > 0)
+      CacheScope.releaseAll()
+    } finally spark.conf.unset("spark.graft.embedding.dim")
+  }
+
+  test("external query ids do not lose colliding corpus vectors") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    val (cents, asg, entries, graph) =
+      operators.Similarity.servingIndex(e, operators.Similarity.IvfNCells)
+    val asgP = CacheScope.persisted(asg)
+    // an EXTERNAL query that clones corpus vector v, under an id that
+    // numerically collides with v itself (both namespaces are dense
+    // longs from 0, so collisions are the norm, not the exception):
+    // under the in-corpus contract v is 'self' and gets erased — the
+    // exact match vanishes from the top-K; the external contract must
+    // keep it at rank 1, d2 = 0
+    val v = asgP.orderBy(col("vec_id")).head()
+    val vid = v.getLong(0)
+    val vmv = v.getAs[scala.collection.Seq[Long]]("mv").toList
+    val q = Seq((vid, vmv)).toDF("q_id", "q_mv")
+    val ext = operators.Similarity.cellProbeSearchFor(
+      q, cents, asgP, entries, graph, selfIsInCorpus = false)
+      .collect()
+    val inc = operators.Similarity.cellProbeSearchFor(
+      q, cents, asgP, entries, graph, selfIsInCorpus = true)
+      .collect()
+    CacheScope.releaseAll()
+    assert(ext.exists(r => r.getLong(2) == vid && r.getLong(3) == 0L &&
+        r.getInt(1) == 1),
+      "external query lost its colliding exact-match corpus vector")
+    assert(!inc.exists(_.getLong(2) == vid),
+      "in-corpus contract did not exclude the query's own id")
+  }
 }

@@ -504,7 +504,8 @@ class StreamingSpec extends AnyFunSuite {
     val reports = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Array[org.apache.spark.sql.Row])]
     val q = EventStreams.annServeStream(
-        EventStreams.readEmbStream(spark, dir), sfDir, all) {
+        EventStreams.readEmbStream(spark, dir), sfDir, all,
+        nCells = operators.Similarity.IvfNCells) {
         (id, rep) => reports += ((id, rep.collect())); ()
       }.start()
     try {
@@ -518,6 +519,81 @@ class StreamingSpec extends AnyFunSuite {
       CacheScope.releaseAll()
       assert(want.nonEmpty, "batch s25 empty — vacuous")
       assert(streamed == want)
+    } finally {
+      q.stop()
+      CacheScope.releaseAll()
+      spark.catalog.clearCache()
+      sources.IndexStore.root = "/tmp/graft_index"
+    }
+  }
+
+  test("streaming ANN serve picks up a refreshed index mid-stream, " +
+      "zero state") {
+    sources.IndexStore.root = "/tmp/graft_index_annrefresh"
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(sources.IndexStore.root))
+    val nc = operators.Similarity.IvfNCells
+    val e = Tables.embeddings(spark, sfDir)
+    val standing = e.filter(col("vec_id") % 5 =!= 0)
+    val drifted = e.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => x.cast("double") + lit(0.5)).as("embedding"))
+    val key = s"${sfDir}_annrefresh"
+    val dir = sources.IndexStore.cellIndexDir(key)
+    // the query batch: standing members of the %97 convention
+    val queries = standing
+      .filter(col("vec_id") % 97 === 0 &&
+        col("vec_id") < operators.Similarity.QueryIdBound)
+      .withColumn("arrival", to_timestamp(lit("2026-01-01 00:00:00")))
+      .select(col("vec_id"), col("embedding").cast("array<double>"),
+        col("arrival"))
+    val qdir = Files.createTempDirectory("graft-annrefresh").toString
+    queries.coalesce(1).write.mode("overwrite").parquet(qdir)
+    def expectedFromArtifact(): Set[String] = {
+      val (cents, asg, entries, graph) =
+        sources.IndexStore.loadCellIndex(spark, dir)
+      val qm = queries.select(col("vec_id").as("q_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000).cast("long")).as("q_mv"))
+      val got = operators.Similarity
+        .cellProbeSearchFor(qm, cents, asg, entries, graph)
+        .collect().map(_.mkString("|")).toSet
+      CacheScope.releaseAll()
+      got
+    }
+    val reports = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Array[org.apache.spark.sql.Row])]
+    val q = EventStreams.annServeStream(
+        EventStreams.readEmbStream(spark, qdir), key, standing,
+        nCells = nc) {
+        (id, rep) => reports += ((id, rep.collect())); ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      val before = reports.flatMap(_._2).map(_.mkString("|")).toSet
+      val expectedBefore = expectedFromArtifact()
+      assert(before.nonEmpty && before == expectedBefore,
+        "pre-refresh batch did not serve the standing artifact")
+      reports.clear()
+      // swap the artifact MID-STREAM: the drifted delivery trips the
+      // audit and the refresh re-trains on standing ∪ delivery
+      val (refreshed, _) = operators.Similarity.refreshIfNeeded(
+        spark, key, standing, drifted, nCells = nc)
+      CacheScope.releaseAll()
+      assert(refreshed, "fixture did not trip the refresh — vacuous")
+      val expectedAfter = expectedFromArtifact()
+      assert(expectedAfter != before,
+        "refresh did not change the served answers — fixture carries " +
+          "no signal")
+      // the SAME queries as a second micro-batch: answers must come
+      // from the refreshed index, with no restart and no state
+      queries.coalesce(1).write.mode("append").parquet(qdir)
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "ANN serve grew streaming state")
+      val after = reports.flatMap(_._2).map(_.mkString("|")).toSet
+      assert(after == expectedAfter,
+        "post-refresh batch did not serve the refreshed artifact")
     } finally {
       q.stop()
       CacheScope.releaseAll()

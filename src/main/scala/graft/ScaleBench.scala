@@ -89,6 +89,36 @@ object ScaleBench {
     val (ccBaseSec, ccBaseN) = timedDistCC(baseDir)
     val (ccScaledSec, ccScaledN) = timedDistCC(scaledDir)
 
+    // s26's audit under a PATHOLOGICALLY skewed delivery — every
+    // delivery vector clones one member of one cell (the trigger
+    // spec's degradation fixture, scaled): the audit wall must stay
+    // ≤ linear even when the entire delivery routes to a single cell,
+    // because nothing in the audit is keyed finer than (cell). The
+    // index build runs OUTSIDE the timer — the audit is the operator
+    // under measurement.
+    def timedSkewAudit(dir: String): (Double, Long) = {
+      spark.catalog.clearCache()
+      val e = Tables.embeddings(spark, dir)
+      val standing = e.filter(col("vec_id") % 5 =!= 0)
+      val (cents0, asg0, _) = operators.Similarity.cellIndex(standing)
+      val cents = CacheScope.persisted(cents0)
+      val asg = CacheScope.persisted(asg0)
+      asg.count()
+      val member = asg.orderBy(col("vec_id")).head().getLong(0)
+      val emb = e.filter(col("vec_id") === member)
+        .select(col("embedding")).head().getSeq[Float](0).toSeq
+      val skewed = e.filter(col("vec_id") % 5 === 0)
+        .withColumn("embedding",
+          org.apache.spark.sql.functions.typedLit(emb))
+      val t0 = System.nanoTime()
+      val n = operators.Similarity.indexHealth(cents, asg, skewed).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      CacheScope.releaseAll()
+      (sec, n)
+    }
+    val (skBaseSec, skBaseN) = timedSkewAudit(baseDir)
+    val (skScaledSec, skScaledN) = timedSkewAudit(scaledDir)
+
     def d3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val scaledBy = scaled.map { case (k, v, n) => k -> (v, n) }.toMap
     val entries = base.map { case (name, bSec, bRows) =>
@@ -98,6 +128,9 @@ object ScaleBench {
     } :+ {
       val r = if (ccBaseSec > 0) ccScaledSec / ccBaseSec else -1.0
       ("x_d09_distributed_cc", ccBaseSec, ccScaledSec, r, ccBaseN, ccScaledN)
+    } :+ {
+      val r = if (skBaseSec > 0) skScaledSec / skBaseSec else -1.0
+      ("x_s26_skewed_audit", skBaseSec, skScaledSec, r, skBaseN, skScaledN)
     }
     val failed = entries.filter(e => e._5 < 0 || e._6 < 0).map(_._1)
     if (failed.nonEmpty)

@@ -926,6 +926,17 @@ object Similarity {
     if (explicit > 0) explicit
     else s.conf.get("spark.graft.ann.beamWidth", GsBeam.toString).toInt
 
+  /** Query-time probe count, same resolution order as [[beamWidthOf]]
+    * (`spark.graft.ann.nprobe`, else [[S23NProbe]]). nprobe is a
+    * FRACTION knob: recall on diffuse corpora tracks nprobe/ncells
+    * (SERVECURVE's sf0.1 tables), while clone-clustered corpora — the
+    * shape ScaleGen models for 100 TB — are flat in it; a caller
+    * serving a diffuse corpus at √n cells raises nprobe toward the
+    * fraction the curves price, without touching the built index. */
+  private[graft] def nProbeOf(s: SparkSession, explicit: Int = -1): Int =
+    if (explicit > 0) explicit
+    else s.conf.get("spark.graft.ann.nprobe", S23NProbe.toString).toInt
+
   private[graft] def servingIndex(e: DataFrame, nCells: Int = -1,
       ndRounds: Int = NdRounds)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
@@ -959,7 +970,7 @@ object Similarity {
   }
 
   private[graft] def cellProbeSearch(e: DataFrame,
-      nProbe: Int = S23NProbe, rounds: Int = GsRounds,
+      nProbe: Int = -1, rounds: Int = GsRounds,
       nCells: Int = -1): DataFrame = {
     val (cents, asg, entries, graph) = servingIndex(e, nCells)
     cellProbeSearchOn(cents, asg, entries, graph, nProbe, rounds)
@@ -971,7 +982,7 @@ object Similarity {
     * the four index tables. */
   private[graft] def cellProbeSearchOn(cents: DataFrame, asg: DataFrame,
       entries: DataFrame, graph: DataFrame,
-      nProbe: Int = S23NProbe, rounds: Int = GsRounds): DataFrame =
+      nProbe: Int = -1, rounds: Int = GsRounds): DataFrame =
     cellProbeSearchFor(
       asg.filter(col("vec_id") % 97 === 0 && col("vec_id") < QueryIdBound)
         .select(col("vec_id").as("q_id"), col("mv").as("q_mv")),
@@ -993,20 +1004,22 @@ object Similarity {
     * external callers pass false and keep every corpus candidate. */
   private[graft] def cellProbeSearchFor(q0: DataFrame, cents: DataFrame,
       asg: DataFrame, entries: DataFrame, graph: DataFrame,
-      nProbe: Int = S23NProbe, rounds: Int = GsRounds,
+      nProbe: Int = -1, rounds: Int = GsRounds,
       beamWidth: Int = -1, selfIsInCorpus: Boolean = true): DataFrame = {
     import graft.functions.VectorFunctions.milli_l2
-    // -1 = session-resolved (`spark.graft.ann.beamWidth`, else GsBeam)
-    // so every serving consumer — s23/s25/p07/the streaming serve —
-    // honors the query-time knob without a signature change
+    // -1 = session-resolved (`spark.graft.ann.beamWidth` /
+    // `spark.graft.ann.nprobe`, else the shipped defaults) so every
+    // serving consumer — s23/s25/p07/the streaming serve — honors the
+    // query-time knobs without a signature change
     val bw = beamWidthOf(q0.sparkSession, beamWidth)
+    val np = nProbeOf(q0.sparkSession, nProbe)
     val q = q0.select(col("q_id"), col("q_mv"))
     // probe ranking: nProbe nearest cells by exact centroid distance
     val wp = Window.partitionBy(col("q_id")).orderBy(col("cd"), col("j"))
     val probes = q.join(broadcast(cents), lit(true))
       .withColumn("cd", milli_l2(col("q_mv"), col("c_mv")))
       .withColumn("prn", row_number().over(wp))
-      .filter(col("prn") <= nProbe)
+      .filter(col("prn") <= np)
       .select(col("q_id"), col("j").as("cell"))
     def rescore(cand: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("q_id"), col("cell"))

@@ -895,9 +895,17 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("beam width resolves explicit > session conf > shipped default") {
     import org.apache.spark.sql.functions._
-    import operators.Similarity.{beamWidthOf, GsBeam}
+    import operators.Similarity.{beamWidthOf, nProbeOf, GsBeam, S23NProbe}
     assert(beamWidthOf(spark) == GsBeam)
     assert(beamWidthOf(spark, 32) == 32)
+    // the probe-count knob resolves the same way
+    assert(nProbeOf(spark) == S23NProbe)
+    assert(nProbeOf(spark, 12) == 12)
+    spark.conf.set("spark.graft.ann.nprobe", "10")
+    try {
+      assert(nProbeOf(spark) == 10)
+      assert(nProbeOf(spark, 12) == 12, "explicit nprobe must win")
+    } finally spark.conf.unset("spark.graft.ann.nprobe")
     spark.conf.set("spark.graft.ann.beamWidth", "24")
     try {
       assert(beamWidthOf(spark) == 24)

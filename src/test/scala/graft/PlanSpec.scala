@@ -766,11 +766,21 @@ class PlanSpec extends AnyFunSuite {
 
   test("d25 rank rounds hash-build on the node-sized side (edge list never sorts)") {
     val p = plan("d25_pair_rank")
-    // 5 damped rounds = 5 shuffled-hash joins with the rank table as
-    // build side; an SMJ here would re-sort the E-row edge list every
-    // round
+    // rounds 1–4 sit behind the two-round batched lineage cuts
+    // (measured faster than the fully-lazy chain — see pairRank's
+    // scaladoc), so the RETURNED plan carries round 5 only: one
+    // shuffled-hash join with the rank table as build side. An SMJ
+    // anywhere here would re-sort the E-row edge list per round —
+    // every round shares this shape, cut segments included (same
+    // builder expression round for round).
     assert("ShuffledHashJoin \\[src[^\\]]*\\], \\[node[^\\]]*\\], Inner, BuildRight"
-      .r.findAllIn(p).size == 5)
+      .r.findAllIn(p).size == 1)
+    // no rank round may fall back to sort-merge against the edge
+    // list (the pair-PRODUCER subtree upstream has its own joins,
+    // pinned by the d04 tests — only the [src]=[node] shape is ours)
+    assert("SortMergeJoin \\[src[^\\]]*\\], \\[node"
+      .r.findAllIn(p).isEmpty,
+      "a rank round fell back to sort-merge against the edge list")
     // per-round share sums are partial+final (map-side combine on dst)
     assert(p.contains("partial_sum((("))
     CacheScope.releaseAll()

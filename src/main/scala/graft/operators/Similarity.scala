@@ -1001,11 +1001,22 @@ object Similarity {
     * namespace, a q_id can NUMERICALLY collide with an unrelated
     * corpus vec_id — both are dense longs from 0 — and the same
     * filter would silently erase that vector from the query's top-K;
-    * external callers pass false and keep every corpus candidate. */
+    * external callers pass false and keep every corpus candidate.
+    *
+    * `tombstones` (optional, one `del_id` column) marks DELETED
+    * corpus vectors: they are dropped from the results at the fuse
+    * but stay fully traversable in the beams — removing a node from
+    * the graph (or filtering it mid-beam) severs every route THROUGH
+    * it, the exact reachability defect the traverse-through-self fix
+    * measured; a tombstone must not reintroduce it. This is the
+    * FreshDiskANN deletion discipline (Singh et al. 2021): serve
+    * around the ghost now, compact when [[s30_delete_compact]]'s
+    * audit says the ghost mass warrants the rebuild. */
   private[graft] def cellProbeSearchFor(q0: DataFrame, cents: DataFrame,
       asg: DataFrame, entries: DataFrame, graph: DataFrame,
       nProbe: Int = -1, rounds: Int = GsRounds,
-      beamWidth: Int = -1, selfIsInCorpus: Boolean = true): DataFrame = {
+      beamWidth: Int = -1, selfIsInCorpus: Boolean = true,
+      tombstones: DataFrame = null): DataFrame = {
     import graft.functions.VectorFunctions.milli_l2
     // -1 = session-resolved (`spark.graft.ann.beamWidth` /
     // `spark.graft.ann.nprobe`, else the shipped defaults) so every
@@ -1068,7 +1079,18 @@ object Similarity {
     // query's own node leaves the running here — but ONLY when the
     // query ids live in the corpus namespace (see the doc comment)
     val wf = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cand"))
-    (if (selfIsInCorpus) beam.filter(col("cand") =!= col("q_id")) else beam)
+    val base =
+      if (selfIsInCorpus) beam.filter(col("cand") =!= col("q_id")) else beam
+    // tombstoned ids leave the running HERE — after the beams (ghosts
+    // stay traversable), before the top-K (deeper beam members back-
+    // fill the freed ranks). The delete set broadcasts; a delete set
+    // too big to broadcast is past the compaction trigger anyway.
+    val live =
+      if (tombstones == null) base
+      else base.join(
+        broadcast(tombstones.select(col("del_id").as("cand"))),
+        Seq("cand"), "left_anti")
+    live
       .withColumn("rk", row_number().over(wf))
       .filter(col("rk") <= K)
       .select(col("q_id"), col("rk"), col("cand").as("nn_id"), col("d2"))
@@ -1370,6 +1392,122 @@ object Similarity {
     cellProbeSearchOn(cents, asg, entries, graph)
   }
 
+  /** Deletes convention for the s29/s30 deletion lifecycle: vec_id %
+    * 7 = 0 — disjoint from the %5 delivery and %97 query conventions
+    * so the three lifecycles compose without aliasing (ids divisible
+    * by both just participate in both, like production). ~143‰ of the
+    * corpus, deliberately ABOVE [[S30CompactTrigger]] so the suite
+    * exercises the trip path; the quiet path is spec-pinned. */
+  private[graft] val S29DeleteMod = 7
+
+  /** s29 — tombstoned deletion serving: the standing index answers
+    * queries with a delete set applied and NO rebuild (the GDPR /
+    * re-curation path at 100 TB — a rebuild per deletion batch is a
+    * non-starter). Tombstoned ids stay traversable in the beams
+    * (ghost nodes — see [[cellProbeSearchFor]]'s doc for why
+    * filtering them mid-beam is a reachability bug) and are dropped
+    * at the fuse, where deeper beam members backfill the freed ranks.
+    * Served from the SAME [[graft.sources.IndexStore]] artifact as
+    * s25 — deletion must not touch the standing index, that is the
+    * point. The oracle is the s23 stack plus one fuse clause, so the
+    * whole no-rebuild discipline sits under the hash check.
+    *
+    * Scale shape: s23's bounded probe work plus one broadcast
+    * anti-join of the (beam-sized) fuse frame against the delete set.
+    */
+  def s29_tombstone_serve: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val (cents, asg, entries, graph) =
+      graft.sources.IndexStore.ensureCellIndex(s, d, e,
+        nCells = IvfNCells) // the oracle's fixture sizing — pinned
+    val deletes = e.filter(col("vec_id") % S29DeleteMod === 0)
+      .select(col("vec_id").as("del_id"))
+    cellProbeSearchFor(
+      asg.filter(col("vec_id") % 97 === 0 && col("vec_id") < QueryIdBound)
+        .select(col("vec_id").as("q_id"), col("mv").as("q_mv")),
+      cents, asg, entries, graph, tombstones = deletes)
+  }
+
+  /** Per-cell deleted-mass trigger for [[s30_delete_compact]]:
+    * compact when any cell's tombstones reach 10% of its members
+    * (permille, exact floor division — no /0: a cell in the audit has
+    * ≥ 1 member by construction). Ghost nodes cost beam evaluations
+    * and shortlist slots at query time; 10% is where FreshDiskANN's
+    * measured recall/latency degradation argues for folding them out.
+    */
+  private[graft] val S30CompactTrigger = 100L
+
+  /** The deletion audit behind [[s30_delete_compact]]: per cell of
+    * the standing index, exact member/tombstone counts and the
+    * deleted permille, plus the deterministic compact bit. One
+    * broadcast mark-join of the delete set against the saved lists
+    * and one bounded (cell) aggregate — a single pass over the lists
+    * at any corpus size. */
+  private[graft] def deletionAudit(asg: DataFrame,
+      deletes: DataFrame): DataFrame = {
+    val d = deletes.select(col("del_id"))
+    asg.select(col("vec_id"), col("cell"))
+      .join(broadcast(d), col("vec_id") === col("del_id"), "left")
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"), count(col("del_id")).as("n_deleted"))
+      .withColumn("del_permille", call_function("div",
+        col("n_deleted") * lit(1000L), col("n_members")))
+      .withColumn("compact", col("del_permille") >= S30CompactTrigger)
+      .select(col("cell"), col("n_members"), col("n_deleted"),
+        col("del_permille"), col("compact"))
+      .orderBy(col("cell"))
+  }
+
+  /** The ACT half of the deletion story — [[refreshIfNeeded]]'s
+    * pattern for tombstone mass: resolve the standing artifact, run
+    * the deterministic [[deletionAudit]], and when ANY cell trips,
+    * rebuild the serving index on the RETAINED corpus (anti-joined on
+    * the delete set) and swap the artifact at the same key —
+    * inheriting saveCellIndex's delete-first/write-last crash
+    * discipline. Until the trip, serving continues tombstoned
+    * ([[s29_tombstone_serve]]) on the unmodified artifact. */
+  private[graft] def compactIfNeeded(s: SparkSession, key: String,
+      corpus: DataFrame, deletes: DataFrame, nCells: Int = -1)
+      : (Boolean, (DataFrame, DataFrame, DataFrame, DataFrame)) = {
+    val idx = graft.sources.IndexStore.ensureCellIndex(s, key, corpus,
+      nCells)
+    val tripped = deletionAudit(idx._2, deletes)
+      .filter(col("compact")).limit(1).count() > 0
+    if (!tripped) (false, idx)
+    else {
+      val retained = corpus.join(
+        broadcast(deletes.select(col("del_id"))),
+        corpus("vec_id") === col("del_id"), "left_anti")
+      (true, graft.sources.IndexStore.ensureCellIndex(s, key, retained,
+        nCells))
+    }
+  }
+
+  /** s30 — the composed delete → audit → compact → serve chain: the
+    * %7 delete set (~143‰ per cell, over the 100‰ trigger by design)
+    * trips [[deletionAudit]], [[compactIfNeeded]] rebuilds the
+    * serving index on the retained corpus and swaps the artifact, and
+    * the output is the s23 query path over the COMPACTED index. The
+    * oracle is the s23 stack re-targeted at the retained corpus — it
+    * hash-matches ONLY IF the trip fired and the compaction swapped
+    * (a no-trip run would serve ghosts off the stale trainer and
+    * value-diverge) — so the whole chain sits under one hash check;
+    * the engine additionally fails loudly if the trip did not happen.
+    *
+    * Scale shape: one audit pass + the batch index job on the
+    * retained corpus + s23's bounded probe work. */
+  def s30_delete_compact: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val deletes = e.filter(col("vec_id") % S29DeleteMod === 0)
+      .select(col("vec_id").as("del_id"))
+    val (compacted, (cents, asg, entries, graph)) =
+      compactIfNeeded(s, s"${d}_m7cmp", e, deletes,
+        nCells = IvfNCells) // the oracle's fixture sizing — pinned
+    require(compacted || deletes.isEmpty,
+      "s30_delete_compact: the %7 delete set failed to trip the audit")
+    cellProbeSearchOn(cents, asg, entries, graph)
+  }
+
   /** s06 — int8 scalar quantization of the embedding column with an
     * exact error report: the compression step a billion-vector ANN
     * deployment runs before indexing (4× smaller, SIMD-friendly).
@@ -1646,6 +1784,184 @@ object Similarity {
       .filter(col("rank") <= topK)
       .select(col("query_id"), col("rank"), col("vec_id"), col("adc_dist"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** ADC shortlist kept per (query, probed cell) for exact re-rank —
+    * > [[K]] so the exact pass can recover ADC misrankings inside the
+    * shortlist (the IVFADC re-rank budget, Jégou et al. 2011 §V). */
+  private[graft] val S28Rerank = 16
+  /** Fine-quantizer shape: s09's block layout (4 blocks of 16 dims, 2
+    * exact-integer Lloyd rounds) widened to 8 codes per block — 4096
+    * code words instead of the s09 fixture's 256. Measured at the
+    * fixture SF: k=4 pins shipped-budget recall at 0.30 (the ADC
+    * ranking can't separate candidates inside 256 words) while k=8
+    * reaches the shape where the re-rank budget, not codebook
+    * coarseness, is the binding knob. Still 3 bits/block of payload —
+    * the scan stays code-only. */
+  private[graft] val PqK = 8
+  private[graft] val PqBlockDim = 16
+  private[graft] val PqRounds = 2
+
+  /** s28 — PQ-compressed cell-probed serving (the IVFADC pipeline,
+    * Jégou et al. 2011 §IV-V — what FAISS calls `IVFx,PQy`): the
+    * memory-bounded serving path a 100 TB corpus actually needs. The
+    * s23/s25 serving graph answers queries fast but its lists store
+    * the full milli vectors — 64 longs ≈ 512 bytes/vector, 50 TB of
+    * index for 10¹¹ vectors. Here the probed cells are scanned by
+    * asymmetric distance over the s09 PQ CODES (m = 4 ints/vector —
+    * with k = 4 codes that is 8 BITS of payload per vector; the full
+    * vectors leave the scan entirely), and only a per-cell shortlist
+    * of [[S28Rerank]] ADC winners is re-ranked with exact milli-L2.
+    * Per query the exact work is ≤ nprobe·rerank vector reads instead
+    * of the cell populations.
+    *
+    * All arithmetic is exact longs end to end — the coarse quantizer
+    * is s19/s22's proven flat-k-means trainer, the fine codebook is
+    * s09's proven PQ trainer, ADC is s10's proven lookup-sum, ties
+    * break (adc, cand) / (d2, cand) — so the composition is
+    * oracle-bearing: the s28 oracle chains the two trainer CTE stacks
+    * (namespaced so they coexist) with the ADC scan and the re-rank,
+    * and hash-matches at every SF.
+    *
+    * Scale shape: the corpus-sized frames are the code table (n·m
+    * rows of ints, cell-keyed) and one n-row assignment pass; the
+    * query side — probes (|q|·nprobe), the ADC lookup table
+    * (|q|·m·k), and the shortlist (|q|·nprobe·rerank) — is broadcast
+    * at every join, so no shuffle ever carries more than the query
+    * frame. The ADC agg partial-aggregates map-side on (q, cell,
+    * cand). The full vectors are read only by the shortlist join —
+    * at serving time that is a point-lookup join against the
+    * cell-partitioned lists, touching nprobe·rerank rows per query.
+    */
+  def s28_pq_serving: Q = (s, d) =>
+    // fixture sizing pinned — the committed oracle's Lloyd CTEs carry
+    // the cell count as literals (same contract as s23)
+    pqServing(Tables.embeddings(s, d), nCells = IvfNCells)
+
+  private[graft] def pqServing(e: DataFrame, nCells: Int = -1,
+      nProbe: Int = -1, rerank: Int = S28Rerank): DataFrame = {
+    val (cents, asg, codebook, codes) = pqIndex(e, nCells)
+    pqServeOn(cents, asg, codebook, codes, nProbe, rerank)
+  }
+
+  /** The BUILD half of [[s28_pq_serving]] — what
+    * [[graft.sources.IndexStore.ensurePqIndex]] persists. Returns
+    *  - `cents`: the trained coarse centroids (j, c_mv),
+    *  - `asg`: exact cell assignment (vec_id, cell, mv) — the full
+    *    milli lists, read at query time ONLY by the shortlist re-rank,
+    *  - `codebook`: the fine PQ codebook (blk, j, dim, cv) —
+    *    m·k·blockDim rows, broadcastable always,
+    *  - `codes`: the per-vector PQ codes keyed by cell (cand, cell,
+    *    blk, j) — the ONLY corpus-sized frame the ADC scan touches,
+    *    m ints per vector. */
+  private[graft] def pqIndex(e: DataFrame, nCells: Int = -1)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import graft.functions.VectorFunctions.milli_l2
+    val nc = if (nCells > 0) nCells else servingNCells(e.count())
+    // coarse quantizer + exact cell assignment — cellIndex's trainer
+    val cents = ivfCentroids(e, nc)
+    val m = e.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("mv"))
+    val fan = m.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("mv"),
+        struct(milli_l2(col("mv"), col("c_mv")).as("d"),
+          col("j").as("cell")).as("dc"))
+    val asg = graft.CacheScope.persisted(
+      fan.groupBy(col("vec_id"))
+        .agg(min(col("dc")).as("mdc"), first(col("mv")).as("mv"))
+        .select(col("vec_id"), col("mdc").getField("cell").as("cell"),
+          col("mv")))
+    // fine quantizer: s09's PQ codebook + the per-vector codes (the
+    // only per-member payload the ADC scan reads), keyed by cell so
+    // the serving layout partition-prunes to the probed cells
+    val (q, c) = pqTrain(e, PqK, PqBlockDim, PqRounds)
+    val codes = pqAssign(q, c).filter(col("rn") === 1)
+      .join(asg.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .select(col("vec_id").as("cand"), col("cell"), col("blk"), col("j"))
+    (cents, asg, c, codes)
+  }
+
+  /** The pure QUERY half of [[s28_pq_serving]], over an already-built
+    * (or [[graft.sources.IndexStore]]-loaded) PQ index. Queries are
+    * the in-corpus suite convention read off the assignment lists;
+    * their quantized sub-vectors come from the same milli vectors
+    * (floor(x·1000) — bit-identical to the trainer's explode), so the
+    * served path never re-reads the embedding column at all. */
+  private[graft] def pqServeOn(cents: DataFrame, asg: DataFrame,
+      codebook: DataFrame, codes: DataFrame,
+      nProbe: Int = -1, rerank: Int = S28Rerank): DataFrame = {
+    import graft.functions.VectorFunctions.milli_l2
+    val np = nProbeOf(asg.sparkSession, nProbe)
+    // queries: the in-corpus suite convention
+    val qs = asg
+      .filter(col("vec_id") % 97 === 0 && col("vec_id") < QueryIdBound)
+      .select(col("vec_id").as("q_id"), col("mv").as("q_mv"))
+    val wp = Window.partitionBy(col("q_id")).orderBy(col("cd"), col("j"))
+    val probes = qs.join(broadcast(cents), lit(true))
+      .withColumn("cd", milli_l2(col("q_mv"), col("c_mv")))
+      .withColumn("prn", row_number().over(wp))
+      .filter(col("prn") <= np)
+      .select(col("q_id"), col("j").as("cell"))
+    // ADC lookup table: (query, block, code) → exact integer L2 from
+    // the query's sub-vector to that code's fine centroid — |q|·m·k
+    // rows, broadcast
+    val qd = qs
+      .select(col("q_id"), posexplode(col("q_mv")))
+      .select(col("q_id"),
+        (col("pos") / PqBlockDim).cast(IntegerType).as("blk"),
+        col("pos").as("dim"), col("col").as("qv"))
+      .join(broadcast(codebook), Seq("blk", "dim"))
+      .groupBy(col("q_id"), col("blk"), col("j"))
+      .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv")))
+        .as("qdist"))
+    // ADC scan of the probed cells: each member scores as the sum of
+    // m table lookups selected by its code — the embedding column is
+    // never touched, and the broadcast cell join partition-prunes a
+    // saved codes layout to the probed cells
+    val adc = codes.join(broadcast(probes), Seq("cell"))
+      .join(broadcast(qd), Seq("q_id", "blk", "j"))
+      .groupBy(col("q_id"), col("cell"), col("cand"))
+      .agg(sum(col("qdist")).as("adc"))
+    val wa = Window.partitionBy(col("q_id"), col("cell"))
+      .orderBy(col("adc"), col("cand"))
+    val shortlist = adc.withColumn("arn", row_number().over(wa))
+      .filter(col("arn") <= rerank)
+      .select(col("q_id"), col("cell"), col("cand"))
+    // exact re-rank of ≤ nprobe·rerank candidates per query — the
+    // (cell, cand) join key lets a saved lists layout prune to the
+    // shortlist's cells; the query's own node (adc 0 in its home
+    // cell) leaves here, exactly like the s23 fuse
+    val wf = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cand"))
+    shortlist
+      .join(asg.select(col("vec_id").as("cand"), col("cell"), col("mv")),
+        Seq("cell", "cand"))
+      .join(broadcast(qs), Seq("q_id"))
+      .withColumn("d2", milli_l2(col("q_mv"), col("mv")))
+      .filter(col("cand") =!= col("q_id"))
+      .withColumn("rk", row_number().over(wf))
+      .filter(col("rk") <= K)
+      .select(col("q_id"), col("rk"), col("cand").as("nn_id"), col("d2"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** s31 — [[s28_pq_serving]] served from the STANDING PQ artifact
+    * ([[graft.sources.IndexStore.ensurePqIndex]] — codes and lists
+    * cell-partitioned parquet, fingerprint-gated load-or-build): the
+    * s25-vs-s23 relationship for the PQ path. At 100 TB this is the
+    * index that actually FITS a serving tier: the scannable payload
+    * is the cell-partitioned code table (m ints/vector); the milli
+    * lists sit on disk and surface only nprobe·rerank rows per query
+    * through the shortlist's (cell, cand) point-join. Results are
+    * identical to s28 by construction — saved ≡ rebuilt is
+    * spec-pinned — so the same oracle hash-checks the whole
+    * save/load/serve cycle at every SF. */
+  def s31_pq_standing: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val (cents, asg, codebook, codes) =
+      graft.sources.IndexStore.ensurePqIndex(s, d, e,
+        nCells = IvfNCells) // the oracle's fixture sizing — pinned
+    pqServeOn(cents, asg, codebook, codes)
   }
 
   /** s11 — MMR diversified retrieval (Carbonell & Goldstein 1998):
@@ -1958,6 +2274,10 @@ object Similarity {
     "s25_standing_search" -> s25_standing_search,
     "s26_index_health" -> s26_index_health,
     "s27_index_refresh" -> s27_index_refresh,
+    "s28_pq_serving" -> s28_pq_serving,
+    "s29_tombstone_serve" -> s29_tombstone_serve,
+    "s30_delete_compact" -> s30_delete_compact,
+    "s31_pq_standing" -> s31_pq_standing,
     "s13_hybrid_rrf" -> s13_hybrid_rrf,
     "s14_knn_graph" -> s14_knn_graph,
     "s11_mmr" -> s11_mmr,
@@ -1976,27 +2296,27 @@ object Similarity {
 
   /** One exact-integer Lloyd round as SQL reading codebook c{i-1} —
     * the mirror of pqCodes' loop body. */
-  private def pqRoundCte(i: Int): String =
-    s"""a$i AS (
+  private def pqRoundCte(i: Int, p: String = ""): String =
+    s"""${p}a$i AS (
        |  SELECT q.vec_id, q.blk, c.j,
        |    CAST(SUM((q.qv - c.cv) * (q.qv - c.cv)) AS BIGINT) AS dist
-       |  FROM q JOIN c${i - 1} c ON c.blk = q.blk AND c.dim = q.dim
+       |  FROM ${p}q q JOIN ${p}c${i - 1} c ON c.blk = q.blk AND c.dim = q.dim
        |  GROUP BY q.vec_id, q.blk, c.j),
-       |m$i AS (
+       |${p}m$i AS (
        |  SELECT vec_id, blk, j FROM (
        |    SELECT vec_id, blk, j,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id, blk ORDER BY dist, j)
        |        AS rn
-       |    FROM a$i) WHERE rn = 1),
-       |u$i AS (
+       |    FROM ${p}a$i) WHERE rn = 1),
+       |${p}u$i AS (
        |  SELECT q.blk, m.j, q.dim,
        |    CAST(floor(CAST(SUM(q.qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS uv
-       |  FROM q JOIN m$i m ON m.vec_id = q.vec_id AND m.blk = q.blk
+       |  FROM ${p}q q JOIN ${p}m$i m ON m.vec_id = q.vec_id AND m.blk = q.blk
        |  GROUP BY q.blk, m.j, q.dim),
-       |c$i AS (
+       |${p}c$i AS (
        |  SELECT c.blk, c.j, c.dim, COALESCE(u.uv, c.cv) AS cv
-       |  FROM c${i - 1} c
-       |  LEFT JOIN u$i u ON u.blk = c.blk AND u.j = c.j AND u.dim = c.dim)"""
+       |  FROM ${p}c${i - 1} c
+       |  LEFT JOIN ${p}u$i u ON u.blk = c.blk AND u.j = c.j AND u.dim = c.dim)"""
       .stripMargin
 
   /** Shared CTE prefix for the PQ and exact-IVF oracles: quantized
@@ -2010,25 +2330,28 @@ object Similarity {
     * filtered relation; aliasing it back to `embeddings` keeps every
     * downstream column reference identical. */
   private def pqOracleSetup(k: Int = 4, blockDim: Int = 16,
-      rounds: Int = 2, rel: String = "embeddings"): String =
-    s"""WITH q AS (
+      rounds: Int = 2, rel: String = "embeddings",
+      prefix: String = ""): String = {
+    val p = prefix
+    s"""WITH ${p}q AS (
        |  SELECT vec_id, CAST((g - 1) // $blockDim AS INT) AS blk,
        |    CAST(g - 1 AS INT) AS dim,
        |    CAST(floor(CAST(embedding[g] AS DOUBLE) * 1000) AS BIGINT) AS qv
        |  FROM $rel, unnest(generate_series(1, len(embedding))) u(g)),
-       |init AS (
+       |${p}init AS (
        |  SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
        |    AS j
-       |  FROM (SELECT DISTINCT vec_id FROM q ORDER BY vec_id LIMIT $k)),
-       |c0 AS (
+       |  FROM (SELECT DISTINCT vec_id FROM ${p}q ORDER BY vec_id LIMIT $k)),
+       |${p}c0 AS (
        |  SELECT q.blk, init.j, q.dim, q.qv AS cv
-       |  FROM q JOIN init USING (vec_id)),
-       |${(1 to rounds).map(pqRoundCte).mkString(",\n")},
-       |af AS (
+       |  FROM ${p}q q JOIN ${p}init init USING (vec_id)),
+       |${(1 to rounds).map(pqRoundCte(_, p)).mkString(",\n")},
+       |${p}af AS (
        |  SELECT q.vec_id, q.blk, c.j,
        |    CAST(SUM((q.qv - c.cv) * (q.qv - c.cv)) AS BIGINT) AS dist
-       |  FROM q JOIN c$rounds c ON c.blk = q.blk AND c.dim = q.dim
+       |  FROM ${p}q q JOIN ${p}c$rounds c ON c.blk = q.blk AND c.dim = q.dim
        |  GROUP BY q.vec_id, q.blk, c.j)""".stripMargin
+  }
 
   /** One greedy MMR round as SQL reading selection s{i-1} — the
     * mirror of mmrDiversified's loop body. */
@@ -2379,8 +2702,11 @@ object Similarity {
   /** [[s23OracleSql]] with the trainer re-targeted at `rel` — the
     * seam p07's pipeline oracle uses to probe an index built on the
     * curated slice. Includes the leading WITH; composite callers
-    * stripPrefix it and prepend their stage CTEs. */
-  private[operators] def s23OracleSqlOn(rel: String): String =
+    * stripPrefix it and prepend their stage CTEs. `fuseFilter` is an
+    * extra AND-clause on the final fuse (after the self-exclusion,
+    * before the top-K rank) — s29's tombstone mirror. */
+  private[operators] def s23OracleSqlOn(rel: String,
+      fuseFilter: String = ""): String =
     s"""${cellGraphCtes(rel)},
        |gr AS MATERIALIZED (
        |  SELECT DISTINCT cell, src, dst FROM (
@@ -2442,8 +2768,73 @@ object Similarity {
        |SELECT q_id, rk, cand AS nn_id, d2 FROM (
        |  SELECT q_id, cand, d2,
        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, cand) AS rk
-       |  FROM cb$GsRounds WHERE cand <> q_id)
+       |  FROM cb$GsRounds WHERE cand <> q_id$fuseFilter)
        |WHERE rk <= $K ORDER BY q_id, rk""".stripMargin
+
+  /** s28's oracle: the coarse trainer's CTEs (identical text to
+    * s19/s22/s23's — `q`/`af`/`cells`) plus a SECOND, `f`-prefixed
+    * instance of the same proven trainer as the fine PQ codebook,
+    * then s10's ADC lookup-sum restricted to the probed cells and the
+    * exact re-rank of the per-cell shortlist. Every tie is (adc,
+    * cand) / (d2, cand), mirroring the engine exactly. */
+  private def s28OracleSql: String = {
+    val fine = pqOracleSetup(PqK, PqBlockDim, PqRounds, prefix = "f")
+      .stripPrefix("WITH ")
+    s"""${pqOracleSetup(IvfNCells, S19BlockDim, S19Rounds)},
+       |cells AS MATERIALIZED (
+       |  SELECT vec_id, j AS cell FROM (
+       |    SELECT vec_id, j,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+       |    FROM af) WHERE rn = 1),
+       |mv AS MATERIALIZED (SELECT vec_id, dim, qv FROM q),
+       |$fine,
+       |fcodes AS MATERIALIZED (
+       |  SELECT vec_id, blk, j FROM (
+       |    SELECT vec_id, blk, j,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, blk ORDER BY dist, j)
+       |        AS rn
+       |    FROM faf) WHERE rn = 1),
+       |qs AS (
+       |  SELECT vec_id AS q_id FROM cells
+       |  WHERE vec_id % 97 = 0 AND vec_id < $QueryIdBound),
+       |probes AS (
+       |  SELECT vec_id AS q_id, j AS cell FROM (
+       |    SELECT vec_id, j,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+       |    FROM af WHERE vec_id % 97 = 0 AND vec_id < $QueryIdBound)
+       |  WHERE rn <= $S23NProbe),
+       |qd AS (
+       |  SELECT fq.vec_id AS q_id, fq.blk, c.j,
+       |    CAST(SUM((fq.qv - c.cv) * (fq.qv - c.cv)) AS BIGINT) AS qdist
+       |  FROM fq JOIN qs ON qs.q_id = fq.vec_id
+       |  JOIN fc$PqRounds c ON c.blk = fq.blk AND c.dim = fq.dim
+       |  GROUP BY fq.vec_id, fq.blk, c.j),
+       |adc AS (
+       |  SELECT p.q_id, p.cell, fc.vec_id AS cand,
+       |    CAST(SUM(qd.qdist) AS BIGINT) AS adc
+       |  FROM cells cl JOIN probes p ON p.cell = cl.cell
+       |  JOIN fcodes fc ON fc.vec_id = cl.vec_id
+       |  JOIN qd ON qd.q_id = p.q_id AND qd.blk = fc.blk AND qd.j = fc.j
+       |  GROUP BY p.q_id, p.cell, fc.vec_id),
+       |short AS (
+       |  SELECT q_id, cand FROM (
+       |    SELECT q_id, cand,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id, cell ORDER BY adc, cand)
+       |        AS arn
+       |    FROM adc) WHERE arn <= $S28Rerank),
+       |rr AS (
+       |  SELECT s.q_id, s.cand,
+       |    CAST(SUM((ma.qv - mb.qv) * (ma.qv - mb.qv)) AS BIGINT) AS d2
+       |  FROM short s
+       |  JOIN mv ma ON ma.vec_id = s.q_id
+       |  JOIN mv mb ON mb.vec_id = s.cand AND mb.dim = ma.dim
+       |  GROUP BY s.q_id, s.cand)
+       |SELECT q_id, rk, cand AS nn_id, d2 FROM (
+       |  SELECT q_id, cand, d2,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, cand) AS rk
+       |  FROM rr WHERE cand <> q_id)
+       |WHERE rk <= $K ORDER BY q_id, rk""".stripMargin
+  }
 
   /** One s24 beam round as SQL reading beam db{j-1} over the standing
     * graph gr — [[gsRoundCte]] with the query side read from the
@@ -2660,6 +3051,10 @@ object Similarity {
     "s21_graph_search" -> s21OracleSql,
     "s22_cell_graph" -> s22OracleSql,
     "s23_cell_search" -> s23OracleSql,
+    "s28_pq_serving" -> s28OracleSql,
+    // same oracle as s28: the standing path serves the SAVED artifact,
+    // so a hash match certifies the whole save/load/serve cycle
+    "s31_pq_standing" -> s28OracleSql,
     "s24_incremental_graph" -> s24OracleSql,
     // s25 serves s23's exact results from the saved index — one oracle
     // text, two names: a drift between build-and-serve and
@@ -2677,6 +3072,16 @@ object Similarity {
         |     list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.5)
         |   FROM embeddings WHERE vec_id % 5 = 0) embeddings"""
         .stripMargin),
+    // the s23 stack plus ONE fuse clause: tombstoned ids drop from
+    // the results, the beams (and the index) are untouched — the
+    // no-rebuild deletion discipline under the same hash check
+    "s29_tombstone_serve" -> s23OracleSqlOn("embeddings",
+      fuseFilter = s" AND cand % $S29DeleteMod <> 0"),
+    // the s23 stack re-targeted at the RETAINED corpus: hash-matches
+    // only if the deletion audit tripped and the compaction swapped
+    "s30_delete_compact" -> s23OracleSqlOn(
+      s"""(SELECT vec_id, embedding FROM embeddings
+         |   WHERE vec_id % $S29DeleteMod <> 0) embeddings""".stripMargin),
     "s11_mmr" -> s11OracleSql,
     "s12_drift" ->
       """WITH x AS (

@@ -182,6 +182,78 @@ object IndexStore {
     loadCellIndex(spark, dir)
   }
 
+  /** The artifact directory [[ensurePqIndex]] keys `corpusDir` to —
+    * its own namespace beside [[cellIndexDir]]'s, so the graph index
+    * and the PQ index of the same corpus coexist. */
+  def pqIndexDir(corpusDir: String): String =
+    s"$root/pq_${corpusDir.replaceAll("[^A-Za-z0-9._-]", "_")}"
+
+  /** Persist a PQ serving index built by
+    * [[graft.operators.Similarity.pqIndex]]. The corpus-sized tables
+    * — the code table (the ADC scan's only input, m ints/vector) and
+    * the milli lists (read only by the shortlist re-rank) — go
+    * partitioned by cell; the coarse centroids and the fine codebook
+    * are tiny flat files. Same crash discipline as
+    * [[saveCellIndex]]: prior meta deleted first, new meta written
+    * last, so any mid-save state reads as a fingerprint miss. */
+  def savePqIndex(spark: SparkSession, dir: String, fingerprint: String,
+      cents: DataFrame, asg: DataFrame, codebook: DataFrame,
+      codes: DataFrame): Unit = {
+    val (f, p) = fs(spark, s"$dir/_graft_meta")
+    if (f.exists(p)) f.delete(p, false)
+    cents.write.mode(SaveMode.Overwrite).parquet(s"$dir/cents")
+    codebook.write.mode(SaveMode.Overwrite).parquet(s"$dir/codebook")
+    asg.write.mode(SaveMode.Overwrite)
+      .partitionBy("cell").parquet(s"$dir/asg")
+    codes.write.mode(SaveMode.Overwrite)
+      .partitionBy("cell").parquet(s"$dir/codes")
+    writeMeta(spark, dir, fingerprint)
+  }
+
+  /** Read a saved PQ index back as (cents, asg, codebook, codes),
+    * columns in the builder's order. The partitioned reads are where
+    * the layout pays: the ADC scan's probe join prunes the code table
+    * to the probed cells, and the shortlist's (cell, cand) re-rank
+    * join prunes the lists the same way. */
+  def loadPqIndex(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val cents = spark.read.parquet(s"$dir/cents").select("j", "c_mv")
+    val asg = spark.read.parquet(s"$dir/asg")
+      .select("vec_id", "cell", "mv")
+    val codebook = spark.read.parquet(s"$dir/codebook")
+      .select("blk", "j", "dim", "cv")
+    val codes = spark.read.parquet(s"$dir/codes")
+      .select("cand", "cell", "blk", "j")
+    (cents, asg, codebook, codes)
+  }
+
+  /** Load-or-build for the PQ serving index — [[ensureCellIndex]]'s
+    * contract for the s28/s31 path: fingerprint-gated (corpus
+    * content + builder version + resolved cell count + the fine
+    * quantizer's shape, so a PQ knob change busts the artifact), an
+    * empty corpus never persists, and the returned frames are the
+    * artifact either way on a non-empty corpus. */
+  def ensurePqIndex(spark: SparkSession, corpusDir: String,
+      e: DataFrame, nCells: Int = -1)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import graft.operators.Similarity
+    val dir = pqIndexDir(corpusDir)
+    val corpusFp = corpusFingerprint(e)
+    if (corpusFp.startsWith("0_"))
+      return Similarity.pqIndex(e,
+        if (nCells > 0) nCells else Similarity.IvfNCells)
+    val nc =
+      if (nCells > 0) nCells
+      else Similarity.servingNCells(corpusFp.takeWhile(_ != '_').toLong)
+    val fp = s"${corpusFp}_b${Similarity.IndexBuilderVersion}_c${nc}_pq" +
+      s"${Similarity.PqK}x${Similarity.PqBlockDim}r${Similarity.PqRounds}"
+    if (!readMeta(spark, dir).contains(fp)) {
+      val (cents, asg, codebook, codes) = Similarity.pqIndex(e, nc)
+      savePqIndex(spark, dir, fp, cents, asg, codebook, codes)
+    }
+    loadPqIndex(spark, dir)
+  }
+
   /** Load-or-build for a standing kNN graph (the s21 query path's and
     * s24 maintenance path's consumer seam): fingerprint-gated like
     * [[ensureCellIndex]], but the artifact is a catalog table BUCKETED

@@ -73,7 +73,9 @@ class EmptyInputSpec extends AnyFunSuite {
     "s17_community_dedup", "s18_filtered_ann", "s20_nn_descent",
     "s21_graph_search", "s22_cell_graph", "s23_cell_search",
     "s24_incremental_graph", "s25_standing_search", "s26_index_health",
-    "p07_serving_pipeline", "s27_index_refresh", "d33_leakage_split",
+    "p07_serving_pipeline", "s27_index_refresh", "s28_pq_serving",
+    "s29_tombstone_serve", "s30_delete_compact", "s31_pq_standing",
+    "d33_leakage_split",
     "p05_epoch_mixture",
     "t27_fertility", "t28_token_drift", "d31_corpus_report",
     "q74_sketch_rollup")

@@ -700,6 +700,66 @@ class PlanSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
+  test("s28 ADC scan is broadcast-fed; shortlist and fuse prune pre-shuffle") {
+    val p = plan("s28_pq_serving")
+    // probes, ADC lookup table, and shortlist all broadcast into the
+    // code/assignment joins — the code table (the one corpus-sized
+    // frame after training) is only ever the probe target
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // the ADC lookup-sum partial-aggregates map-side before the
+    // (q_id, cell, cand) exchange — the scan never shuffles the raw
+    // member×block fan-out
+    assert(p.contains("partial_sum"),
+      "ADC lookup-sum not combined map-side before the shuffle")
+    // per-(query, cell) shortlist and the per-query exact fuse both
+    // keep only local top-k before their exchange
+    assert("row_number\\(\\), 16, Partial".r.findAllIn(p).nonEmpty,
+      "ADC shortlist shuffles full cell scans instead of local top-16")
+    assert("row_number\\(\\), 5, Partial".r.findAllIn(p).nonEmpty,
+      "re-rank fuse shuffles the full shortlist instead of local top-5")
+    CacheScope.releaseAll()
+  }
+
+  test("s29 tombstone fuse is a broadcast anti-join on the beam frame") {
+    val p = plan("s29_tombstone_serve")
+    // the delete set broadcasts into the fuse as a LeftAnti against
+    // the beam-sized frame — a shuffled anti would drag the beams to
+    // meet the delete set; the standing index itself is never rebuilt
+    // (the artifact-untouched half is pinned in SimilaritySpec)
+    assert(p.contains("LeftAnti, BuildRight"),
+      "tombstone exclusion is not a broadcast anti-join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    CacheScope.releaseAll()
+  }
+
+  test("s30 serves the compacted artifact with s23's broadcast discipline") {
+    // the audit + compaction already ran eagerly inside the entry;
+    // the RETURNED plan is the query job over the swapped artifact
+    val p = plan("s30_delete_compact")
+    assert(p.contains("FileScan parquet"),
+      "s30's query job does not read the compacted saved index")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    CacheScope.releaseAll()
+  }
+
+  test("s31 serves PQ codes off the saved artifact with s28's discipline") {
+    val p = plan("s31_pq_standing")
+    // the ADC scan and the re-rank read the cell-partitioned artifact
+    assert(p.contains("FileScan parquet"),
+      "s31's query job does not read the saved PQ index")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // shortlist and fuse keep s28's local top-k discipline
+    assert("row_number\\(\\), 16, Partial".r.findAllIn(p).nonEmpty,
+      "ADC shortlist shuffles full cell scans instead of local top-16")
+    assert("row_number\\(\\), 5, Partial".r.findAllIn(p).nonEmpty,
+      "re-rank fuse shuffles the full shortlist instead of local top-5")
+    CacheScope.releaseAll()
+  }
+
   test("p07 serves from the saved artifact; no cartesians anywhere") {
     // the query job's plan must READ the index artifact (the build
     // and slice stages already ran as the batch job — that is the

@@ -737,6 +737,58 @@ class SimilaritySpec extends AnyFunSuite {
     assert(gotR >= 0.5, s"s23 recall $gotR at 6/16 cells below floor 0.5")
   }
 
+  test("s28 PQ serving: exact re-rank of the ADC shortlist; bigger budget only helps") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    import graft.functions.VectorFunctions.milli_l2
+    val e = Tables.embeddings(spark, sfDir)
+    val m = e.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("mv"))
+    val q = m.filter(col("vec_id") % 97 === 0 &&
+        col("vec_id") < operators.Similarity.QueryIdBound)
+      .select(col("vec_id").as("q_id"), col("mv").as("q_mv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))
+    val truth = m.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("d2", milli_l2(col("q_mv"), col("mv")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(rows: Array[org.apache.spark.sql.Row]): Double =
+      rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+        .count(truth.contains).toDouble / truth.size
+    val got = SparkEntry.queries("s28_pq_serving")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    // structure: ≤5 per query, prefix ranks, d2 non-decreasing — and
+    // the d2 column is the EXACT milli distance (re-ranked), so every
+    // returned pair's d2 must equal the brute-force distance
+    got.groupBy(_.getLong(0)).foreach { case (qid, ns) =>
+      assert(ns.length <= 5)
+      assert(ns.map(_.getInt(1)).sorted.toSeq == (1 to ns.length),
+        s"query $qid ranks not a prefix")
+      val byRk = ns.sortBy(_.getInt(1)).map(_.getLong(3))
+      assert(byRk.zip(byRk.tail).forall { case (a, b) => a <= b })
+    }
+    // an unbounded re-rank budget keeps EVERY probed-cell member in
+    // the shortlist — exact search within the probed cells, the same
+    // ceiling s23's beams chase. The shipped budget trades under it;
+    // a growing budget is a candidate superset, so recall is exactly
+    // monotone — a broken ADC ranking (wrong codes, wrong lookup
+    // join) shows up as the shipped budget falling far below the
+    // ceiling, which the floor catches
+    val exhaustive = operators.Similarity.pqServing(e,
+      nCells = operators.Similarity.IvfNCells, rerank = Int.MaxValue)
+      .collect()
+    CacheScope.releaseAll()
+    val gotR = recallOf(got)
+    val exR = recallOf(exhaustive)
+    assert(exR >= gotR,
+      s"bigger re-rank budget lost recall: shipped=$gotR exhaustive=$exR")
+    info(s"s28 recall@5: shipped(rerank=16)=$gotR exhaustive=$exR")
+    assert(gotR >= 0.5, s"s28 recall $gotR below floor 0.5")
+  }
+
   test("s24 incremental maintenance recalls >=0.9x a full rebuild") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
@@ -875,6 +927,159 @@ class SimilaritySpec extends AnyFunSuite {
     assert(served.nonEmpty, "post-refresh serve returned nothing — vacuous")
     assert(served == fresh,
       "post-refresh serve diverged from a fresh build on the absorbed corpus")
+  }
+
+  test("s29 tombstones: ghosts leave results, stay traversable, never rebuild") {
+    import org.apache.spark.sql.functions._
+    sources.IndexStore.root = "/tmp/graft_index_s29spec"
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(sources.IndexStore.root))
+    val e = Tables.embeddings(spark, sfDir)
+    val (cents, asg, entries, graph) = sources.IndexStore
+      .ensureCellIndex(spark, s"${sfDir}_s29spec", e,
+        nCells = operators.Similarity.IvfNCells)
+    val fpBefore = sources.IndexStore.currentMeta(spark,
+      sources.IndexStore.cellIndexDir(s"${sfDir}_s29spec"))
+    val q = asg.filter(col("vec_id") % 97 === 0 &&
+        col("vec_id") < operators.Similarity.QueryIdBound)
+      .select(col("vec_id").as("q_id"), col("mv").as("q_mv"))
+    val deletes = e.filter(col("vec_id") %
+        operators.Similarity.S29DeleteMod === 0)
+      .select(col("vec_id").as("del_id"))
+    val plain = operators.Similarity
+      .cellProbeSearchFor(q, cents, asg, entries, graph)
+      .collect()
+    CacheScope.releaseAll()
+    val tomb = operators.Similarity
+      .cellProbeSearchFor(q, cents, asg, entries, graph,
+        tombstones = deletes)
+      .collect()
+    CacheScope.releaseAll()
+    val delSet = deletes.collect().map(_.getLong(0)).toSet
+    assert(tomb.nonEmpty && delSet.nonEmpty, "vacuous fixture")
+    // 1. no ghost is ever served
+    assert(tomb.forall(r => !delSet.contains(r.getLong(2))),
+      "a tombstoned id appeared in the served top-K")
+    // 2. ghosts stay traversable: the beams are IDENTICAL (the filter
+    // sits at the fuse), so every live candidate the plain serve
+    // found must survive the tombstoned serve — deletion can only
+    // PROMOTE live candidates, never lose one
+    val tombSet = tomb.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lostLive = plain
+      .filter(r => !delSet.contains(r.getLong(2)))
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .filterNot(tombSet.contains)
+    assert(lostLive.isEmpty,
+      s"live results lost under tombstoning (beam was disturbed): " +
+        lostLive.take(5).mkString(", "))
+    // 3. backfill: ranks stay a prefix per query
+    tomb.groupBy(_.getLong(0)).foreach { case (qid, ns) =>
+      assert(ns.map(_.getInt(1)).sorted.toSeq == (1 to ns.length),
+        s"query $qid ranks not a prefix after tombstoning")
+    }
+    // 4. the standing artifact was never touched
+    assert(sources.IndexStore.currentMeta(spark,
+      sources.IndexStore.cellIndexDir(s"${sfDir}_s29spec")) == fpBefore,
+      "tombstoned serving modified the standing artifact")
+  }
+
+  test("s30 deletion audit arithmetic + compact gate: quiet keeps the " +
+      "artifact, tripped swap serves exactly a fresh retained build") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // hand-checked audit arithmetic: cell 0 has 5 members, 1 deleted
+    // (200 permille ≥ 100 → compact); cell 1 has 4 members, 0 deleted
+    val asg = Seq((0L, 0), (1L, 0), (2L, 0), (3L, 0), (4L, 0),
+      (10L, 1), (11L, 1), (12L, 1), (13L, 1)).toDF("vec_id", "cell")
+    val dels = Seq(3L).toDF("del_id")
+    val audit = operators.Similarity.deletionAudit(asg, dels).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    // columns: cell, n_members, n_deleted, del_permille, compact
+    assert(audit(0).getLong(1) == 5 && audit(0).getLong(2) == 1)
+    assert(audit(0).getLong(3) == 200 && audit(0).getBoolean(4))
+    assert(audit(1).getLong(1) == 4 && audit(1).getLong(2) == 0)
+    assert(audit(1).getLong(3) == 0 && !audit(1).getBoolean(4))
+    // the composed gate on the fixture corpus
+    sources.IndexStore.root = "/tmp/graft_index_s30spec"
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(sources.IndexStore.root))
+    val e = Tables.embeddings(spark, sfDir)
+    val key = s"${sfDir}_s30spec"
+    def meta(): Option[String] = sources.IndexStore.currentMeta(spark,
+      sources.IndexStore.cellIndexDir(key))
+    // quiet: an empty delete set must not trip or swap
+    val none = e.filter(lit(false)).select(col("vec_id").as("del_id"))
+    val (c1, _) = operators.Similarity.compactIfNeeded(spark, key, e, none,
+      nCells = operators.Similarity.IvfNCells)
+    CacheScope.releaseAll()
+    val fpFull = meta()
+    assert(!c1, "an empty delete set tripped compaction")
+    assert(fpFull.isDefined)
+    // tripped: the %7 set (~143 permille/cell) must swap the artifact
+    val deletes = e.filter(col("vec_id") %
+        operators.Similarity.S29DeleteMod === 0)
+      .select(col("vec_id").as("del_id"))
+    val (c2, (cents, asg2, entries, graph)) =
+      operators.Similarity.compactIfNeeded(spark, key, e, deletes,
+        nCells = operators.Similarity.IvfNCells)
+    assert(c2, "the %7 delete set did not trip compaction")
+    assert(meta().isDefined && meta() != fpFull,
+      "compaction did not swap the artifact fingerprint")
+    // the compacted lists carry no ghost
+    val delSet = deletes.collect().map(_.getLong(0)).toSet
+    val ghost = asg2.select(col("vec_id")).collect().map(_.getLong(0))
+      .filter(delSet.contains)
+    assert(ghost.isEmpty, s"ghosts survived compaction: ${ghost.take(5)}")
+    // post-compaction serve ≡ a fresh inline build on the retained
+    // corpus — the swap must not be a cheaper degraded path
+    val served = operators.Similarity
+      .cellProbeSearchOn(cents, asg2, entries, graph)
+      .collect().map(_.mkString("|")).toSet
+    CacheScope.releaseAll()
+    val fresh = operators.Similarity
+      .cellProbeSearch(e.join(deletes, e("vec_id") === col("del_id"),
+          "left_anti"),
+        nCells = operators.Similarity.IvfNCells)
+      .collect().map(_.mkString("|")).toSet
+    CacheScope.releaseAll()
+    assert(served.nonEmpty, "post-compaction serve returned nothing")
+    assert(served == fresh,
+      "post-compaction serve diverged from a fresh retained build")
+  }
+
+  test("s31 standing PQ index: saved serve ≡ inline build, warm hit keeps " +
+      "the fingerprint") {
+    import org.apache.spark.sql.functions._
+    sources.IndexStore.root = "/tmp/graft_index_s31spec"
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(sources.IndexStore.root))
+    val e = Tables.embeddings(spark, sfDir)
+    val key = s"${sfDir}_s31spec"
+    def meta(): Option[String] = sources.IndexStore.currentMeta(spark,
+      sources.IndexStore.pqIndexDir(key))
+    val (c1, a1, cb1, cd1) = sources.IndexStore.ensurePqIndex(spark, key, e,
+      nCells = operators.Similarity.IvfNCells)
+    val fp1 = meta()
+    assert(fp1.isDefined, "cold build left no fingerprint")
+    val served = operators.Similarity.pqServeOn(c1, a1, cb1, cd1)
+      .collect().map(_.mkString("|")).toSet
+    CacheScope.releaseAll()
+    val inline = operators.Similarity.pqServing(e,
+      nCells = operators.Similarity.IvfNCells)
+      .collect().map(_.mkString("|")).toSet
+    CacheScope.releaseAll()
+    assert(served.nonEmpty, "standing PQ serve returned nothing — vacuous")
+    assert(served == inline,
+      "the saved PQ artifact serves differently from the inline build")
+    // warm: a second ensure must be a pure load — same fingerprint
+    val (c2, a2, _, _) = sources.IndexStore.ensurePqIndex(spark, key, e,
+      nCells = operators.Similarity.IvfNCells)
+    assert(meta() == fp1, "a warm hit rewrote the artifact")
+    // the artifact's corpus-sized frames come back off parquet with
+    // the cell key the layout partitions by
+    assert(a2.columns.toSeq == Seq("vec_id", "cell", "mv"))
+    assert(c2.columns.toSeq == Seq("j", "c_mv"))
+    CacheScope.releaseAll()
   }
 
   test("servingNCells: sqrt-scaled, IvfNCells-floored, rounded, capped") {

@@ -482,9 +482,19 @@ object EventStreams {
     * the stream across batches. At serving scale this is the
     * query-router shape: each micro-batch costs |batch|·beam·(k+1)
     * exact distance evaluations and never scans the corpus. */
+  /** `tombstonesDir` (optional): a parquet location holding the
+    * current delete set (one `del_id` column), re-resolved per
+    * micro-batch — deletions published by an upstream job between
+    * batches take effect on the NEXT batch, no restart (the streaming
+    * face of [[graft.operators.Similarity.s29_tombstone_serve]]'s
+    * discipline: ghosts traversable, dropped at the fuse). A
+    * transiently unreadable location (mid-overwrite, not yet created)
+    * keeps the LAST resolved delete set — deletes only grow, so the
+    * degraded mode must never resurrect a deleted id. */
   def annServeStream(queries: DataFrame, corpusDir: String,
       corpus: DataFrame, selfIsInCorpus: Boolean = true,
-      nCells: Int = -1)(sink: (Long, DataFrame) => Unit)
+      nCells: Int = -1, tombstonesDir: String = null)(
+      sink: (Long, DataFrame) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import graft.operators.Similarity
     import graft.sources.IndexStore
@@ -494,6 +504,7 @@ object EventStreams {
     val dir = IndexStore.cellIndexDir(corpusDir)
     var index = IndexStore.ensureCellIndex(s, corpusDir, corpus, nCells)
     var served = IndexStore.currentMeta(s, dir)
+    var tombs: DataFrame = null
     queries.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           id: Long) =>
@@ -509,6 +520,13 @@ object EventStreams {
           index = IndexStore.loadCellIndex(s, dir)
           served = now
         }
+        // tombstone pickup: re-list the delete set (file listing +
+        // schema only — the frame is consumed inside the search); an
+        // unreadable dir keeps the prior set, never drops it
+        if (tombstonesDir != null) {
+          try tombs = s.read.parquet(tombstonesDir).select(col("del_id"))
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
         val (cents, asg, entries, graph) = index
         val q = batch.toDF().select(col("vec_id").as("q_id"),
           transform(col("embedding"),
@@ -523,7 +541,7 @@ object EventStreams {
         // (a concurrent query's) are untouched.
         val m = graft.CacheScope.mark()
         try sink(id, Similarity.cellProbeSearchFor(q, cents, asg, entries,
-          graph, selfIsInCorpus = selfIsInCorpus))
+          graph, selfIsInCorpus = selfIsInCorpus, tombstones = tombs))
         finally graft.CacheScope.releaseSince(m)
     }
   }

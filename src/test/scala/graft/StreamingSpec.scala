@@ -601,4 +601,74 @@ class StreamingSpec extends AnyFunSuite {
       sources.IndexStore.root = "/tmp/graft_index"
     }
   }
+
+  test("streaming ANN serve picks up tombstones published mid-stream, " +
+      "zero state") {
+    import spark.implicits._
+    sources.IndexStore.root = "/tmp/graft_index_anntomb"
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(sources.IndexStore.root))
+    val nc = operators.Similarity.IvfNCells
+    val e = Tables.embeddings(spark, sfDir)
+    val key = s"${sfDir}_anntomb"
+    val queries = e
+      .filter(col("vec_id") % 97 === 0 &&
+        col("vec_id") < operators.Similarity.QueryIdBound)
+      .withColumn("arrival", to_timestamp(lit("2026-01-01 00:00:00")))
+      .select(col("vec_id"), col("embedding").cast("array<double>"),
+        col("arrival"))
+    val qdir = Files.createTempDirectory("graft-anntomb").toString
+    queries.coalesce(1).write.mode("overwrite").parquet(qdir)
+    // the delete-set location does NOT exist yet: batch 1 must treat
+    // the unreadable dir as "no deletes", not fail
+    val tdir = Files.createTempDirectory("graft-anntomb-meta").toString +
+      "/deletes"
+    val reports = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Array[org.apache.spark.sql.Row])]
+    val q = EventStreams.annServeStream(
+        EventStreams.readEmbStream(spark, qdir), key, e,
+        nCells = nc, tombstonesDir = tdir) {
+        (id, rep) => reports += ((id, rep.collect())); ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      val before = reports.flatMap(_._2)
+      assert(before.nonEmpty,
+        "pre-delete batch served nothing (or the absent delete dir " +
+          "failed the batch)")
+      // delete a vector the stream just SERVED — the next batch must
+      // not return it, and deeper candidates must backfill
+      val victim = before.head.getLong(2)
+      Seq(victim).toDF("del_id")
+        .coalesce(1).write.mode("overwrite").parquet(tdir)
+      reports.clear()
+      queries.coalesce(1).write.mode("append").parquet(qdir)
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "ANN serve grew streaming state")
+      val after = reports.flatMap(_._2)
+      assert(after.nonEmpty, "post-delete batch served nothing")
+      assert(!after.exists(_.getLong(2) == victim),
+        s"deleted id $victim was served after its tombstone published")
+      // parity: the post-delete batch equals the batch tombstoned
+      // serve over the same artifact and delete set
+      val (cents, asg, entries, graph) = sources.IndexStore
+        .loadCellIndex(spark, sources.IndexStore.cellIndexDir(key))
+      val qm = queries.select(col("vec_id").as("q_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000).cast("long")).as("q_mv"))
+      val want = operators.Similarity.cellProbeSearchFor(
+          qm, cents, asg, entries, graph,
+          tombstones = Seq(victim).toDF("del_id"))
+        .collect().map(_.mkString("|")).toSet
+      CacheScope.releaseAll()
+      assert(after.map(_.mkString("|")).toSet == want,
+        "streamed tombstoned serve diverged from the batch twin")
+    } finally {
+      q.stop()
+      CacheScope.releaseAll()
+      spark.catalog.clearCache()
+      sources.IndexStore.root = "/tmp/graft_index"
+    }
+  }
 }

@@ -28,6 +28,7 @@ object SparkEntry {
         operators.Curation.queries ++
         operators.Dedup.queries ++
         operators.Similarity.queries ++
+        operators.Retrieval.queries ++
         operators.TextAnalysis.queries ++
         operators.Multimodal.queries,
       oracleSql)
@@ -74,6 +75,7 @@ object SparkEntry {
       operators.Curation.oracles ++
       operators.Dedup.oracles ++
       operators.Similarity.oracles ++
+      operators.Retrieval.oracles ++
       operators.TextAnalysis.oracles ++
       operators.Multimodal.oracles
 }

@@ -1,0 +1,331 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Retrieval-serving operators over the standing ANN index — the two
+  * query shapes a production vector store serves beyond plain kNN:
+  *
+  *  - [[s32_filtered_search]]: attribute-filtered ANN (the
+  *    big-ann-benchmarks "filtered" track; Filtered-DiskANN, Gollapudi
+  *    et al. WWW 2023) — top-K restricted to candidates passing a
+  *    metadata predicate, served from the UNMODIFIED standing index.
+  *  - [[s33_hybrid_rrf]]: hybrid lexical + vector retrieval fused with
+  *    reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
+  *    — the standard RAG retrieval architecture: a sparse/lexical
+  *    ranking and a dense/ANN ranking, combined by rank, not score.
+  *
+  * Both are the SERVING-path counterparts of existing brute-force
+  * entries, the same relationship s23 has to s01: s32 upgrades
+  * [[Similarity.s18_filtered_ann]] (a |q|·n broadcast cosine scan
+  * with a label predicate) to bounded probe work against the standing
+  * index, and s33 upgrades [[Similarity.s13_hybrid_rrf]] (brute-force
+  * dense ranking + rare-token overlap COUNTS) to the served dense
+  * ranking fused with an exact shingle-set-Jaccard lexical ranking.
+  * The brute entries stay — they are the recall referees the
+  * RetrievalSpec gates these serving paths against.
+  *
+  * Both ride [[Similarity]]'s proven serving stack (cell-probed graph
+  * search over the [[graft.sources.IndexStore]] artifact) and both are
+  * exact-arithmetic end to end, so their DuckDB oracles compose the
+  * committed s23 CTE stack with the new stages under one hash check.
+  */
+object Retrieval {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** s32 — label-filtered ANN serving: each query's top-K is
+    * restricted to corpus vectors sharing the QUERY's `label` (the
+    * per-query metadata predicate of the filtered-ANN benchmarks —
+    * "same language", "same tenant", "licensed subset"). Served from
+    * the SAME standing artifact as s25: the index is filter-blind,
+    * the predicate applies at the FUSE (post-filtering) where deeper
+    * beam members backfill filtered-out ranks — exactly the tombstone
+    * discipline, because filtering candidates mid-beam severs routes
+    * THROUGH non-matching nodes (the measured reachability bug the
+    * traverse-through-self fix closed). The oracle is the s23 stack
+    * plus one fuse clause, so the whole filtered path sits under the
+    * hash check at every SF.
+    *
+    * Scale shape: s23's bounded probe work plus one broadcast of the
+    * (beam-sized) fuse frame against the corpus label column — the
+    * corpus streams, the beam builds. Recall under SELECTIVE filters
+    * is priced by the query-time knobs (`spark.graft.ann.nprobe` /
+    * `spark.graft.ann.beamWidth` — a 1/|labels| filter thins each
+    * fused beam by that factor; RetrievalSpec pins that widening the
+    * knobs recovers it); the structural alternative at permanent
+    * high selectivity is one index per label partition, which is
+    * [[graft.sources.IndexStore.ensureCellIndex]] keyed per slice. */
+  def s32_filtered_search: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val (cents, asg, entries, graph) =
+      graft.sources.IndexStore.ensureCellIndex(s, d, e,
+        nCells = Similarity.IvfNCells) // the oracle's fixture sizing
+    filteredSearch(e, cents, asg, entries, graph)
+  }
+
+  /** The library form of [[s32_filtered_search]]: serve the standard
+    * query set from a built index, keeping only same-`label`
+    * candidates. `nProbe`/`beamWidth` pass through to the serving
+    * knobs (explicit > session conf > default). */
+  private[graft] def filteredSearch(e: DataFrame, cents: DataFrame,
+      asg: DataFrame, entries: DataFrame, graph: DataFrame,
+      nProbe: Int = -1, beamWidth: Int = -1): DataFrame = {
+    val qIds = e
+      .filter(col("vec_id") % 97 === 0 &&
+        col("vec_id") < Similarity.QueryIdBound)
+      .select(col("vec_id").as("q_id"))
+    Similarity.cellProbeSearchFor(
+      asg.filter(col("vec_id") % 97 === 0 &&
+          col("vec_id") < Similarity.QueryIdBound)
+        .select(col("vec_id").as("q_id"), col("mv").as("q_mv")),
+      cents, asg, entries, graph,
+      nProbe = nProbe, beamWidth = beamWidth,
+      fuseKeep = labelFuseKeep(e, qIds))
+  }
+
+  /** The same-label fuse predicate as a reusable
+    * [[graft.operators.Similarity.cellProbeSearchFor]] `fuseKeep`
+    * hook — also the streaming serve's filtered mode
+    * ([[graft.streaming.EventStreams.annServeStream]]). `qIds` is the
+    * (small) query-id frame; each query's label resolves through one
+    * broadcast join, the candidate side through one pruned 2-column
+    * corpus scan the beam-sized fuse frame broadcasts into. */
+  private[graft] def labelFuseKeep(e: DataFrame,
+      qIds: DataFrame): DataFrame => DataFrame = {
+    val candLbl = e.select(col("vec_id").as("cand"),
+      col("label").as("cand_lbl"))
+    val qLbl = qIds.select(col("q_id"))
+      .join(e.select(col("vec_id").as("q_id"), col("label").as("q_lbl")),
+        Seq("q_id"))
+    live =>
+      candLbl.join(broadcast(live), Seq("cand"))
+        .join(broadcast(qLbl), Seq("q_id"))
+        .filter(col("cand_lbl") === col("q_lbl"))
+        .select(col("q_id"), col("cell"), col("cand"), col("d2"))
+  }
+
+  /** Word-shingle width for the lexical candidate generator. */
+  private[graft] val LexShingle = 3
+
+  /** Posting-list cap for lexical candidate generation: only shingles
+    * occurring in ≤ this many documents generate candidate pairs (the
+    * classic rare-term blocking). Candidate volume is then
+    * Σ_rare df² ≤ cap · (total shingle occurrences) — LINEAR in the
+    * corpus, where an uncapped inverted-index self-join is quadratic
+    * in every hot shingle's posting list. A document pair sharing
+    * ONLY hot shingles yields no lexical candidate — by design, the
+    * same subset-of-truth contract as every blocked op here (hot
+    * shingles are boilerplate; rare shingles are the discriminative
+    * ones BM25's idf would up-weight anyway). */
+  private[graft] val LexDfCap = 8L
+
+  /** Lexical list depth fed into the fusion. */
+  private[graft] val LexK = 10
+
+  /** RRF rank constant (Cormack et al.'s k = 60) and the integer
+    * scale: one list's contribution is 1e9 div (60 + rank) — exact
+    * long arithmetic, so the fused score hashes identically in the
+    * DuckDB mirror. */
+  private[graft] val RrfC = 60L
+  private[graft] val RrfNano = 1000000000L
+
+  /** Fused list depth returned per query. */
+  private[graft] val HybridK = 10
+
+  /** s33 — hybrid retrieval with reciprocal-rank fusion: per query,
+    * fuse (a) the DENSE ranking — the s23/s25 serving path over the
+    * standing index (top-[[Similarity.K]] by exact milli-L2) — with
+    * (b) a SPARSE lexical ranking — word-[[LexShingle]]-gram
+    * candidates generated through rare-shingle posting lists
+    * ([[LexDfCap]]) and ranked by exact shingle-set Jaccard in
+    * integer micro-units, top-[[LexK]]. Fusion is RRF: each list
+    * contributes 1e9 div ([[RrfC]] + rank) nanos, candidates are
+    * re-ranked by the sum (ties to the smaller id), top-[[HybridK]]
+    * returned with both component ranks (0 = absent from that list).
+    * Rank-based fusion needs no score calibration between the two
+    * retrievers — the reason RRF is the default hybrid combiner.
+    *
+    * Everything is integer-exact, so the oracle chains the committed
+    * s23 CTE stack (as an `ann` CTE) with a relational mirror of the
+    * shingle/Jaccard/fusion stages and hash-matches at every SF.
+    *
+    * Scale shape: the dense side is s23's bounded probe work; the
+    * sparse side is two token-stream aggregates (shingle build, df
+    * count), a df-capped posting join (linear, see [[LexDfCap]]), and
+    * per-candidate array intersections on the |q|-bounded candidate
+    * set; the fusion joins two ≤ |q|·K lists. No stage touches the
+    * corpus² and the corpus text is scanned twice. */
+  def s33_hybrid_rrf: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val (cents, asg, entries, graph) =
+      graft.sources.IndexStore.ensureCellIndex(s, d, e,
+        nCells = Similarity.IvfNCells) // the oracle's fixture sizing
+    hybridRrf(Similarity.cellProbeSearchOn(cents, asg, entries, graph),
+      Tables.documents(s, d))
+  }
+
+  /** Per-document distinct word-shingle sets: (doc_id, gs). Tokens are
+    * the corpus-wide convention (lower + split on whitespace — the
+    * d04 oracle mirror); shingles join [[LexShingle]] consecutive
+    * tokens with single spaces, 1-based to mirror DuckDB list
+    * indexing verbatim. */
+  private[graft] def shingleSets(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("ts"))
+      .select(col("doc_id"),
+        // guard: sequence(1, n) with n < 1 would generate DESCENDING
+        // values in Spark (and element_at(ts, 0) throws) — short docs
+        // get the empty set explicitly
+        when(size(col("ts")) >= LexShingle,
+          array_distinct(expr(
+            "transform(sequence(1, size(ts) - 2), i -> " +
+              "concat_ws(' ', element_at(ts, i), element_at(ts, i + 1), " +
+              "element_at(ts, i + 2)))")))
+          .otherwise(expr("CAST(array() AS array<string>)")).as("gs"))
+
+  /** The sparse half of [[s33_hybrid_rrf]]: rare-shingle candidates,
+    * exact Jaccard in micro-units, per-query top-[[LexK]].
+    * (q_id, cand, lex_rk). */
+  private[graft] def lexicalTopK(docs: DataFrame): DataFrame = {
+    val base = graft.CacheScope.persisted(shingleSets(docs))
+    val sh = base.select(col("doc_id"), explode(col("gs")).as("g"))
+    val rare = sh.join(
+      sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= LexDfCap),
+      Seq("g"))
+    val cand = rare
+      .filter(col("doc_id") % 97 === 0 &&
+        col("doc_id") < Similarity.QueryIdBound)
+      .select(col("g"), col("doc_id").as("q_id"))
+      .join(rare.select(col("g"), col("doc_id").as("cand")), Seq("g"))
+      .filter(col("cand") =!= col("q_id"))
+      .select(col("q_id"), col("cand")).distinct()
+    // exact verify once per candidate: shingle sets are distinct
+    // arrays, so size(array_intersect) IS the set intersection and
+    // j_micro = ⌊1e6·|∩| / |∪|⌋ in pure long arithmetic
+    val scored = cand
+      .join(base.select(col("doc_id").as("q_id"), col("gs").as("gs_q")),
+        Seq("q_id"))
+      .join(base.select(col("doc_id").as("cand"), col("gs").as("gs_c")),
+        Seq("cand"))
+      .withColumn("n_inter",
+        size(array_intersect(col("gs_q"), col("gs_c"))).cast(LongType))
+      .withColumn("j_micro", expr(
+        "(n_inter * 1000000) div (size(gs_q) + size(gs_c) - n_inter)"))
+    val wl = Window.partitionBy(col("q_id"))
+      .orderBy(col("j_micro").desc, col("cand"))
+    scored.withColumn("lex_rk", row_number().over(wl))
+      .filter(col("lex_rk") <= LexK)
+      .select(col("q_id"), col("cand"), col("lex_rk"))
+  }
+
+  /** RRF fusion of a dense ranking (the s23-shaped (q_id, rk, nn_id,
+    * d2) frame) with [[lexicalTopK]] over `docs`. */
+  private[graft] def hybridRrf(ann: DataFrame, docs: DataFrame)
+      : DataFrame = {
+    val a = ann.select(col("q_id"), col("nn_id").as("cand"),
+      col("rk").cast(LongType).as("ann_rk"))
+    val l = lexicalTopK(docs).select(col("q_id"), col("cand"),
+      col("lex_rk").cast(LongType).as("lex_rk"))
+    val fused = a.join(l, Seq("q_id", "cand"), "full_outer")
+      .na.fill(0L, Seq("ann_rk", "lex_rk"))
+      .withColumn("rrf_nano", expr(
+        s"CASE WHEN ann_rk > 0 THEN ${RrfNano}L div (${RrfC} + ann_rk) " +
+          "ELSE 0L END + " +
+          s"CASE WHEN lex_rk > 0 THEN ${RrfNano}L div (${RrfC} + lex_rk) " +
+          "ELSE 0L END"))
+    val wf = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf_nano").desc, col("cand"))
+    fused.withColumn("hyb_rk", row_number().over(wf))
+      .filter(col("hyb_rk") <= HybridK)
+      .select(col("q_id"), col("hyb_rk"), col("cand"), col("rrf_nano"),
+        col("ann_rk"), col("lex_rk"))
+      .orderBy(col("q_id"), col("hyb_rk"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "s32_filtered_search" -> s32_filtered_search,
+    "s33_hybrid_rrf" -> s33_hybrid_rrf)
+
+  /** The lexical + fusion CTEs of [[s33_hybrid_rrf]]'s oracle,
+    * appended after the s23 stack (which contributes the `ann` CTE's
+    * inputs). Shingle indexing is 1-based in both engines by
+    * construction — see [[shingleSets]]. */
+  private def s33OracleSql: String =
+    s"""${Similarity.s23OracleCtes("embeddings")},
+       |ann AS (
+       |  SELECT q_id, cand, rk FROM (
+       |    SELECT q_id, cand,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, cand) AS rk
+       |    FROM cb${Similarity.GsRounds} WHERE cand <> q_id)
+       |  WHERE rk <= ${Similarity.K}),
+       |tk AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ts
+       |  FROM documents),
+       |shl AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id,
+       |    ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS g
+       |  FROM (
+       |    SELECT doc_id, ts,
+       |      unnest(generate_series(1, len(ts) - 2)) AS i
+       |    FROM tk)),
+       |rare AS (
+       |  SELECT s.doc_id, s.g
+       |  FROM shl s JOIN (
+       |    SELECT g, COUNT(*) AS df FROM shl GROUP BY g) d USING (g)
+       |  WHERE d.df <= $LexDfCap),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS q_id, b.doc_id AS cand
+       |  FROM rare a JOIN rare b USING (g)
+       |  WHERE a.doc_id % 97 = 0 AND a.doc_id < ${Similarity.QueryIdBound}
+       |    AND b.doc_id <> a.doc_id),
+       |szs AS (SELECT doc_id, COUNT(*) AS n FROM shl GROUP BY doc_id),
+       |ints AS (
+       |  SELECT c.q_id, c.cand, COUNT(*) AS n_inter
+       |  FROM cands c
+       |  JOIN shl sa ON sa.doc_id = c.q_id
+       |  JOIN shl sb ON sb.doc_id = c.cand AND sb.g = sa.g
+       |  GROUP BY c.q_id, c.cand),
+       |lexs AS (
+       |  SELECT q_id, cand, lex_rk FROM (
+       |    SELECT i.q_id, i.cand,
+       |      ROW_NUMBER() OVER (PARTITION BY i.q_id
+       |        ORDER BY (i.n_inter * 1000000)
+       |          // (za.n + zb.n - i.n_inter) DESC, i.cand) AS lex_rk
+       |    FROM ints i
+       |    JOIN szs za ON za.doc_id = i.q_id
+       |    JOIN szs zb ON zb.doc_id = i.cand)
+       |  WHERE lex_rk <= $LexK),
+       |fused AS (
+       |  SELECT COALESCE(a.q_id, l.q_id) AS q_id,
+       |    COALESCE(a.cand, l.cand) AS cand,
+       |    COALESCE(a.rk, 0) AS ann_rk, COALESCE(l.lex_rk, 0) AS lex_rk
+       |  FROM ann a FULL OUTER JOIN lexs l
+       |    ON l.q_id = a.q_id AND l.cand = a.cand),
+       |rrf AS (
+       |  SELECT q_id, cand, ann_rk, lex_rk,
+       |    (CASE WHEN ann_rk > 0 THEN $RrfNano // ($RrfC + ann_rk)
+       |      ELSE 0 END
+       |     + CASE WHEN lex_rk > 0 THEN $RrfNano // ($RrfC + lex_rk)
+       |      ELSE 0 END) AS rrf_nano
+       |  FROM fused)
+       |SELECT q_id, hyb_rk, cand, rrf_nano, ann_rk, lex_rk FROM (
+       |  SELECT q_id, cand, rrf_nano, ann_rk, lex_rk,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY rrf_nano DESC, cand) AS hyb_rk
+       |  FROM rrf)
+       |WHERE hyb_rk <= $HybridK ORDER BY q_id, hyb_rk""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // the s23 stack plus ONE fuse clause: only same-label candidates
+    // rank — the whole filtered-serving path under the hash check
+    "s32_filtered_search" -> Similarity.s23OracleSqlOn("embeddings",
+      fuseFilter = " AND (SELECT el.label FROM embeddings el" +
+        " WHERE el.vec_id = cand) = (SELECT eq.label FROM embeddings eq" +
+        " WHERE eq.vec_id = q_id)"),
+    "s33_hybrid_rrf" -> s33OracleSql)
+}

@@ -21,7 +21,7 @@ object Similarity {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val K = 5
+  private[operators] val K = 5
 
   /** Fixed evaluation budget for the ANN query set: every 97th vector
     * capped at 32 queries (vec_id < 97·32). The cap is what keeps the
@@ -982,11 +982,12 @@ object Similarity {
     * the four index tables. */
   private[graft] def cellProbeSearchOn(cents: DataFrame, asg: DataFrame,
       entries: DataFrame, graph: DataFrame,
-      nProbe: Int = -1, rounds: Int = GsRounds): DataFrame =
+      nProbe: Int = -1, rounds: Int = GsRounds,
+      fuseKeep: DataFrame => DataFrame = null): DataFrame =
     cellProbeSearchFor(
       asg.filter(col("vec_id") % 97 === 0 && col("vec_id") < QueryIdBound)
         .select(col("vec_id").as("q_id"), col("mv").as("q_mv")),
-      cents, asg, entries, graph, nProbe, rounds)
+      cents, asg, entries, graph, nProbe, rounds, fuseKeep = fuseKeep)
 
   /** [[cellProbeSearchOn]] for an EXTERNAL query set — (q_id, q_mv)
     * milli vectors that need not live in the corpus (the streaming
@@ -1011,12 +1012,26 @@ object Similarity {
     * measured; a tombstone must not reintroduce it. This is the
     * FreshDiskANN deletion discipline (Singh et al. 2021): serve
     * around the ghost now, compact when [[s30_delete_compact]]'s
-    * audit says the ghost mass warrants the rebuild. */
+    * audit says the ghost mass warrants the rebuild.
+    *
+    * `fuseKeep` (optional) is a per-candidate FUSE-STAGE filter hook —
+    * the attribute-filtered-search seam
+    * ([[graft.operators.Retrieval.s32_filtered_search]]): it receives
+    * the fused beam frame (q_id, cell, cand, d2) AFTER the
+    * self-exclusion and the tombstone anti-join and must return a
+    * subset with the same columns; the top-K rank runs on what it
+    * keeps, so deeper beam members backfill filtered-out ranks exactly
+    * like tombstones. Filtering at the fuse (never mid-beam) preserves
+    * graph reachability — the same discipline the tombstone path
+    * follows, and the post-filter half of Filtered-DiskANN (Gollapudi
+    * et al. 2023); the recall lever for selective filters is the
+    * query-time nprobe/beamWidth knobs, not beam filtering. */
   private[graft] def cellProbeSearchFor(q0: DataFrame, cents: DataFrame,
       asg: DataFrame, entries: DataFrame, graph: DataFrame,
       nProbe: Int = -1, rounds: Int = GsRounds,
       beamWidth: Int = -1, selfIsInCorpus: Boolean = true,
-      tombstones: DataFrame = null): DataFrame = {
+      tombstones: DataFrame = null,
+      fuseKeep: DataFrame => DataFrame = null): DataFrame = {
     import graft.functions.VectorFunctions.milli_l2
     // -1 = session-resolved (`spark.graft.ann.beamWidth` /
     // `spark.graft.ann.nprobe`, else the shipped defaults) so every
@@ -1090,7 +1105,8 @@ object Similarity {
       else base.join(
         broadcast(tombstones.select(col("del_id").as("cand"))),
         Seq("cand"), "left_anti")
-    live
+    val kept = if (fuseKeep == null) live else fuseKeep(live)
+    kept
       .withColumn("rk", row_number().over(wf))
       .filter(col("rk") <= K)
       .select(col("q_id"), col("rk"), col("cand").as("nn_id"), col("d2"))
@@ -2707,6 +2723,19 @@ object Similarity {
     * before the top-K rank) — s29's tombstone mirror. */
   private[operators] def s23OracleSqlOn(rel: String,
       fuseFilter: String = ""): String =
+    s"""${s23OracleCtes(rel)}
+       |SELECT q_id, rk, cand AS nn_id, d2 FROM (
+       |  SELECT q_id, cand, d2,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, cand) AS rk
+       |  FROM cb$GsRounds WHERE cand <> q_id$fuseFilter)
+       |WHERE rk <= $K ORDER BY q_id, rk""".stripMargin
+
+  /** The CTE half of [[s23OracleSqlOn]] — everything through the last
+    * beam round cb{GsRounds}, leading WITH included, no final SELECT.
+    * The seam composite oracles (s33's hybrid fusion) use to consume
+    * the proven ANN stack as one more CTE instead of the query's
+    * final answer. */
+  private[operators] def s23OracleCtes(rel: String): String =
     s"""${cellGraphCtes(rel)},
        |gr AS MATERIALIZED (
        |  SELECT DISTINCT cell, src, dst FROM (
@@ -2764,12 +2793,7 @@ object Similarity {
        |      JOIN mv mb ON mb.vec_id = c.cand AND mb.dim = ma.dim
        |      GROUP BY c.q_id, c.cell, c.cand))
        |  WHERE rn <= $GsBeam),
-       |${(1 to GsRounds).map(s23RoundCte).mkString(",\n")}
-       |SELECT q_id, rk, cand AS nn_id, d2 FROM (
-       |  SELECT q_id, cand, d2,
-       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, cand) AS rk
-       |  FROM cb$GsRounds WHERE cand <> q_id$fuseFilter)
-       |WHERE rk <= $K ORDER BY q_id, rk""".stripMargin
+       |${(1 to GsRounds).map(s23RoundCte).mkString(",\n")}""".stripMargin
 
   /** s28's oracle: the coarse trainer's CTEs (identical text to
     * s19/s22/s23's — `q`/`af`/`cells`) plus a SECOND, `f`-prefixed

@@ -490,10 +490,22 @@ object EventStreams {
     * discipline: ghosts traversable, dropped at the fuse). A
     * transiently unreadable location (mid-overwrite, not yet created)
     * keeps the LAST resolved delete set — deletes only grow, so the
-    * degraded mode must never resurrect a deleted id. */
+    * degraded mode must never resurrect a deleted id.
+    *
+    * `fuseKeep` (optional): the per-candidate fuse-stage filter hook,
+    * verbatim [[graft.operators.Similarity.cellProbeSearchFor]]'s —
+    * the streaming face of
+    * [[graft.operators.Retrieval.s32_filtered_search]]'s
+    * attribute-filtered serving (candidates failing the predicate
+    * drop at the fuse, deeper beam members backfill, the beams and
+    * the artifact untouched). The closure is applied inside every
+    * micro-batch's search, so a predicate built on a static corpus
+    * attribute frame resolves that frame per batch like any other
+    * batch join. */
   def annServeStream(queries: DataFrame, corpusDir: String,
       corpus: DataFrame, selfIsInCorpus: Boolean = true,
-      nCells: Int = -1, tombstonesDir: String = null)(
+      nCells: Int = -1, tombstonesDir: String = null,
+      fuseKeep: DataFrame => DataFrame = null)(
       sink: (Long, DataFrame) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import graft.operators.Similarity
@@ -541,7 +553,8 @@ object EventStreams {
         // (a concurrent query's) are untouched.
         val m = graft.CacheScope.mark()
         try sink(id, Similarity.cellProbeSearchFor(q, cents, asg, entries,
-          graph, selfIsInCorpus = selfIsInCorpus, tombstones = tombs))
+          graph, selfIsInCorpus = selfIsInCorpus, tombstones = tombs,
+          fuseKeep = fuseKeep))
         finally graft.CacheScope.releaseSince(m)
     }
   }

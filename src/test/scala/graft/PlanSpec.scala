@@ -845,4 +845,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum((("))
     CacheScope.releaseAll()
   }
+
+  test("s32 filtered fuse broadcasts the beam into the label scan; ranks prune pre-shuffle") {
+    val p = plan("s32_filtered_search")
+    // the standing artifact is read, beam sides broadcast; the label
+    // predicate joins the (beam-sized) fuse frame as the BUILD side
+    // against one pruned 2-column corpus scan -- never the reverse
+    assert(p.contains("FileScan parquet"),
+      "s32's query job does not read the standing saved index")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // the filtered fuse still keeps only local top-5 pre-exchange
+    assert("row_number\\(\\), 5, Partial".r.findAllIn(p).nonEmpty,
+      "filtered fuse shuffles unpruned beams instead of local top-5")
+    CacheScope.releaseAll()
+  }
+
+  test("s33 hybrid: lexical arm is df-capped hash joins; all rankings prune pre-shuffle") {
+    val p = plan("s33_hybrid_rrf")
+    assert(p.contains("FileScan parquet"),
+      "s33's dense arm does not read the standing saved index")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the lexical candidate join degenerated to a nested loop")
+    // dense fuse keeps local top-5; lexical and hybrid rankings keep
+    // local top-10 before their q_id exchanges
+    assert("row_number\\(\\), 5, Partial".r.findAllIn(p).nonEmpty,
+      "dense fuse shuffles unpruned beams instead of local top-5")
+    assert("row_number\\(\\), 10, Partial".r.findAllIn(p).size >= 2,
+      "lexical/hybrid rankings shuffle full candidate lists instead of local top-10")
+    CacheScope.releaseAll()
+  }
 }

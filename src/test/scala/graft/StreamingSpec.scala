@@ -671,4 +671,49 @@ class StreamingSpec extends AnyFunSuite {
       sources.IndexStore.root = "/tmp/graft_index"
     }
   }
+
+  test("streaming ANN serve honors an attribute fuse filter, " +
+      "exactly batch s32, zero state") {
+    sources.IndexStore.root = "/tmp/graft_index_annfilter"
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(sources.IndexStore.root))
+    val e = Tables.embeddings(spark, sfDir)
+    // the query stream: s32's own query set (%97 convention)
+    val qIds = e.filter(col("vec_id") % 97 === 0 &&
+        col("vec_id") < operators.Similarity.QueryIdBound)
+      .select(col("vec_id").as("q_id"))
+    val qdir = Files.createTempDirectory("graft-annfilter").toString
+    e.filter(col("vec_id") % 97 === 0 &&
+        col("vec_id") < operators.Similarity.QueryIdBound)
+      .withColumn("arrival", to_timestamp(lit("2026-01-01 00:00:00")))
+      .select(col("vec_id"), col("embedding").cast("array<double>"),
+        col("arrival"))
+      .coalesce(1).write.mode("overwrite").parquet(qdir)
+    val reports = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Array[org.apache.spark.sql.Row])]
+    val q = EventStreams.annServeStream(
+        EventStreams.readEmbStream(spark, qdir), sfDir, e,
+        nCells = operators.Similarity.IvfNCells,
+        fuseKeep = operators.Retrieval.labelFuseKeep(e, qIds)) {
+        (id, rep) => reports += ((id, rep.collect())); ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "filtered ANN serve grew streaming state")
+      assert(reports.nonEmpty, "no micro-batch answer emitted")
+      val streamed = reports.flatMap(_._2).map(_.mkString("|")).toSet
+      val want = SparkEntry.queries("s32_filtered_search")(spark, sfDir)
+        .collect().map(_.mkString("|")).toSet
+      CacheScope.releaseAll()
+      assert(want.nonEmpty, "batch s32 empty -- vacuous")
+      assert(streamed == want,
+        "streamed filtered serve diverged from batch s32")
+    } finally {
+      q.stop()
+      CacheScope.releaseAll()
+      spark.catalog.clearCache()
+      sources.IndexStore.root = "/tmp/graft_index"
+    }
+  }
 }

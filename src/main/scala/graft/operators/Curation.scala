@@ -856,6 +856,37 @@ object Curation {
     * bounded probe work. The semi-join slice is doc-keyed — no new
     * shuffle shape.
     */
+  /** p08 — the full RAG data pipeline closed end to end: p06's curated
+    * epoch build → the standing serving index over the curated slice
+    * (p07's artifact, same key — the two pipelines share one saved
+    * index for one corpus state) → [[Retrieval.s33_hybrid_rrf]]'s
+    * hybrid retrieval, with BOTH arms re-targeted at the survivors:
+    * the dense ranking probes the slice-built artifact, the sparse
+    * rare-shingle ranking reads only kept documents. The oracle chains
+    * p06's committed text, the slice CTEs, the s23 stack on the slice,
+    * and the hybrid body on the kept docs — curation, index lifecycle,
+    * and rank fusion under ONE hash check at every SF.
+    *
+    * Scale = p06's + the slice index build + s33's bounded query
+    * work; both slice joins are doc-keyed semi-joins, no new shuffle
+    * shape. `kept` is lineage-cut once and shared by both arms (the
+    * p07 plan-cloning lesson). */
+  def p08_hybrid_pipeline: Q = (s, d) => {
+    val kept = graft.CacheScope.checkpointed(
+      p06_epoch_build(s, d).select(col("doc_id")).distinct())
+    val slice = graft.CacheScope.checkpointed(
+      Tables.embeddings(s, d)
+        .join(kept.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"),
+          "left_semi"))
+    val (cents, asg, entries, graph) =
+      graft.sources.IndexStore.ensureCellIndex(s, s"${d}_p07", slice,
+        nCells = Similarity.IvfNCells) // oracle fixture sizing — pinned
+    val ann = Similarity.cellProbeSearchOn(cents, asg, entries, graph)
+    val keptDocs = Tables.documents(s, d)
+      .join(kept, Seq("doc_id"), "left_semi")
+    Retrieval.hybridRrf(ann, keptDocs)
+  }
+
   def p07_serving_pipeline: Q = (s, d) => {
     val kept = p06_epoch_build(s, d).select(col("doc_id")).distinct()
     // eager lineage cut: the slice is referenced by the fingerprint
@@ -1094,6 +1125,7 @@ object Curation {
     "p05_epoch_mixture" -> p05_epoch_mixture,
     "p06_epoch_build" -> p06_epoch_build,
     "p07_serving_pipeline" -> p07_serving_pipeline,
+    "p08_hybrid_pipeline" -> p08_hybrid_pipeline,
   )
 
   /** Oracle CTE chain for p03's stages 1–5 (curate → d29 canonical
@@ -1328,6 +1360,7 @@ object Curation {
          |FROM cm ORDER BY shard, pos""".stripMargin,
     "p06_epoch_build" -> p06OracleSql,
     "p07_serving_pipeline" -> p07OracleSql,
+    "p08_hybrid_pipeline" -> p08OracleSql,
   ) ++ oraclesTail
 
   /** p06's oracle as a def so [[p07OracleSql]] can embed it as the
@@ -1390,6 +1423,20 @@ object Curation {
       "slice AS MATERIALIZED (\n" +
       "  SELECT e.* FROM embeddings e JOIN kept k ON k.doc_id = e.vec_id),\n" +
       Similarity.s23OracleSqlOn("slice embeddings").stripPrefix("WITH ")
+
+  /** p08's oracle: p07's kept/slice prefix plus the kept-docs view,
+    * the s23 CTE stack on the slice, and the hybrid ann+lexical+RRF
+    * body on the kept docs — same plain-concatenation discipline as
+    * [[p07OracleSql]]. */
+  private def p08OracleSql: String =
+    "WITH kept AS MATERIALIZED (\n" +
+      "  SELECT DISTINCT doc_id FROM (\n" + p06OracleSql + "\n  ) pm),\n" +
+      "slice AS MATERIALIZED (\n" +
+      "  SELECT e.* FROM embeddings e JOIN kept k ON k.doc_id = e.vec_id),\n" +
+      "kdocs AS MATERIALIZED (\n" +
+      "  SELECT d.* FROM documents d JOIN kept k USING (doc_id)),\n" +
+      Similarity.s23OracleCtes("slice embeddings").stripPrefix("WITH ") +
+      ",\n" + Retrieval.hybridOracleBody("kdocs")
 
   private def oraclesTail: Map[String, String] = Map(
     "p02_incremental" -> {

@@ -247,17 +247,83 @@ object Retrieval {
       .orderBy(col("q_id"), col("hyb_rk"))
   }
 
+  /** s34 — the serving path's recall eval as a HASH-CHECKED query:
+    * per query, recall@[[Similarity.K]] of the standing-index serve
+    * (s23/s25's cell-probed search at the shipped knobs) against the
+    * exact milli-L2 brute-force truth. Every side is deterministic
+    * integer arithmetic — the served ranking (the s23 stack), the
+    * brute truth (exact top-K with (d2, id) ties), and the per-query
+    * hit counts in integer micro-units — so unlike s05's float-cosine
+    * recall report (rows-only by design), this eval sits fully under
+    * the DuckDB hash gate: the oracle recomputes BOTH rankings and
+    * the same integer recall. This is the production eval loop
+    * (SERVECURVE's measurement) institutionalized as a suite query —
+    * an index regression shows up as a changed recall_micro, caught
+    * by the hash.
+    *
+    * Scale: the serve is s23's bounded probe work; the truth is
+    * s01's broadcast shape (|q| ≤ 32 queries fanned against one
+    * corpus scan, per-partition top-K before the q_id exchange) — the
+    * eval never exceeds the brute baseline's documented cost, and the
+    * constant query budget keeps it linear in the corpus. */
+  def s34_serving_recall: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val (cents, asg, entries, graph) =
+      graft.sources.IndexStore.ensureCellIndex(s, d, e,
+        nCells = Similarity.IvfNCells) // the oracle's fixture sizing
+    val served = Similarity.cellProbeSearchOn(cents, asg, entries, graph)
+      .select(col("q_id"), col("nn_id").as("cand"))
+    milliTruth(e)
+      .join(served.withColumn("hit", lit(1)), Seq("q_id", "cand"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_hits"))
+      .withColumn("recall_micro", expr("(n_hits * 1000000) div n_true"))
+      .orderBy(col("q_id"))
+  }
+
+  /** Exact top-[[Similarity.K]] per standard query in the serving
+    * metric (milli-L2, ties (d2, id)) — the brute truth [[
+    * s34_serving_recall]] scores against. Broadcast query fan, one
+    * corpus scan, per-partition top-K pruning: s01's shape. */
+  private[graft] def milliTruth(e: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.milli_l2
+    val m = e.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("mv"))
+    val q = m.filter(col("vec_id") % 97 === 0 &&
+        col("vec_id") < Similarity.QueryIdBound)
+      .select(col("vec_id").as("q_id"), col("mv").as("q_mv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cand"))
+    m.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"),
+        col("vec_id").as("cand"), milli_l2(col("q_mv"), col("mv")).as("d2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= Similarity.K)
+      .select(col("q_id"), col("cand"))
+  }
+
   val queries: Map[String, Q] = Map(
     "s32_filtered_search" -> s32_filtered_search,
-    "s33_hybrid_rrf" -> s33_hybrid_rrf)
+    "s33_hybrid_rrf" -> s33_hybrid_rrf,
+    "s34_serving_recall" -> s34_serving_recall)
 
   /** The lexical + fusion CTEs of [[s33_hybrid_rrf]]'s oracle,
     * appended after the s23 stack (which contributes the `ann` CTE's
     * inputs). Shingle indexing is 1-based in both engines by
     * construction — see [[shingleSets]]. */
   private def s33OracleSql: String =
-    s"""${Similarity.s23OracleCtes("embeddings")},
-       |ann AS (
+    s"${Similarity.s23OracleCtes("embeddings")},\n" +
+      hybridOracleBody("documents")
+
+  /** The ann + lexical + fusion half of the hybrid oracle — every CTE
+    * from `ann` (reading the s23 stack's final beam cb{GsRounds},
+    * which the CALLER's prefix must supply) through the final fused
+    * SELECT, with the lexical arm reading `docsRel`. The seam p08's
+    * pipeline oracle uses to re-target the sparse arm at the curated
+    * slice, exactly as s23OracleSqlOn re-targets the dense trainer.
+    * Pre-stripped (no leading WITH, no margins). */
+  private[operators] def hybridOracleBody(docsRel: String): String =
+    s"""ann AS (
        |  SELECT q_id, cand, rk FROM (
        |    SELECT q_id, cand,
        |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, cand) AS rk
@@ -265,7 +331,7 @@ object Retrieval {
        |  WHERE rk <= ${Similarity.K}),
        |tk AS (
        |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS ts
-       |  FROM documents),
+       |  FROM $docsRel),
        |shl AS MATERIALIZED (
        |  SELECT DISTINCT doc_id,
        |    ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS g
@@ -327,5 +393,42 @@ object Retrieval {
       fuseFilter = " AND (SELECT el.label FROM embeddings el" +
         " WHERE el.vec_id = cand) = (SELECT eq.label FROM embeddings eq" +
         " WHERE eq.vec_id = q_id)"),
-    "s33_hybrid_rrf" -> s33OracleSql)
+    "s33_hybrid_rrf" -> s33OracleSql,
+    // both rankings AND the integer recall recomputed relationally:
+    // the s23 stack serves, the mv CTE's exact pairs are the truth
+    "s34_serving_recall" -> s34OracleSql)
+
+  /** [[s34_serving_recall]]'s oracle: the s23 stack (the served
+    * ranking) plus a brute-force exact top-K from the SAME mv
+    * quantization CTE, left-joined into per-query integer recall. */
+  private def s34OracleSql: String =
+    s"""${Similarity.s23OracleCtes("embeddings")},
+       |served AS (
+       |  SELECT q_id, cand FROM (
+       |    SELECT q_id, cand,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, cand) AS rk
+       |    FROM cb${Similarity.GsRounds} WHERE cand <> q_id)
+       |  WHERE rk <= ${Similarity.K}),
+       |bd AS (
+       |  SELECT b.vec_id AS q_id, m2.vec_id AS cand,
+       |    CAST(SUM((ma.qv - m2.qv) * (ma.qv - m2.qv)) AS BIGINT) AS d2
+       |  FROM (SELECT vec_id FROM cells
+       |        WHERE vec_id % 97 = 0 AND vec_id < ${Similarity.QueryIdBound}) b
+       |  JOIN mv ma ON ma.vec_id = b.vec_id
+       |  JOIN mv m2 ON m2.dim = ma.dim AND m2.vec_id <> b.vec_id
+       |  GROUP BY b.vec_id, m2.vec_id),
+       |bt AS (
+       |  SELECT q_id, cand FROM (
+       |    SELECT q_id, cand,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, cand) AS rn
+       |    FROM bd)
+       |  WHERE rn <= ${Similarity.K})
+       |SELECT q_id, n_true, n_hits,
+       |  (n_hits * 1000000) // n_true AS recall_micro
+       |FROM (
+       |  SELECT b.q_id, COUNT(*) AS n_true, COUNT(s.cand) AS n_hits
+       |  FROM bt b LEFT JOIN served s
+       |    ON s.q_id = b.q_id AND s.cand = b.cand
+       |  GROUP BY b.q_id)
+       |ORDER BY q_id""".stripMargin
 }

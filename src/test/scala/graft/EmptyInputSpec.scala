@@ -75,7 +75,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "s24_incremental_graph", "s25_standing_search", "s26_index_health",
     "p07_serving_pipeline", "s27_index_refresh", "s28_pq_serving",
     "s29_tombstone_serve", "s30_delete_compact", "s31_pq_standing",
-    "s32_filtered_search", "s33_hybrid_rrf",
+    "s32_filtered_search", "s33_hybrid_rrf", "p08_hybrid_pipeline",
+    "s34_serving_recall",
     "d33_leakage_split",
     "p05_epoch_mixture",
     "t27_fertility", "t28_token_drift", "d31_corpus_report",

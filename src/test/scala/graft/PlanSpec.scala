@@ -877,4 +877,34 @@ class PlanSpec extends AnyFunSuite {
       "lexical/hybrid rankings shuffle full candidate lists instead of local top-10")
     CacheScope.releaseAll()
   }
+
+  test("p08 hybrid pipeline serves from the saved slice artifact; no cartesians") {
+    // p06 + the index build already ran as batch jobs; the RETURNED
+    // plan is the fused query job -- it must read the slice artifact,
+    // broadcast the beam sides, and keep the lexical arm on hash joins
+    val p = plan("p08_hybrid_pipeline")
+    assert(p.contains("FileScan parquet"),
+      "p08's query job does not read the saved slice index")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert("row_number\\(\\), 10, Partial".r.findAllIn(p).size >= 2,
+      "lexical/hybrid rankings shuffle full candidate lists instead of local top-10")
+    CacheScope.releaseAll()
+  }
+
+  test("s34 recall eval: broadcast query fan, truth top-K prunes pre-shuffle") {
+    val p = plan("s34_serving_recall")
+    // the serve reads the standing artifact; the brute truth fans the
+    // constant query set via a nested-loop broadcast (s01's shape) and
+    // keeps only local top-K before its q_id exchange
+    assert(p.contains("FileScan parquet"),
+      "s34's serve does not read the standing saved index")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the truth fan is not a broadcast of the constant query set")
+    assert(!p.contains("CartesianProduct"))
+    assert("row_number\\(\\), 5, Partial".r.findAllIn(p).nonEmpty,
+      "a top-5 ranking shuffles unpruned candidates")
+    CacheScope.releaseAll()
+  }
 }

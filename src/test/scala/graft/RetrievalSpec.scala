@@ -163,4 +163,41 @@ class RetrievalSpec extends AnyFunSuite {
         s"got     ${got.take(8)}\nexpected ${expected.take(8)}")
     CacheScope.releaseAll()
   }
+
+  test("p08: every fused candidate and query is a p06-kept document") {
+    val rows = SparkEntry.queries("p08_hybrid_pipeline")(spark, sfDir)
+      .collect()
+    CacheScope.releaseAll()
+    assert(rows.nonEmpty)
+    val kept = SparkEntry.queries("p06_epoch_build")(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    CacheScope.releaseAll()
+    assert(kept.nonEmpty, "p06 kept nothing -- vacuous")
+    rows.foreach { r =>
+      val q = r.getAs[Long]("q_id"); val c = r.getAs[Long]("cand")
+      assert(kept(q), s"query $q is not a kept doc")
+      assert(kept(c), s"candidate $c (q=$q) is not a kept doc")
+    }
+    // both arms contributed somewhere: the composition is a real
+    // fusion, not one list passing through
+    assert(rows.exists(_.getAs[Long]("ann_rk") > 0), "dense arm empty")
+    assert(rows.exists(_.getAs[Long]("lex_rk") > 0), "sparse arm empty")
+  }
+
+  test("s34: hash-checked recall eval agrees with the spec's own recall math") {
+    val rows = SparkEntry.queries("s34_serving_recall")(spark, sfDir).collect()
+    CacheScope.releaseAll()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getAs[Long]("n_true"); val h = r.getAs[Long]("n_hits")
+      assert(t == 5, s"truth list not K-deep: $t")
+      assert(h >= 0 && h <= t)
+      assert(r.getAs[Long]("recall_micro") == h * 1000000L / t)
+    }
+    // the shipped-knob serving floor on this fixture (measured 0.57 in
+    // SERVECURVE terms); an index/serve regression drops this
+    val mean = rows.map(_.getAs[Long]("recall_micro")).sum / rows.length
+    info(s"s34 mean recall_micro=$mean over ${rows.length} queries")
+    assert(mean >= 400000L, s"serving recall collapsed: $mean")
+  }
 }

@@ -187,30 +187,54 @@ object Retrieval {
               "element_at(ts, i + 2)))")))
           .otherwise(expr("CAST(array() AS array<string>)")).as("gs"))
 
-  /** The sparse half of [[s33_hybrid_rrf]]: rare-shingle candidates,
-    * exact Jaccard in micro-units, per-query top-[[LexK]].
-    * (q_id, cand, lex_rk). */
-  private[graft] def lexicalTopK(docs: DataFrame): DataFrame = {
+  /** The standing half of the lexical index: persisted per-doc
+    * shingle sets plus the df-capped rare postings — resolved once
+    * and probed by any number of query sets (the streaming hybrid
+    * serve resolves it at stream construction). */
+  private[graft] case class LexIndex(base: DataFrame, rare: DataFrame)
+
+  private[graft] def lexIndex(docs: DataFrame): LexIndex = {
     val base = graft.CacheScope.persisted(shingleSets(docs))
     val sh = base.select(col("doc_id"), explode(col("gs")).as("g"))
     val rare = sh.join(
       sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= LexDfCap),
       Seq("g"))
-    val cand = rare
-      .filter(col("doc_id") % 97 === 0 &&
-        col("doc_id") < Similarity.QueryIdBound)
-      .select(col("g"), col("doc_id").as("q_id"))
-      .join(rare.select(col("g"), col("doc_id").as("cand")), Seq("g"))
+    LexIndex(base, rare)
+  }
+
+  /** The sparse half of [[s33_hybrid_rrf]]: rare-shingle candidates,
+    * exact Jaccard in micro-units, per-query top-[[LexK]].
+    * (q_id, cand, lex_rk). */
+  private[graft] def lexicalTopK(docs: DataFrame): DataFrame = {
+    val ix = lexIndex(docs)
+    lexicalTopKFor(
+      ix.rare.filter(col("doc_id") % 97 === 0 &&
+          col("doc_id") < Similarity.QueryIdBound)
+        .select(col("doc_id").as("q_id")).distinct(),
+      ix)
+  }
+
+  /** [[lexicalTopK]] for an explicit query-id frame over a standing
+    * [[LexIndex]] — the per-micro-batch seam of the streaming hybrid
+    * serve. Identical arithmetic; the suite path is the special case
+    * where the queries are the %97 convention. */
+  private[graft] def lexicalTopKFor(qIds: DataFrame,
+      ix: LexIndex): DataFrame = {
+    val cand = ix.rare
+      .join(broadcast(qIds.select(col("q_id"))),
+        col("doc_id") === col("q_id"))
+      .select(col("g"), col("q_id"))
+      .join(ix.rare.select(col("g"), col("doc_id").as("cand")), Seq("g"))
       .filter(col("cand") =!= col("q_id"))
       .select(col("q_id"), col("cand")).distinct()
     // exact verify once per candidate: shingle sets are distinct
     // arrays, so size(array_intersect) IS the set intersection and
     // j_micro = ⌊1e6·|∩| / |∪|⌋ in pure long arithmetic
     val scored = cand
-      .join(base.select(col("doc_id").as("q_id"), col("gs").as("gs_q")),
+      .join(ix.base.select(col("doc_id").as("q_id"), col("gs").as("gs_q")),
         Seq("q_id"))
-      .join(base.select(col("doc_id").as("cand"), col("gs").as("gs_c")),
+      .join(ix.base.select(col("doc_id").as("cand"), col("gs").as("gs_c")),
         Seq("cand"))
       .withColumn("n_inter",
         size(array_intersect(col("gs_q"), col("gs_c"))).cast(LongType))
@@ -226,10 +250,17 @@ object Retrieval {
   /** RRF fusion of a dense ranking (the s23-shaped (q_id, rk, nn_id,
     * d2) frame) with [[lexicalTopK]] over `docs`. */
   private[graft] def hybridRrf(ann: DataFrame, docs: DataFrame)
+      : DataFrame =
+    rrfFuse(ann, lexicalTopK(docs))
+
+  /** The pure fusion stage: dense (q_id, rk, nn_id, …) × sparse
+    * (q_id, cand, lex_rk) → fused top-[[HybridK]] with both component
+    * ranks. */
+  private[graft] def rrfFuse(ann: DataFrame, lex: DataFrame)
       : DataFrame = {
     val a = ann.select(col("q_id"), col("nn_id").as("cand"),
       col("rk").cast(LongType).as("ann_rk"))
-    val l = lexicalTopK(docs).select(col("q_id"), col("cand"),
+    val l = lex.select(col("q_id"), col("cand"),
       col("lex_rk").cast(LongType).as("lex_rk"))
     val fused = a.join(l, Seq("q_id", "cand"), "full_outer")
       .na.fill(0L, Seq("ann_rk", "lex_rk"))

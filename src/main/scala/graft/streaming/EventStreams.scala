@@ -559,6 +559,58 @@ object EventStreams {
     }
   }
 
+  /** Streaming HYBRID serve — [[annServeStream]]'s discipline applied
+    * to [[graft.operators.Retrieval.s33_hybrid_rrf]]: each arriving
+    * query micro-batch is answered with the RRF fusion of (a) the
+    * dense cell-probed search over the SAVED serving index (artifact
+    * meta re-checked per batch — refresh pickup, no restart) and
+    * (b) the sparse rare-shingle Jaccard ranking over the STANDING
+    * lexical index (per-doc shingle sets + df-capped postings,
+    * resolved once at stream construction — the corpus text is never
+    * rescanned per batch; each batch's queries broadcast into the
+    * postings). Queries are in-corpus ids (vec_id = doc_id, the s33
+    * convention) so the lexical arm resolves their shingle sets by
+    * id. Zero streaming state — the same foreachBatch seam as every
+    * serve here — and per-batch CacheScope mark/release bounds
+    * executor storage on a long-lived stream. `sink` must consume
+    * eagerly, as with [[annServeStream]]. */
+  def hybridServeStream(queries: DataFrame, corpusDir: String,
+      corpus: DataFrame, docs: DataFrame, nCells: Int = -1)(
+      sink: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.{Retrieval, Similarity}
+    import graft.sources.IndexStore
+    val s = corpus.sparkSession
+    val dir = IndexStore.cellIndexDir(corpusDir)
+    var index = IndexStore.ensureCellIndex(s, corpusDir, corpus, nCells)
+    var served = IndexStore.currentMeta(s, dir)
+    // the standing lexical index: resolved ONCE (persisted shingle
+    // sets + rare postings); batches only probe it
+    val lexIx = Retrieval.lexIndex(docs)
+    queries.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        val now = IndexStore.currentMeta(s, dir)
+        if (now.isDefined && now != served) {
+          index = IndexStore.loadCellIndex(s, dir)
+          served = now
+        }
+        val (cents, asg, entries, graph) = index
+        val m = graft.CacheScope.mark()
+        val b = graft.CacheScope.persisted(batch.toDF())
+        val q = b.select(col("vec_id").as("q_id"),
+          transform(col("embedding"),
+            x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("q_mv"))
+        try {
+          val ann = Similarity.cellProbeSearchFor(q, cents, asg, entries,
+            graph)
+          val lex = Retrieval.lexicalTopKFor(
+            b.select(col("vec_id").as("q_id")), lexIx)
+          sink(id, Retrieval.rrfFuse(ann, lex))
+        } finally graft.CacheScope.releaseSince(m)
+    }
+  }
+
   def neardupScreenStream(delivery: DataFrame, corpus: DataFrame): DataFrame = {
     import graft.functions.TextHashFunctions.{array_jaccard, minhash_bands, word_shingles}
     def sh(text: org.apache.spark.sql.Column) =

@@ -716,4 +716,45 @@ class StreamingSpec extends AnyFunSuite {
       sources.IndexStore.root = "/tmp/graft_index"
     }
   }
+
+  test("streaming hybrid serve answers exactly batch s33, zero state") {
+    sources.IndexStore.root = "/tmp/graft_index_hybserve"
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(sources.IndexStore.root))
+    val e = Tables.embeddings(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+    // the query stream: s33's own query set (%97 convention)
+    val qdir = Files.createTempDirectory("graft-hybserve").toString
+    e.filter(col("vec_id") % 97 === 0 &&
+        col("vec_id") < operators.Similarity.QueryIdBound)
+      .withColumn("arrival", to_timestamp(lit("2026-01-01 00:00:00")))
+      .select(col("vec_id"), col("embedding").cast("array<double>"),
+        col("arrival"))
+      .coalesce(1).write.mode("overwrite").parquet(qdir)
+    val reports = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Array[org.apache.spark.sql.Row])]
+    val q = EventStreams.hybridServeStream(
+        EventStreams.readEmbStream(spark, qdir), sfDir, e, docs,
+        nCells = operators.Similarity.IvfNCells) {
+        (id, rep) => reports += ((id, rep.collect())); ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "hybrid serve grew streaming state")
+      assert(reports.nonEmpty, "no micro-batch answer emitted")
+      val streamed = reports.flatMap(_._2).map(_.mkString("|")).toSet
+      val want = SparkEntry.queries("s33_hybrid_rrf")(spark, sfDir)
+        .collect().map(_.mkString("|")).toSet
+      CacheScope.releaseAll()
+      assert(want.nonEmpty, "batch s33 empty -- vacuous")
+      assert(streamed == want,
+        "streamed hybrid serve diverged from batch s33")
+    } finally {
+      q.stop()
+      CacheScope.releaseAll()
+      spark.catalog.clearCache()
+      sources.IndexStore.root = "/tmp/graft_index"
+    }
+  }
 }

@@ -127,18 +127,39 @@ object IndexStore {
     writeMeta(spark, dir, fingerprint)
   }
 
+  /** Artifact schemas, stated EXPLICITLY on every load (matching what
+    * the builders write + Spark's partition-column inference): with an
+    * explicit schema, a partitioned directory holding ZERO data files
+    * reads back as an empty frame instead of failing schema inference.
+    * That corner is real — a 1-vector corpus (e.g. a near-empty
+    * curated slice) has a legitimately EMPTY search graph, and
+    * `partitionBy` of an empty frame writes no parquet footers. */
+  private def schemaOf(fields: (String, org.apache.spark.sql.types.DataType)*) =
+    org.apache.spark.sql.types.StructType(fields.map { case (n, t) =>
+      org.apache.spark.sql.types.StructField(n, t) })
+  private val LongArr =
+    org.apache.spark.sql.types.ArrayType(LongType)
+  private val IntT = org.apache.spark.sql.types.IntegerType
+  private val CentsSchema = schemaOf("j" -> IntT, "c_mv" -> LongArr)
+  private val AsgSchema = schemaOf("vec_id" -> LongType, "cd" -> LongType,
+    "mv" -> LongArr, "cell" -> IntT)
+  private val EntriesSchema = schemaOf("cell" -> IntT, "entry" -> LongType)
+  private val GraphSchema =
+    schemaOf("src" -> LongType, "dst" -> LongType, "cell" -> IntT)
+
   /** Read a saved serving index back as (cents, asg, entries, graph),
     * columns in the builder's order. The partitioned reads are where
     * the layout pays: a filter or join on `cell` prunes directories
     * at planning time. */
   def loadCellIndex(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val cents = spark.read.parquet(s"$dir/cents").select("j", "c_mv")
-    val asg = spark.read.parquet(s"$dir/asg")
+    val cents = spark.read.schema(CentsSchema)
+      .parquet(s"$dir/cents").select("j", "c_mv")
+    val asg = spark.read.schema(AsgSchema).parquet(s"$dir/asg")
       .select("vec_id", "cell", "cd", "mv")
-    val entries = spark.read.parquet(s"$dir/entries")
-      .select("cell", "entry")
-    val graph = spark.read.parquet(s"$dir/graph")
+    val entries = spark.read.schema(EntriesSchema)
+      .parquet(s"$dir/entries").select("cell", "entry")
+    val graph = spark.read.schema(GraphSchema).parquet(s"$dir/graph")
       .select("cell", "src", "dst")
     (cents, asg, entries, graph)
   }
@@ -217,13 +238,22 @@ object IndexStore {
     * join prunes the lists the same way. */
   def loadPqIndex(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val cents = spark.read.parquet(s"$dir/cents").select("j", "c_mv")
-    val asg = spark.read.parquet(s"$dir/asg")
-      .select("vec_id", "cell", "mv")
-    val codebook = spark.read.parquet(s"$dir/codebook")
-      .select("blk", "j", "dim", "cv")
-    val codes = spark.read.parquet(s"$dir/codes")
-      .select("cand", "cell", "blk", "j")
+    // explicit schemas for the same empty-partitioned-write reason as
+    // loadCellIndex
+    val cents = spark.read.schema(CentsSchema)
+      .parquet(s"$dir/cents").select("j", "c_mv")
+    val asg = spark.read
+      .schema(schemaOf("vec_id" -> LongType, "mv" -> LongArr,
+        "cell" -> IntT))
+      .parquet(s"$dir/asg").select("vec_id", "cell", "mv")
+    val codebook = spark.read
+      .schema(schemaOf("blk" -> IntT, "j" -> IntT, "dim" -> IntT,
+        "cv" -> LongType))
+      .parquet(s"$dir/codebook").select("blk", "j", "dim", "cv")
+    val codes = spark.read
+      .schema(schemaOf("cand" -> LongType, "blk" -> IntT, "j" -> IntT,
+        "cell" -> IntT))
+      .parquet(s"$dir/codes").select("cand", "cell", "blk", "j")
     (cents, asg, codebook, codes)
   }
 

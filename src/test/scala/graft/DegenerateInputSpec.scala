@@ -84,7 +84,9 @@ class DegenerateInputSpec extends AnyFunSuite {
     "s20_nn_descent",   // every candidate at d2 = 0 → pure id ties
     "s21_graph_search", "s22_cell_graph",
     "s23_cell_search",  // one cell absorbs everything, medoid pure-tie
-    "s24_incremental_graph", "s25_standing_search")
+    "s24_incremental_graph", "s25_standing_search",
+    "s32_filtered_search", // label filter over pure d2=0 ties
+    "s34_serving_recall")  // truth == every candidate at d2 = 0
 
   for (name <- targets)
     test(s"$name survives constant/zero-range slices") {

@@ -77,7 +77,12 @@ class DirtyInputSpec extends AnyFunSuite {
     "s16_int8_search", "s17_community_dedup", "s18_filtered_ann",
     "s19_ivf_exact", "s20_nn_descent", "s21_graph_search",
     "s22_cell_graph", "s23_cell_search", "s24_incremental_graph",
-    "s25_standing_search")
+    "s25_standing_search",
+    // retrieval-serving family: zero %97-eligible ids in this fixture
+    // (empty query set) plus null/empty vectors in the index build --
+    // both must pass through without throwing
+    "s32_filtered_search", "s33_hybrid_rrf", "s34_serving_recall",
+    "p08_hybrid_pipeline")
 
   for (name <- docTargets ++ embTargets)
     test(s"$name survives null/empty/whitespace rows") {

@@ -246,4 +246,35 @@ class IndexStoreSpec extends AnyFunSuite {
     } finally spark.conf.set(auto, prev)
     CacheScope.releaseAll()
   }
+
+  test("a 1-vector corpus round-trips: the empty graph loads as an empty frame") {
+    // a near-empty curated slice is legitimate input (p08's dirty-input
+    // case found it): its search graph has NO edges, and partitionBy of
+    // an empty frame writes no parquet footers -- the load must return
+    // an empty frame via its explicit schema, not fail inference
+    val prior = IndexStore.root
+    IndexStore.root = "/tmp/graft_index_tiny"
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(IndexStore.root))
+    try {
+      import spark.implicits._
+      val one = Seq((0L, Array.fill(64)(0.25f), 1)).toDF(
+        "vec_id", "embedding", "label")
+      val tdir = java.nio.file.Files
+        .createTempDirectory("graft-tinycorpus").toString
+      one.coalesce(1).write.mode("overwrite")
+        .parquet(s"$tdir/embeddings.parquet")
+      val (cents, asg, entries, graph) =
+        IndexStore.ensureCellIndex(spark, tdir,
+          Tables.embeddings(spark, tdir), nCells = 16)
+      assert(asg.count() == 1, "the single vector lost its list row")
+      assert(entries.count() >= 1, "no entry point for the lone cell")
+      assert(graph.count() == 0, "a 1-vector graph cannot have edges")
+      // and a second resolve is a warm fingerprint HIT on the same state
+      val again = IndexStore.ensureCellIndex(spark, tdir,
+        Tables.embeddings(spark, tdir), nCells = 16)
+      assert(again._4.count() == 0)
+      CacheScope.releaseAll()
+    } finally { IndexStore.root = prior }
+  }
 }

@@ -93,14 +93,25 @@ object Retrieval {
     * ([[graft.streaming.EventStreams.annServeStream]]). `qIds` is the
     * (small) query-id frame; each query's label resolves through one
     * broadcast join, the candidate side through one pruned 2-column
-    * corpus scan the beam-sized fuse frame broadcasts into. */
+    * corpus scan the beam-sized fuse frame broadcasts into.
+    *
+    * REQUIREMENT: each q_id must be a corpus vec_id (the label is an
+    * INNER join against the corpus) — a query from an external id
+    * namespace resolves no label and every one of its candidates is
+    * silently dropped, the exact zero-rows-instead-of-loud failure an
+    * `annServeStream(selfIsInCorpus = false)` caller would hit.
+    * External-query callers pass `qLabels` — an explicit (q_id,
+    * q_lbl) frame that REPLACES the corpus lookup, so out-of-corpus
+    * queries carry their own predicate value. */
   private[graft] def labelFuseKeep(e: DataFrame,
-      qIds: DataFrame): DataFrame => DataFrame = {
+      qIds: DataFrame, qLabels: DataFrame = null): DataFrame => DataFrame = {
     val candLbl = e.select(col("vec_id").as("cand"),
       col("label").as("cand_lbl"))
-    val qLbl = qIds.select(col("q_id"))
-      .join(e.select(col("vec_id").as("q_id"), col("label").as("q_lbl")),
-        Seq("q_id"))
+    val qLbl =
+      if (qLabels != null) qLabels.select(col("q_id"), col("q_lbl"))
+      else qIds.select(col("q_id"))
+        .join(e.select(col("vec_id").as("q_id"), col("label").as("q_lbl")),
+          Seq("q_id"))
     live =>
       candLbl.join(broadcast(live), Seq("cand"))
         .join(broadcast(qLbl), Seq("q_id"))
@@ -179,12 +190,16 @@ object Retrieval {
       .select(col("doc_id"),
         // guard: sequence(1, n) with n < 1 would generate DESCENDING
         // values in Spark (and element_at(ts, 0) throws) — short docs
-        // get the empty set explicitly
+        // get the empty set explicitly. The window arithmetic and the
+        // concat list both DERIVE from LexShingle (as does the oracle
+        // mirror) — a width change cannot desync them
         when(size(col("ts")) >= LexShingle,
           array_distinct(expr(
-            "transform(sequence(1, size(ts) - 2), i -> " +
-              "concat_ws(' ', element_at(ts, i), element_at(ts, i + 1), " +
-              "element_at(ts, i + 2)))")))
+            s"transform(sequence(1, size(ts) - ${LexShingle - 1}), i -> " +
+              "concat_ws(' ', " +
+              (0 until LexShingle).map(o =>
+                if (o == 0) "element_at(ts, i)"
+                else s"element_at(ts, i + $o)").mkString(", ") + "))")))
           .otherwise(expr("CAST(array() AS array<string>)")).as("gs"))
 
   /** The standing half of the lexical index: persisted per-doc
@@ -365,10 +380,12 @@ object Retrieval {
        |  FROM $docsRel),
        |shl AS MATERIALIZED (
        |  SELECT DISTINCT doc_id,
-       |    ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS g
+       |    ${(0 until LexShingle).map(o =>
+            if (o == 0) "ts[i]" else s"ts[i + $o]")
+            .mkString(" || ' ' || ")} AS g
        |  FROM (
        |    SELECT doc_id, ts,
-       |      unnest(generate_series(1, len(ts) - 2)) AS i
+       |      unnest(generate_series(1, len(ts) - ${LexShingle - 1})) AS i
        |    FROM tk)),
        |rare AS (
        |  SELECT s.doc_id, s.g

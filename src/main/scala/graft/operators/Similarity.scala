@@ -916,6 +916,79 @@ object Similarity {
     math.min(math.max(IvfNCells.toLong, up), 1L << 18).toInt
   }
 
+  /** Build-time sample size / coverage target for [[adaptiveNProbe]].
+    * 64 queries × top-[[K]] truths = ≤ 320 (probe-rank) observations —
+    * enough to place a permille quantile; the sample is drawn by
+    * xxhash64 order, so it is deterministic and corpus-content-keyed
+    * (the same corpus always recommends the same nprobe). */
+  private[graft] val AdaptiveSampleQ = 64
+  private[graft] val AdaptiveCoverPermille = 900L
+
+  /** Corpus-shape-aware default probe count, measured AT BUILD TIME
+    * against the just-built index: how many probed cells a query
+    * actually needs before its true neighbors are reachable.
+    *
+    * Why a static default is wrong: on a CLONE-CLUSTERED corpus
+    * (ScaleGen's 100 TB model — every vector has near-twins) truth
+    * lives in the query's own cell and nprobe 6 is already past the
+    * curve's knee; on a DIFFUSE corpus (the sf tables) true neighbors
+    * straddle cells roughly uniformly, recall tracks the probed
+    * FRACTION, and the same nprobe 6 of a √n-sized cell count served
+    * recall@5 = 0.34 where the full-probe ceiling was 0.76
+    * (SERVECURVE.md, sf0.1). No single constant serves both shapes —
+    * but the index build is already holding exactly the data that
+    * distinguishes them.
+    *
+    * Measurement: (1) a deterministic [[AdaptiveSampleQ]]-query
+    * sample (top-N by xxhash64(vec_id) — content-keyed, no RNG);
+    * (2) exact milli-L2 top-[[K]] truth for the sample, one scan of
+    * the assignment lists with the sample broadcast; (3) per sample
+    * query, rank ALL centroids by exact centroid distance (the very
+    * ranking the query path probes with) and record, for each true
+    * neighbor, the probe position at which its cell appears; (4) the
+    * recommendation is the [[AdaptiveCoverPermille]]-quantile of
+    * those positions — the probe depth that makes ≥ 90% of true
+    * neighbors REACHABLE — clamped to [[[S23NProbe]], ncells]. Beam
+    * losses within a probed cell are the beam-width knob's domain,
+    * not this one's.
+    *
+    * Cost: one ≤ 64·|corpus| distance pass + a |sample|×ncells probe
+    * ranking — strictly smaller than a single Lloyd training round
+    * of the build that just ran (ncells ≥ √n ≫ 64 evaluations per
+    * vector), paid once per build and amortized over every query the
+    * artifact ever serves. The result rides the artifact meta
+    * ([[graft.sources.IndexStore.ensureCellIndex]] line 2), so query
+    * paths resolve it with one tiny file read: explicit arg >
+    * `spark.graft.ann.nprobe` > artifact recommendation > the static
+    * [[S23NProbe]]. */
+  private[graft] def adaptiveNProbe(cents: DataFrame, asg: DataFrame): Int = {
+    import graft.functions.VectorFunctions.milli_l2
+    val nCells = cents.count().toInt
+    if (nCells <= 0) return S23NProbe
+    val sample = broadcast(
+      asg.select(col("vec_id"), col("mv"))
+        .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+        .limit(AdaptiveSampleQ)
+        .select(col("vec_id").as("q_id"), col("mv").as("q_mv")))
+    val wt = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))
+    val truth = asg.select(col("vec_id"), col("cell"), col("mv"))
+      .join(sample, col("vec_id") =!= col("q_id"))
+      .withColumn("d2", milli_l2(col("q_mv"), col("mv")))
+      .withColumn("rk", row_number().over(wt)).filter(col("rk") <= K)
+      .select(col("q_id"), col("cell"))
+    val wc = Window.partitionBy(col("q_id")).orderBy(col("cd"), col("j"))
+    val cellRank = sample.join(broadcast(cents), lit(true))
+      .withColumn("cd", milli_l2(col("q_mv"), col("c_mv")))
+      .withColumn("prn", row_number().over(wc))
+      .select(col("q_id"), col("j").as("cell"), col("prn"))
+    val needed = truth.join(cellRank, Seq("q_id", "cell"))
+      .select(col("prn")).collect().map(_.getInt(0)).sorted
+    if (needed.isEmpty) return S23NProbe
+    val at = ((needed.length * AdaptiveCoverPermille + 999) / 1000).toInt
+    val p = needed(math.min(math.max(at, 1), needed.length) - 1)
+    math.min(math.max(p, S23NProbe), nCells)
+  }
+
   /** Query-time beam width for the cell-probed serving path: explicit
     * argument (> 0) wins, else the session conf
     * `spark.graft.ann.beamWidth`, else [[GsBeam]]. The second
@@ -926,16 +999,21 @@ object Similarity {
     if (explicit > 0) explicit
     else s.conf.get("spark.graft.ann.beamWidth", GsBeam.toString).toInt
 
-  /** Query-time probe count, same resolution order as [[beamWidthOf]]
-    * (`spark.graft.ann.nprobe`, else [[S23NProbe]]). nprobe is a
-    * FRACTION knob: recall on diffuse corpora tracks nprobe/ncells
+  /** Query-time probe count: explicit argument > the session conf
+    * `spark.graft.ann.nprobe` > the ARTIFACT's build-time
+    * recommendation ([[adaptiveNProbe]], carried on the index meta —
+    * `meta` here) > the static [[S23NProbe]]. nprobe is a FRACTION
+    * knob: recall on diffuse corpora tracks nprobe/ncells
     * (SERVECURVE's sf0.1 tables), while clone-clustered corpora — the
-    * shape ScaleGen models for 100 TB — are flat in it; a caller
-    * serving a diffuse corpus at √n cells raises nprobe toward the
-    * fraction the curves price, without touching the built index. */
-  private[graft] def nProbeOf(s: SparkSession, explicit: Int = -1): Int =
+    * shape ScaleGen models for 100 TB — are flat in it; the artifact
+    * recommendation is how the shipped default serves BOTH shapes
+    * without a human reading the curve. The conf outranks the
+    * recommendation so an operator can still pin a fleet-wide value. */
+  private[graft] def nProbeOf(s: SparkSession, explicit: Int = -1,
+      meta: Option[Int] = None): Int =
     if (explicit > 0) explicit
-    else s.conf.get("spark.graft.ann.nprobe", S23NProbe.toString).toInt
+    else s.conf.getOption("spark.graft.ann.nprobe").map(_.toInt)
+      .orElse(meta).getOrElse(S23NProbe)
 
   private[graft] def servingIndex(e: DataFrame, nCells: Int = -1,
       ndRounds: Int = NdRounds)
@@ -983,11 +1061,13 @@ object Similarity {
   private[graft] def cellProbeSearchOn(cents: DataFrame, asg: DataFrame,
       entries: DataFrame, graph: DataFrame,
       nProbe: Int = -1, rounds: Int = GsRounds,
-      fuseKeep: DataFrame => DataFrame = null): DataFrame =
+      fuseKeep: DataFrame => DataFrame = null,
+      nProbeMeta: Option[Int] = None): DataFrame =
     cellProbeSearchFor(
       asg.filter(col("vec_id") % 97 === 0 && col("vec_id") < QueryIdBound)
         .select(col("vec_id").as("q_id"), col("mv").as("q_mv")),
-      cents, asg, entries, graph, nProbe, rounds, fuseKeep = fuseKeep)
+      cents, asg, entries, graph, nProbe, rounds, fuseKeep = fuseKeep,
+      nProbeMeta = nProbeMeta)
 
   /** [[cellProbeSearchOn]] for an EXTERNAL query set — (q_id, q_mv)
     * milli vectors that need not live in the corpus (the streaming
@@ -1031,14 +1111,17 @@ object Similarity {
       nProbe: Int = -1, rounds: Int = GsRounds,
       beamWidth: Int = -1, selfIsInCorpus: Boolean = true,
       tombstones: DataFrame = null,
-      fuseKeep: DataFrame => DataFrame = null): DataFrame = {
+      fuseKeep: DataFrame => DataFrame = null,
+      nProbeMeta: Option[Int] = None): DataFrame = {
     import graft.functions.VectorFunctions.milli_l2
     // -1 = session-resolved (`spark.graft.ann.beamWidth` /
     // `spark.graft.ann.nprobe`, else the shipped defaults) so every
     // serving consumer — s23/s25/p07/the streaming serve — honors the
-    // query-time knobs without a signature change
+    // query-time knobs without a signature change; `nProbeMeta` is
+    // the artifact's build-time recommendation (adaptiveNProbe),
+    // ranked between the conf and the static default
     val bw = beamWidthOf(q0.sparkSession, beamWidth)
-    val np = nProbeOf(q0.sparkSession, nProbe)
+    val np = nProbeOf(q0.sparkSession, nProbe, nProbeMeta)
     val q = q0.select(col("q_id"), col("q_mv"))
     // probe ranking: nProbe nearest cells by exact centroid distance
     val wp = Window.partitionBy(col("q_id")).orderBy(col("cd"), col("j"))
@@ -1351,13 +1434,24 @@ object Similarity {
     * same key picks the refreshed index up on its next micro-batch
     * (one meta read). Returns (refreshed?, the index to serve).
     *
+    * `postKey` (default: `key`) is where the REBUILT artifact lands.
+    * The default is the production in-place swap — one generation
+    * replaces the last at the key every consumer watches. A caller
+    * that must keep resolving the PRE-state corpus at `key` after the
+    * swap (the suite entries: every invocation re-derives the same
+    * standing slice) passes a distinct postKey so both generations
+    * stay fingerprint-warm — with one shared key, each run would miss
+    * on the pre-state (the meta holds the post-state) AND then miss
+    * on the post-state, paying TWO index builds per invocation.
+    *
     * Scale shape: the audit is s26's one-pass bookkeeping; the trip
     * test pulls ONE boolean off a ≤ nCells-row frame; the rebuild is
     * the same batch index job the artifact came from, over the
     * absorbed corpus. Nothing new shuffles, nothing is pair-joined.
     */
   private[graft] def refreshIfNeeded(s: SparkSession, key: String,
-      standing: DataFrame, delivery: DataFrame, nCells: Int = -1)
+      standing: DataFrame, delivery: DataFrame, nCells: Int = -1,
+      postKey: String = null)
       : (Boolean, (DataFrame, DataFrame, DataFrame, DataFrame)) = {
     val idx = graft.sources.IndexStore.ensureCellIndex(s, key, standing,
       nCells)
@@ -1370,7 +1464,8 @@ object Similarity {
       // cleanly with a float-typed standing slice
       def wide(f: DataFrame) = f.select(col("vec_id"),
         transform(col("embedding"), x => x.cast(DoubleType)).as("embedding"))
-      (true, graft.sources.IndexStore.ensureCellIndex(s, key,
+      (true, graft.sources.IndexStore.ensureCellIndex(s,
+        Option(postKey).getOrElse(key),
         wide(standing).unionByName(wide(delivery)), nCells))
     }
   }
@@ -1398,9 +1493,15 @@ object Similarity {
     val delivery = e.filter(col("vec_id") % 5 === 0)
       .select(col("vec_id"), transform(col("embedding"),
         x => x.cast(DoubleType) + lit(0.5)).as("embedding"))
+    // pre- and post-state artifacts keyed SEPARATELY: every s27 run
+    // re-derives the same standing slice and the same absorbed
+    // corpus, so with distinct keys both resolves are warm after the
+    // first run and the invocation pays audit + serve, not two
+    // rebuilds (see refreshIfNeeded's postKey doc)
     val (refreshed, (cents, asg, entries, graph)) =
       refreshIfNeeded(s, s"${d}_m5ref", standing, delivery,
-        nCells = IvfNCells) // the oracle's fixture sizing — pinned
+        nCells = IvfNCells, // the oracle's fixture sizing — pinned
+        postKey = s"${d}_m5ref_post")
     // a silent no-trip must not serve a green-looking stale result
     // (an EMPTY corpus legitimately has nothing to trip or serve)
     require(refreshed || delivery.isEmpty,
@@ -1481,9 +1582,13 @@ object Similarity {
     * the delete set) and swap the artifact at the same key —
     * inheriting saveCellIndex's delete-first/write-last crash
     * discipline. Until the trip, serving continues tombstoned
-    * ([[s29_tombstone_serve]]) on the unmodified artifact. */
+    * ([[s29_tombstone_serve]]) on the unmodified artifact.
+    * `postKey` is [[refreshIfNeeded]]'s: default in-place swap;
+    * suite-style callers that keep resolving the pre-state corpus
+    * key a separate post-state artifact so both stay warm. */
   private[graft] def compactIfNeeded(s: SparkSession, key: String,
-      corpus: DataFrame, deletes: DataFrame, nCells: Int = -1)
+      corpus: DataFrame, deletes: DataFrame, nCells: Int = -1,
+      postKey: String = null)
       : (Boolean, (DataFrame, DataFrame, DataFrame, DataFrame)) = {
     val idx = graft.sources.IndexStore.ensureCellIndex(s, key, corpus,
       nCells)
@@ -1494,8 +1599,8 @@ object Similarity {
       val retained = corpus.join(
         broadcast(deletes.select(col("del_id"))),
         corpus("vec_id") === col("del_id"), "left_anti")
-      (true, graft.sources.IndexStore.ensureCellIndex(s, key, retained,
-        nCells))
+      (true, graft.sources.IndexStore.ensureCellIndex(s,
+        Option(postKey).getOrElse(key), retained, nCells))
     }
   }
 
@@ -1516,9 +1621,15 @@ object Similarity {
     val e = Tables.embeddings(s, d)
     val deletes = e.filter(col("vec_id") % S29DeleteMod === 0)
       .select(col("vec_id").as("del_id"))
+    // pre-state = the FULL corpus at key `d` — the very artifact
+    // s25/s29 serve (the production shape: deletion audits THE
+    // standing index); the compacted post-state lands under its own
+    // key, so after the first run both resolves are fingerprint-warm
+    // and an invocation pays audit + serve, not two index builds
     val (compacted, (cents, asg, entries, graph)) =
-      compactIfNeeded(s, s"${d}_m7cmp", e, deletes,
-        nCells = IvfNCells) // the oracle's fixture sizing — pinned
+      compactIfNeeded(s, d, e, deletes,
+        nCells = IvfNCells, // the oracle's fixture sizing — pinned
+        postKey = s"${d}_m7cmp")
     require(compacted || deletes.isEmpty,
       "s30_delete_compact: the %7 delete set failed to trip the audit")
     cellProbeSearchOn(cents, asg, entries, graph)

@@ -86,6 +86,30 @@ object IndexStore {
   def currentMeta(spark: SparkSession, dir: String): Option[String] =
     readMeta(spark, dir)
 
+  /** The meta file's line 1 — the fingerprint the freshness gate
+    * compares. Line 2+ carry build-time properties (the adaptive
+    * nprobe recommendation), which must NOT participate in the gate:
+    * a property-only rewrite is the same artifact. */
+  private def metaFp(meta: Option[String]): Option[String] =
+    meta.map(_.linesIterator.next())
+
+  /** Parse the [[graft.operators.Similarity.adaptiveNProbe]]
+    * recommendation off a meta string ([[currentMeta]]'s value) —
+    * exposed so a streaming consumer that already polls the meta per
+    * batch derives the recommendation from the SAME read. */
+  def nProbeOfMeta(meta: Option[String]): Option[Int] =
+    meta.flatMap(_.linesIterator.drop(1).collectFirst {
+      case l if l.startsWith("nprobe=") =>
+        scala.util.Try(l.stripPrefix("nprobe=").trim.toInt).toOption
+    }.flatten)
+
+  /** The standing artifact's build-time probe recommendation (None
+    * when the artifact is absent or was built with a PINNED cell
+    * count — fixture builds carry no recommendation by design: their
+    * committed oracles pin the static knobs). */
+  def recommendedNProbe(spark: SparkSession, corpusDir: String): Option[Int] =
+    nProbeOfMeta(readMeta(spark, cellIndexDir(corpusDir)))
+
   private def readMeta(spark: SparkSession, dir: String): Option[String] =
     // ANY unreadable meta (absent, truncated, checksum-corrupt) is a
     // fingerprint miss: the caller rebuilds and rewrites — a damaged
@@ -195,10 +219,23 @@ object IndexStore {
     // invalidate every saved artifact, not silently serve a v1 index
     val fp = s"${corpusFp}_b" +
       graft.operators.Similarity.IndexBuilderVersion + s"_c$nc"
-    if (!readMeta(spark, dir).contains(fp)) {
+    if (!metaFp(readMeta(spark, dir)).contains(fp)) {
       val (cents, asg, entries, graph) =
         graft.operators.Similarity.servingIndex(e, nc)
       saveCellIndex(spark, dir, fp, cents, asg, entries, graph)
+      // √n-defaulted (production) builds additionally measure the
+      // corpus-shape-aware probe recommendation and append it to the
+      // meta (line 2) — computed off the just-SAVED frames, so the
+      // pass reads parquet, not the builder's lineage. A crash in
+      // this window leaves a valid fp-only meta: consumers fall back
+      // to the static default, never a broken artifact. PINNED builds
+      // (the suite's fixture sizing) skip it — their committed
+      // oracles carry the static knobs as literals.
+      if (nCells <= 0) {
+        val (lc, la, _, _) = loadCellIndex(spark, dir)
+        writeMeta(spark, dir, s"$fp\nnprobe=" +
+          graft.operators.Similarity.adaptiveNProbe(lc, la))
+      }
     }
     loadCellIndex(spark, dir)
   }
@@ -277,7 +314,7 @@ object IndexStore {
       else Similarity.servingNCells(corpusFp.takeWhile(_ != '_').toLong)
     val fp = s"${corpusFp}_b${Similarity.IndexBuilderVersion}_c${nc}_pq" +
       s"${Similarity.PqK}x${Similarity.PqBlockDim}r${Similarity.PqRounds}"
-    if (!readMeta(spark, dir).contains(fp)) {
+    if (!metaFp(readMeta(spark, dir)).contains(fp)) {
       val (cents, asg, codebook, codes) = Similarity.pqIndex(e, nc)
       savePqIndex(spark, dir, fp, cents, asg, codebook, codes)
     }
@@ -312,7 +349,7 @@ object IndexStore {
     val metaDir = s"$root/knn_$safe"
     val fp = s"${corpusFingerprint(standing)}_$params"
     if (fp.startsWith("0_")) return build(standing)
-    val hit = readMeta(spark, metaDir).contains(fp)
+    val hit = metaFp(readMeta(spark, metaDir)).contains(fp)
     if (hit && !spark.catalog.tableExists(table)) {
       val wh = spark.conf.get("spark.sql.warehouse.dir")
       registerKnnGraph(spark, table, s"$wh/$table", buckets)

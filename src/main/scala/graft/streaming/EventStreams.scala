@@ -552,9 +552,12 @@ object EventStreams {
         // the moment it returns; frames registered before the mark
         // (a concurrent query's) are untouched.
         val m = graft.CacheScope.mark()
+        // the artifact's build-time probe recommendation rides the
+        // SAME meta string the refresh poll just read — √n builds
+        // carry it, pinned builds resolve the static default
         try sink(id, Similarity.cellProbeSearchFor(q, cents, asg, entries,
           graph, selfIsInCorpus = selfIsInCorpus, tombstones = tombs,
-          fuseKeep = fuseKeep))
+          fuseKeep = fuseKeep, nProbeMeta = IndexStore.nProbeOfMeta(served)))
         finally graft.CacheScope.releaseSince(m)
     }
   }
@@ -566,14 +569,22 @@ object EventStreams {
     * meta re-checked per batch — refresh pickup, no restart) and
     * (b) the sparse rare-shingle Jaccard ranking over the STANDING
     * lexical index (per-doc shingle sets + df-capped postings,
-    * resolved once at stream construction — the corpus text is never
+    * resolved at stream construction — the corpus text is not
     * rescanned per batch; each batch's queries broadcast into the
-    * postings). Queries are in-corpus ids (vec_id = doc_id, the s33
-    * convention) so the lexical arm resolves their shingle sets by
-    * id. Zero streaming state — the same foreachBatch seam as every
-    * serve here — and per-batch CacheScope mark/release bounds
-    * executor storage on a long-lived stream. `sink` must consume
-    * eagerly, as with [[annServeStream]]. */
+    * postings). When the dense artifact meta changes, the lexical
+    * index is re-resolved from `docs` IN THE SAME batch (and the
+    * previous standing persists released), so the two fusion arms
+    * never rank against different corpus states past a refresh — the
+    * one re-scan of the text per refresh is the price of arm
+    * coherence, and refreshes are audit-gated rare. Queries are
+    * in-corpus ids (vec_id = doc_id, the s33 convention) so the
+    * lexical arm resolves their shingle sets by id. Zero streaming
+    * state — the same foreachBatch seam as every serve here — and
+    * per-batch CacheScope mark/release bounds executor storage on a
+    * long-lived stream; the ONE standing lexical persist lives until
+    * the next refresh or [[graft.CacheScope.releaseAll]] after
+    * `stop()` (the suite convention). `sink` must consume eagerly,
+    * as with [[annServeStream]]. */
   def hybridServeStream(queries: DataFrame, corpusDir: String,
       corpus: DataFrame, docs: DataFrame, nCells: Int = -1)(
       sink: (Long, DataFrame) => Unit)
@@ -584,9 +595,11 @@ object EventStreams {
     val dir = IndexStore.cellIndexDir(corpusDir)
     var index = IndexStore.ensureCellIndex(s, corpusDir, corpus, nCells)
     var served = IndexStore.currentMeta(s, dir)
-    // the standing lexical index: resolved ONCE (persisted shingle
-    // sets + rare postings); batches only probe it
-    val lexIx = Retrieval.lexIndex(docs)
+    // the standing lexical index: resolved at construction (persisted
+    // shingle sets + rare postings); batches only probe it. It is
+    // re-resolved on dense refresh pickup so the two arms stay on the
+    // same corpus state (see the doc comment)
+    var lexIx = Retrieval.lexIndex(docs)
     queries.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           id: Long) =>
@@ -594,6 +607,12 @@ object EventStreams {
         if (now.isDefined && now != served) {
           index = IndexStore.loadCellIndex(s, dir)
           served = now
+          // arm coherence: the dense artifact moved, so the lexical
+          // arm re-reads `docs` (a lazy plan over the live corpus
+          // files) — the prior standing persist is released first,
+          // bounding storage at one lexical index per stream
+          lexIx.base.unpersist()
+          lexIx = Retrieval.lexIndex(docs)
         }
         val (cents, asg, entries, graph) = index
         val m = graft.CacheScope.mark()
@@ -603,7 +622,7 @@ object EventStreams {
             x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("q_mv"))
         try {
           val ann = Similarity.cellProbeSearchFor(q, cents, asg, entries,
-            graph)
+            graph, nProbeMeta = IndexStore.nProbeOfMeta(served))
           val lex = Retrieval.lexicalTopKFor(
             b.select(col("vec_id").as("q_id")), lexIx)
           sink(id, Retrieval.rrfFuse(ann, lex))

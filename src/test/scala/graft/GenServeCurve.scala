@@ -29,7 +29,7 @@ object GenServeCurve {
     val spark = TestSpark.spark
     import graft.functions.VectorFunctions.milli_l2
     val pinned = operators.Similarity.IvfNCells
-    val shippedProbe = operators.Similarity.S23NProbe
+    val staticProbe = operators.Similarity.S23NProbe
     val sb = new StringBuilder
     sb ++= "# SERVECURVE — the s23/s25 cell-probe serving tradeoff\n\n"
     sb ++= ("Recall@5 vs the exact milli-L2 brute force, and per-sweep " +
@@ -39,30 +39,32 @@ object GenServeCurve {
       "(shipped).\nWalls are best-of-2 on a warm JVM at local[32]; " +
       "ambient VM noise is\n±40% (see BENCH notes). The shipped " +
       "serving default is the √n cell\nsizing (`servingNCells`: ⌈√n⌉ " +
-      "rounded up to a multiple of 16) with\n" +
-      s"nprobe = $shippedProbe and beam width " +
-      s"${operators.Similarity.GsBeam} — marked * in the tables; " +
-      "the\nlegacy pinned-16 build (which the SUITE still pins, " +
-      "because its\ncommitted oracles carry the cell count as " +
-      "Lloyd-CTE literals) is kept\nas the before/after contrast. " +
-      "Generated by `sbt \"Test/runMain graft.GenServeCurve\"`.\n\n" +
+      "rounded up to a multiple of 16) with\nthe ADAPTIVE probe " +
+      "recommendation the build measures and folds into\nthe " +
+      "artifact meta (`adaptiveNProbe`: the probe depth covering " +
+      "90% of a\ndeterministic sample's true neighbors) and beam " +
+      s"width ${operators.Similarity.GsBeam} — marked *\nin the " +
+      s"tables; the pre-round-13 static default (nprobe = " +
+      s"$staticProbe) stays as an\nunmarked row for contrast, and " +
+      "the legacy pinned-16 build (which the\nSUITE still pins, " +
+      "because its committed oracles carry the cell count\nas " +
+      "Lloyd-CTE literals) is kept as the before/after contrast. " +
+      "Generated\nby `sbt \"Test/runMain graft.GenServeCurve\"`.\n\n" +
       "Reading the curves: nprobe buys recall only when a query's " +
       "true\nneighbors straddle cells. The 10× ScaleGen corpus is " +
       "CLONE-CLUSTERED\n(each vector has 9 near-twins), so truth " +
-      "lives almost entirely in the\nquery's own cell and the probe " +
-      "curve goes flat; what binds there is\n(a) GRAPH QUALITY — the " +
-      "v2 builder's geometry-aware init plus\nbeam-through-self " +
-      "lifted 10× recall 0.24 → 0.50 at 16 cells — and\n(b) PER-CELL " +
-      "POPULATION — the √n sizing restores the per-cell graphs\nto " +
-      "searchable size, which is why it is the shipped default; " +
-      "beam width\nis the query-time lever on top (its sweep below " +
-      "prices it). On a\nDIFFUSE corpus (the sf0.1 tables — true " +
-      "neighbors straddle cells)\nrecall tracks the probed FRACTION " +
-      "nprobe/ncells instead, so a caller\nserving that shape at √n " +
-      "cells raises `spark.graft.ann.nprobe` toward\nthe fraction " +
-      "these tables price — a query-time setting, not an index\n" +
-      "rebuild. The suite pins (16 cells, nprobe 6, beam 8) for " +
-      "oracle parity\nat test SFs.\n")
+      "lives almost entirely in the\nquery's own cell, the probe " +
+      "curve goes flat, and the adaptive\nrecommendation clamps at " +
+      "the static floor — no probe work is wasted\nat the 100 TB " +
+      "shape. On a DIFFUSE corpus (the sf0.1 tables — true\n" +
+      "neighbors straddle cells) recall tracks the probed FRACTION, " +
+      "and the\nbuild-time measurement raises the recommendation " +
+      "toward the covering\nfraction — which is why the shipped " +
+      "default row now sits near the\nfull-probe ceiling instead of " +
+      "a third of it. `spark.graft.ann.nprobe`\nstill outranks the " +
+      "recommendation for operators pinning a fleet-wide\nvalue. " +
+      "The suite pins (16 cells, nprobe 6, beam 8) for oracle " +
+      "parity\nat test SFs.\n")
     for ((label, dir) <- sets) {
       val e = Tables.embeddings(spark, dir)
       val n = e.count()
@@ -86,26 +88,48 @@ object GenServeCurve {
         if (defCells == pinned) Seq(pinned) else Seq(pinned, defCells)
       var shippedIdx
           : Option[(DataFrame, DataFrame, DataFrame, DataFrame)] = None
+      // the shipped default probe for THIS corpus: the build-time
+      // recommendation (resolved off the shipped build's artifact
+      // meta below); until then the static floor
+      var shippedProbe = staticProbe
       for (nCells <- cellCounts) {
         val shippedBuild = nCells == defCells
         val tb = System.nanoTime()
         val (cents0, asg0, entries0, graph0) =
-          operators.Similarity.servingIndex(e, nCells)
+          if (!shippedBuild) operators.Similarity.servingIndex(e, nCells)
+          else {
+            // the shipped build goes THROUGH the store (cold, scratch
+            // root) so the curve measures exactly what ensureCellIndex
+            // ships: the saved layout plus the adaptive recommendation
+            val prior = sources.IndexStore.root
+            sources.IndexStore.root = "/tmp/graft_index_servecurve"
+            org.apache.commons.io.FileUtils.deleteDirectory(
+              new java.io.File(sources.IndexStore.root))
+            val idx = try {
+              val i = sources.IndexStore.ensureCellIndex(spark, dir, e)
+              shippedProbe = sources.IndexStore
+                .recommendedNProbe(spark, dir).getOrElse(staticProbe)
+              i
+            } finally sources.IndexStore.root = prior
+            idx
+          }
         val cents = CacheScope.persisted(cents0)
         val asg = CacheScope.persisted(asg0)
         val entries = CacheScope.persisted(entries0)
         val graph = CacheScope.persisted(graph0)
         graph.count()
         val buildSec = (System.nanoTime() - tb) / 1e9
-        val tag = if (shippedBuild) " — the shipped √n default"
+        val tag = if (shippedBuild) " — the shipped √n default" +
+            s" (adaptive nprobe = $shippedProbe)"
           else " — the legacy pinned build"
         sb ++= s"\n## $label ($dir) — $n vectors, " +
           s"${truth.map(_._1).toSet.size} queries, nCells = $nCells$tag " +
           f"(~${n / nCells}%d vectors/cell), index build $buildSec%.1f s\n\n"
         sb ++= "| nprobe | probed fraction | recall@5 | query wall (s) " +
           "|\n|---|---|---|---|\n"
-        for (nProbe <- (Seq(2, 4, 6, 8, 16) ++ Seq(nCells)).distinct
-            .filter(_ <= nCells)) {
+        for (nProbe <- (Seq(2, 4, 6, 8, 16) ++
+            (if (shippedBuild) Seq(shippedProbe) else Seq.empty) ++
+            Seq(nCells)).distinct.sorted.filter(_ <= nCells)) {
           var best = Double.MaxValue
           var recall = 0.0
           for (_ <- 1 to 2) {

@@ -277,4 +277,88 @@ class IndexStoreSpec extends AnyFunSuite {
       CacheScope.releaseAll()
     } finally { IndexStore.root = prior }
   }
+
+  test("√n-defaulted build records an adaptive nprobe recommendation; " +
+      "pinned build does not; the gate survives the property line") {
+    val prior = IndexStore.root
+    IndexStore.root = "/tmp/graft_index_adaptive"
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(IndexStore.root))
+    try {
+      val e = Tables.embeddings(spark, sfDir)
+      // √n-defaulted (nCells omitted): the build must measure and
+      // record the recommendation on the meta's second line
+      IndexStore.ensureCellIndex(spark, s"${sfDir}_adp", e)
+      CacheScope.releaseAll()
+      val rec = IndexStore.recommendedNProbe(spark, s"${sfDir}_adp")
+      val nc = operators.Similarity.servingNCells(e.count())
+      assert(rec.isDefined, "√n build recorded no nprobe recommendation")
+      assert(rec.get >= operators.Similarity.S23NProbe && rec.get <= nc,
+        s"recommendation ${rec.get} outside [S23NProbe, $nc]")
+      // the 500-vector test corpus is DIFFUSE (true neighbors straddle
+      // cells) — the whole reason the static default under-served; the
+      // measurement must say so
+      assert(rec.get > operators.Similarity.S23NProbe,
+        s"diffuse corpus recommended the static default ${rec.get} — " +
+          "the measurement is not seeing corpus shape")
+      // warm re-ensure: a fingerprint HIT despite the extra meta line
+      // (the gate compares line 1 only), and the recommendation stays
+      val (_, _, _, g2) =
+        IndexStore.ensureCellIndex(spark, s"${sfDir}_adp", e)
+      val p = g2.queryExecution.executedPlan.toString
+      assert(p.contains("FileScan parquet") &&
+        p.contains("graft_index_adaptive"),
+        s"property line broke the freshness gate — warm ensure rebuilt:\n$p")
+      assert(IndexStore.recommendedNProbe(spark, s"${sfDir}_adp") == rec)
+      // pinned fixture build: no recommendation by design (committed
+      // oracles carry the static knobs as literals)
+      IndexStore.ensureCellIndex(spark, s"${sfDir}_pin", e,
+        nCells = operators.Similarity.IvfNCells)
+      CacheScope.releaseAll()
+      assert(IndexStore.recommendedNProbe(spark, s"${sfDir}_pin").isEmpty,
+        "a pinned build must not carry a recommendation")
+      // resolution order: explicit > conf > artifact meta > static
+      assert(operators.Similarity.nProbeOf(spark, 3, Some(12)) == 3)
+      assert(operators.Similarity.nProbeOf(spark, -1, Some(12)) == 12)
+      spark.conf.set("spark.graft.ann.nprobe", "4")
+      try assert(operators.Similarity.nProbeOf(spark, -1, Some(12)) == 4)
+      finally spark.conf.unset("spark.graft.ann.nprobe")
+      assert(operators.Similarity.nProbeOf(spark, -1, None) ==
+        operators.Similarity.S23NProbe)
+    } finally { IndexStore.root = prior }
+  }
+
+  test("adaptiveNProbe reads corpus shape: clustered corpora keep the " +
+      "static default, diffuse corpora raise it") {
+    import spark.implicits._
+    // clone-clustered: 16 tight clusters of 20 near-identical vectors
+    // (the ScaleGen 100 TB shape) — truth lives in the query's own
+    // cell, so the measured need clamps at the static floor
+    val rnd = new scala.util.Random(7)
+    val clustered = (0 until 320).map { i =>
+      val c = i % 16
+      (i.toLong, Array.tabulate(8)(d =>
+        (if (d == c % 8) 10f * (1 + c / 8) else 0f) +
+          rnd.nextFloat() * 0.01f), c)
+    }.toDF("vec_id", "embedding", "label")
+    val ic = operators.Similarity.servingIndex(clustered, 16)
+    val pc = operators.Similarity.adaptiveNProbe(ic._1, ic._2)
+    CacheScope.releaseAll()
+    assert(pc == operators.Similarity.S23NProbe,
+      s"clustered corpus recommended $pc — probe work wasted at scale")
+    // diffuse: uniform random vectors in HIGH dimension (the sf
+    // tables' 64-dim shape — in low dimension Voronoi cells genuinely
+    // capture neighborhoods and a low recommendation is CORRECT; in
+    // high dimension true neighbors straddle the coarse cells and the
+    // recommendation must climb toward the covering fraction)
+    val diffuse = (0 until 320).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2f - 1f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val id = operators.Similarity.servingIndex(diffuse, 16)
+    val pd = operators.Similarity.adaptiveNProbe(id._1, id._2)
+    CacheScope.releaseAll()
+    assert(pd > operators.Similarity.S23NProbe,
+      s"diffuse corpus recommended $pd — recall will sit at the " +
+        "static default's floor")
+  }
 }

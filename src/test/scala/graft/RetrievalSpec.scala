@@ -121,8 +121,9 @@ class RetrievalSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1))
     val gs: Map[Long, Set[String]] = docs.map { case (id, t) =>
       val ts = t.toLowerCase.split("\\s+", -1)
-      id -> (if (ts.length < 3) Set.empty[String]
-             else ts.sliding(3).map(_.mkString(" ")).toSet)
+      val w = operators.Retrieval.LexShingle
+      id -> (if (ts.length < w) Set.empty[String]
+             else ts.sliding(w).map(_.mkString(" ")).toSet)
     }.toMap
     val df = gs.values.flatten.groupBy(identity).map { case (g, o) =>
       g -> o.size
@@ -194,10 +195,66 @@ class RetrievalSpec extends AnyFunSuite {
       assert(h >= 0 && h <= t)
       assert(r.getAs[Long]("recall_micro") == h * 1000000L / t)
     }
-    // the shipped-knob serving floor on this fixture (measured 0.57 in
-    // SERVECURVE terms); an index/serve regression drops this
+    // the PINNED-knob serving floor on this fixture (measured 0.57 in
+    // SERVECURVE terms); an index/serve regression drops this. The
+    // suite entry pins (16 cells, nprobe 6) by oracle contract, so
+    // the adaptive recommendation does not move this number — the
+    // shipped-default path has its own, HIGHER floor below
     val mean = rows.map(_.getAs[Long]("recall_micro")).sum / rows.length
     info(s"s34 mean recall_micro=$mean over ${rows.length} queries")
     assert(mean >= 400000L, s"serving recall collapsed: $mean")
+  }
+
+  test("shipped-default serve (√n cells + adaptive nprobe) holds the " +
+      "raised recall floor on a diffuse corpus") {
+    // the round-13 fix under test: the shipped default previously
+    // served recall@5 = 0.34 on the diffuse sf0.1 shape (SERVECURVE,
+    // static nprobe 6 of 48 cells) vs a 0.76 full-probe ceiling; the
+    // build-time adaptive recommendation must hold ≥ 0.6 — measured
+    // 0.6857 at sf0.1 and flat walls. This gate runs the REAL shipped
+    // path end to end: ensureCellIndex with the √n default, the
+    // recommendation read off the artifact meta, the serve resolving
+    // it with no explicit knob
+    import graft.functions.VectorFunctions.milli_l2
+    import org.apache.spark.sql.expressions.Window
+    val prior = graft.sources.IndexStore.root
+    graft.sources.IndexStore.root = "/tmp/graft_index_shipped_gate"
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(graft.sources.IndexStore.root))
+    try {
+      val e = graft.Tables.embeddings(spark, sfDir)
+      val idx = graft.sources.IndexStore.ensureCellIndex(spark, sfDir, e)
+      val rec = graft.sources.IndexStore.recommendedNProbe(spark, sfDir)
+      assert(rec.isDefined, "shipped build carried no recommendation")
+      // unfiltered truth in the serving metric
+      val m = e.select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000).cast("long")).as("mv"))
+      val q = m.filter(col("vec_id") % 97 === 0 &&
+          col("vec_id") < operators.Similarity.QueryIdBound)
+        .select(col("vec_id").as("q_id"), col("mv").as("q_mv"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))
+      val truth = m.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("d2", milli_l2(col("q_mv"), col("mv")))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .select(col("q_id"), col("vec_id")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      // the serve resolves the artifact recommendation (no explicit
+      // nprobe, no conf) — the exact path a production caller gets
+      val served = operators.Similarity.cellProbeSearchOn(
+        idx._1, idx._2, idx._3, idx._4, nProbeMeta = rec)
+        .collect()
+        .groupBy(_.getAs[Long]("q_id"))
+        .map { case (k, v) => k -> v.map(_.getAs[Long]("nn_id")).toSet }
+      CacheScope.releaseAll()
+      val hits = truth.toSeq.map { case (qid, t) =>
+        served.getOrElse(qid, Set.empty).count(t.contains) }.sum
+      val recall = hits.toDouble / truth.values.map(_.size).sum
+      info(s"shipped-default recall@5=$recall (adaptive nprobe=${rec.get})")
+      assert(recall >= 0.6,
+        s"shipped-default serving recall $recall below the raised 0.6 " +
+          s"floor (adaptive nprobe=${rec.get})")
+    } finally { graft.sources.IndexStore.root = prior }
   }
 }

@@ -61,7 +61,17 @@ object ScaleBench {
       CacheScope.releaseAll()
     }
 
-    def timeAt(dir: String): Seq[(String, Double, Long)] =
+    def timeAt(dir: String): Seq[(String, Double, Long)] = {
+      // COLD STORES before each SF pass (the pinned Bench protocol):
+      // ratios must compare build-inclusive walls at BOTH factors —
+      // a warm standing index at one SF and cold at the other would
+      // fake a sub/super-linear serving entry
+      for (root <- Seq(graft.sources.IndexStore.root, "/tmp/graft_index")
+          .distinct) {
+        try org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(root))
+        catch { case _: Throwable => () }
+      }
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
@@ -70,7 +80,10 @@ object ScaleBench {
         CacheScope.releaseAll()
         (name, sec, n)
       }
+    }
 
+    val loadStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val base = timeAt(baseDir)
     val scaled = timeAt(scaledDir)
 
@@ -138,8 +151,10 @@ object ScaleBench {
     val qs = entries.map { case (name, b, s, r, bn, sn) =>
       s""""$name":{"base":${d3(b)},"scaled":${d3(s)},"ratio":${d3(r)},"rows_base":$bn,"rows_scaled":$sn}"""
     }.mkString("{", ",", "}")
+    val loadEnd = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val json =
-      s"""{"metric":"scale_growth","factor":$factor,"base_sf":"$baseDir","scaled_sf":"$scaledDir","base_total_sec":${d3(base.map(_._2).sum)},"scaled_total_sec":${d3(scaled.map(_._2).sum)},"queries":$qs}"""
+      s"""{"metric":"scale_growth","factor":$factor,"base_sf":"$baseDir","scaled_sf":"$scaledDir","protocol":"cold-stores-per-pass","load_avg_start":${d3(loadStart)},"load_avg_end":${d3(loadEnd)},"base_total_sec":${d3(base.map(_._2).sum)},"scaled_total_sec":${d3(scaled.map(_._2).sum)},"queries":$qs}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALEBENCH_OUT",
       "/tmp/graft_scalebench.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),

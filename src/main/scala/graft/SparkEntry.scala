@@ -30,7 +30,8 @@ object SparkEntry {
         operators.Similarity.queries ++
         operators.Retrieval.queries ++
         operators.TextAnalysis.queries ++
-        operators.Multimodal.queries,
+        operators.Multimodal.queries ++
+        operators.DiscogsStar.queries,
       oracleSql)
 
   /** Wraps every suite entry whose ORACLE text embeds the committed
@@ -77,5 +78,6 @@ object SparkEntry {
       operators.Similarity.oracles ++
       operators.Retrieval.oracles ++
       operators.TextAnalysis.oracles ++
-      operators.Multimodal.oracles
+      operators.Multimodal.oracles ++
+      operators.DiscogsStar.oracles
 }

@@ -49,19 +49,38 @@ object Dedup {
   private def shingles(toks: Column): Column =
     graft.functions.TextHashFunctions.word_shingles(toks, 3)
 
+  /** MinHash signature geometry shared by [[d02_minhash_lsh]] and its
+    * DuckDB oracle: 64 slots = [[D02Bands]] bands × [[D02Rows]] rows
+    * (s-curve threshold ≈ 0.5 at r=4, b=16). */
+  private[graft] val D02Bands = 16
+  private[graft] val D02Rows = 4
+
   /** MinHash + LSH banding near-dup pipeline:
-    *   3-word shingles → 64-slot minhash signature (one-pass native
-    *   expression, map-only) → 16 bands × 4 rows → bucket self-join →
-    *   candidate pairs → exact-Jaccard verify ≥ 0.5 (native expression,
-    *   once per candidate).
+    *   3-word shingles → 64-slot minhash signature → 16 bands × 4
+    *   rows → bucket self-join → candidate pairs → exact-Jaccard
+    *   verify ≥ 0.5 (native expression, once per candidate).
     * The only shuffles are the band bucket join and the candidate
     * verify joins; candidate volume is governed by the band collision
     * probability (r=4, b=16 → s-curve threshold ≈0.5), not n² — this is
     * the scale path for document dedup.
-    * No oracle: the minhash permutations are engine-specific.
+    *
+    * The slot permutations are md5-keyed (slot i of a doc =
+    * min over shingles g of md5(g || '#' || i), a hex-string min; the
+    * band key folds the band index over its 4 slots with one more
+    * md5) — real MinHash (each slot an independent uniform hash
+    * family member), chosen over the seeded-xxhash native expression
+    * BECAUSE md5 is the one hash both engines evaluate bit-identically
+    * (the t04 discipline), which puts the whole sketch under the
+    * DuckDB hash gate: signature, banding, candidate set and verify
+    * all mirror exactly. The xxhash variant survives as
+    * [[minhashLshSketched]], the d16/d32 screens' native band
+    * expression, with DedupSpec's brute-truth subset gate as referee.
+    * All signature work is one map-only projection (no shuffle before
+    * the band join); 64 md5s per shingle is the standard per-slot
+    * hashing cost of any MinHash at any scale.
     */
   def d02_minhash_lsh: Q = (s, d) => {
-    import graft.functions.TextHashFunctions.{minhash_bands, array_jaccard}
+    import graft.functions.TextHashFunctions.array_jaccard
     // repartition BEFORE the per-row signature stage: a small-file
     // table arrives as one partition, which would serialize the whole
     // (CPU-heavy) shingle+minhash map work onto a single core — at
@@ -69,11 +88,59 @@ object Dedup {
     val docs = graft.CacheScope.persisted(
       Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), shingles(tokens(col("text"))).as("sh"))
+        // distinct shingles: slot mins are duplicate-blind, but the
+        // verify stage's set sizes must agree with the oracle's
+        // list_distinct sets
+        .select(col("doc_id"),
+          array_distinct(shingles(tokens(col("text")))).as("sh"))
     ) // referenced 3× (banding + both verify joins)
+    val nSlots = D02Bands * D02Rows
+    val banded = docs
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(0, ${D02Bands - 1}), b -> md5(concat(
+           |  cast(b as string), ':',
+           |  array_join(transform(sequence(0, ${D02Rows - 1}), r ->
+           |    array_min(transform(sh, g ->
+           |      md5(concat(g, '#', cast(b * $D02Rows + r as string)))))),
+           |    ''))))""".stripMargin).as("bhs"))
+      .select(col("doc_id"), explode(col("bhs")).as("bh"))
+    require(nSlots == 64) // the documented signature width
+    val a = banded.select(col("bh"), col("doc_id").as("id_a"))
+    val b = banded.select(col("bh"), col("doc_id").as("id_b"))
+    val candidates = a.join(b, Seq("bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    candidates
+      .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        graft.Tables.rhalfup(array_jaccard(col("sh_a"), col("sh_b")), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** The seeded-xxhash native-expression variant of [[d02_minhash_lsh]]
+    * (the pre-round-13 suite entry): same shingle → 16×4 band →
+    * candidate → exact-verify pipeline, signatures from the one-pass
+    * [[graft.functions.TextHashFunctions.minhash_bands]] codegen
+    * expression — the same band family the d16/d32 incremental screens
+    * and the streaming near-dup gate run on. Kept as the library's
+    * throughput variant (one native pass vs 64 md5s per shingle) with
+    * DedupSpec's brute-truth subset gate as its referee; the suite
+    * entry uses the md5-keyed twin, whose sketch the DuckDB oracle
+    * recomputes hash for hash. */
+  private[graft] def minhashLshSketched(documents: DataFrame): DataFrame = {
+    import graft.functions.TextHashFunctions.{minhash_bands, array_jaccard}
+    val s = documents.sparkSession
+    val docs = graft.CacheScope.persisted(
+      documents
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), shingles(tokens(col("text"))).as("sh")))
     val banded = docs
       .select(col("doc_id"),
-        explode(array_distinct(minhash_bands(col("sh"), 16, 4))).as("bh"))
+        explode(array_distinct(minhash_bands(col("sh"), D02Bands, D02Rows)))
+          .as("bh"))
     val a = banded.select(col("bh"), col("doc_id").as("id_a"))
     val b = banded.select(col("bh"), col("doc_id").as("id_b"))
     val candidates = a.join(b, Seq("bh"))
@@ -940,18 +1007,29 @@ object Dedup {
   private[graft] val D13TargetSample = 1000L
 
   /** Fixed-size deterministic corpus sample: keep doc_ids whose
-    * xxhash64 lands in bucket 0 of k = max(1, n/target) buckets.
+    * [[md5Hash60]] lands in bucket 0 of k = max(1, n/target) buckets.
     * Expected sample size is in [target, 2·target) regardless of
-    * corpus size (xxhash64 scatters ids uniformly across buckets), and
-    * the choice is a pure function of the doc_id set — reproducible,
-    * unlike rand()-based sampling. Costs one count() of the input at
+    * corpus size (the 60-bit md5 prefix scatters ids uniformly across
+    * buckets), and the choice is a pure function of the doc_id set —
+    * reproducible, unlike rand()-based sampling, and (the round-13
+    * point) mirrored hash for hash by the DuckDB oracle, unlike the
+    * xxhash64 it replaces. Costs one count() of the input at
     * plan-build time (metadata-cheap on parquet).
     */
   private[graft] def d13Sample(docs: DataFrame, target: Long): DataFrame = {
     val n = docs.count()
     val k = math.max(1L, n / math.max(1L, target))
-    docs.filter(pmod(xxhash64(col("doc_id")), lit(k)) === 0)
+    docs.filter(md5Hash60(col("doc_id").cast("string")) % lit(k) === 0)
   }
+
+  /** The cross-engine deterministic 60-bit hash: the first 15 hex
+    * chars of md5, read as an integer. md5 is the ONE hash Spark and
+    * DuckDB evaluate bit-identically on the same UTF-8 string (the
+    * t04 fingerprint discipline), and 15 hex digits = 60 bits keep
+    * the value positive in a BIGINT on both sides. DuckDB mirror:
+    * `('0x' || substr(md5(x), 1, 15))::BIGINT`. */
+  private[graft] def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** d13 — LSH recall evaluation: how much of the exact near-duplicate
     * truth does d02's banded MinHash actually find? The dedup-side
@@ -967,8 +1045,13 @@ object Dedup {
     * the corpus: exactly the blowup the sketch exists to avoid.) The
     * d02 side still runs over the full corpus, as it must — recall is
     * measured against what the production pipeline actually emits.
-    * Rows-only (recall of a randomized sketch has no cross-engine
-    * oracle).
+    *
+    * Oracle-checked since round 13: the sample hash is [[md5Hash60]]
+    * (mirrored exactly), the truth is brute Jaccard the oracle
+    * recomputes relationally, and the found side is [[
+    * d02_minhash_lsh]]'s now-deterministic md5 sketch — so the whole
+    * eval (sample, truth, sketch, recall arithmetic) sits under one
+    * hash check instead of a rows-only row.
     */
   def d13_lsh_recall: Q = (s, d) => {
     import graft.functions.TextHashFunctions.array_jaccard
@@ -998,7 +1081,8 @@ object Dedup {
           .as("n_found"))
       .withColumn("recall",
         when(col("n_true_pairs") === 0, lit(1.0))
-          .otherwise(round(col("n_found") / col("n_true_pairs"), 4)))
+          .otherwise(graft.Tables.rhalfup(
+            col("n_found") / col("n_true_pairs"), 4)))
   }
 
   /** d22 — exact substring-overlap pairs: for every document pair
@@ -1765,7 +1849,82 @@ object Dedup {
        |ORDER BY e.vec_id""".stripMargin
   }
 
+  /** The [[d02_minhash_lsh]] pipeline as DuckDB CTEs — shingle sets,
+    * 64 md5-keyed slot minima, banded keys, candidates, exact verify —
+    * ending at `d02v(id_a, id_b, jaccard)` (verified, UNFILTERED by
+    * threshold so consumers choose). Pre-stripped (no WITH, no margin
+    * pipes); the shingle CTE is d32's proven mirror text. Shared by
+    * the d02 and d13 oracles so the sketch mirrors cannot drift. */
+  private[graft] def d02OracleCtes: String =
+    s"""d02t AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS l
+       |  FROM documents),
+       |d02ds AS MATERIALIZED (
+       |  SELECT doc_id, list_distinct(
+       |    CASE WHEN len(l) < 3 THEN [array_to_string(l, ' ')]
+       |      ELSE list_transform(
+       |        list_zip(l[1:len(l)-2], l[2:len(l)-1], l[3:len(l)]),
+       |        p -> p[1]||' '||p[2]||' '||p[3]) END) AS s
+       |  FROM d02t),
+       |d02slots AS MATERIALIZED (
+       |  SELECT doc_id, i, MIN(md5(g || '#' || i)) AS mh
+       |  FROM (SELECT doc_id, unnest(s) AS g FROM d02ds)
+       |  CROSS JOIN (SELECT unnest(generate_series(0,
+       |    ${D02Bands * D02Rows - 1})) AS i)
+       |  GROUP BY doc_id, i),
+       |d02bands AS (
+       |  SELECT doc_id, md5((i // $D02Rows)::VARCHAR || ':' ||
+       |      string_agg(mh, '' ORDER BY i)) AS bh
+       |  FROM d02slots GROUP BY doc_id, i // $D02Rows),
+       |d02cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM d02bands a JOIN d02bands b
+       |    ON a.bh = b.bh AND a.doc_id < b.doc_id),
+       |d02v AS (
+       |  SELECT c.id_a, c.id_b,
+       |    round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+       |      (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 4)
+       |      AS jaccard
+       |  FROM d02cand c
+       |  JOIN d02ds x ON x.doc_id = c.id_a
+       |  JOIN d02ds y ON y.doc_id = c.id_b)""".stripMargin
+
+  private[graft] def d02OracleSql: String =
+    s"""WITH $d02OracleCtes
+       |SELECT id_a, id_b, jaccard FROM d02v
+       |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
+
+  /** [[d13_lsh_recall]]'s oracle: the md5-bucketed sample, brute
+    * Jaccard truth over it (the size-ratio prefilter is lossless, so
+    * the mirror omits it), the d02 sketch chain as the found side,
+    * and the same recall arithmetic. */
+  private[graft] def d13OracleSql: String =
+    s"""WITH $d02OracleCtes,
+       |d13k AS (
+       |  SELECT GREATEST(1, COUNT(*) // $D13TargetSample) AS k
+       |  FROM documents),
+       |d13s AS MATERIALIZED (
+       |  SELECT ds.doc_id, ds.s FROM d02ds ds, d13k
+       |  WHERE ('0x' || substr(md5(ds.doc_id::VARCHAR), 1, 15))::BIGINT
+       |    % d13k.k = 0),
+       |d13truth AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM d13s a JOIN d13s b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+       |d13found AS (
+       |  SELECT id_a, id_b FROM d02v WHERE jaccard >= 0.5)
+       |SELECT COUNT(*) AS n_true_pairs,
+       |  COUNT(f.id_a) AS n_found,
+       |  CASE WHEN COUNT(*) = 0 THEN CAST(1.0 AS DOUBLE)
+       |    ELSE round(CAST(COUNT(f.id_a) AS DOUBLE) / COUNT(*), 4)
+       |  END AS recall
+       |FROM d13truth t LEFT JOIN d13found f
+       |  ON f.id_a = t.id_a AND f.id_b = t.id_b""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "d02_minhash_lsh" -> d02OracleSql,
+    "d13_lsh_recall" -> d13OracleSql,
     "d32_screen_core" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS l

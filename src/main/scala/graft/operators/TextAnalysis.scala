@@ -706,6 +706,13 @@ object TextAnalysis {
             (col("nd") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
   }
 
+  /** Count-min geometry shared by [[t20_heavy_hitters]] and its DuckDB
+    * oracle: [[CmDepth]] hash rows × [[CmWidth]] counters (ε = e/2719
+    * ≈ 0.001, δ = e⁻⁴ ≈ 0.018 — the same guarantee the old
+    * `count_min_sketch(ε=0.001, δ=0.99)` call carried). */
+  private[graft] val CmDepth = 4
+  private[graft] val CmWidth = 2719
+
   /** t20 — heavy hitters via count-min sketch: one fixed-size sketch
     * aggregate over the token stream (the summary a one-pass or
     * streaming pipeline keeps instead of a full vocabulary), probed
@@ -714,17 +721,72 @@ object TextAnalysis {
     * estimate ≥ exact, overshoot ≤ ε·N with confidence δ — is
     * asserted per row (`within_bound`) and in TextAnalysisSpec.
     *
-    * Scale: the sketch is a partial+final aggregate with CONSTANT
-    * state (ε=0.001, δ=0.99 ⇒ ~7 rows × 2719 counters) regardless of
-    * corpus size; the exact side is t07's partial-agg vocabulary path
-    * ending in TakeOrdered(20); the probe is a one-row broadcast and
-    * 20 codegen'd estimates. No oracle (sketch layout is
-    * engine-specific); rows-only + spec properties.
+    * The [[CmDepth]] hash rows are md5-keyed (row i buckets a token
+    * at md5-60-bit(tok#i) mod [[CmWidth]]) — a standard independent-
+    * hash CM family, chosen over Spark's opaque `count_min_sketch`
+    * binary BECAUSE md5 is the hash both engines evaluate
+    * bit-identically, which puts the sketch itself under the DuckDB
+    * hash gate: counters, probes and the ε bound all mirror exactly.
+    * The built-in-sketch variant survives as [[heavyHittersSketched]]
+    * with the same spec properties as referee.
+    *
+    * Scale: the sketch is a partial+final (i, bucket) count aggregate
+    * with CONSTANT state (4 × 2719 counter rows) regardless of corpus
+    * size; the exact side is t07's partial-agg vocabulary path ending
+    * in TakeOrdered(20); the probe joins 20·4 rows against the
+    * broadcast counter table. The ε-bound arithmetic is integer
+    * (⌈n/1000⌉ as (n+999) div 1000) so the bound bit cannot drift on
+    * float rounding.
     */
   def t20_heavy_hitters: Q = (s, d) =>
     heavyHitters(Tables.documents(s, d))
 
   private[graft] def heavyHitters(docs: DataFrame, topK: Int = 20): DataFrame = {
+    val tokens = docs.select(
+      explode(array_remove(split(lower(col("text")), "\\s+"), "")).as("tok"))
+    // the sketch: (row, bucket) → count, ≤ CmDepth·CmWidth rows total
+    val cells = graft.CacheScope.persisted(
+      tokens
+        .select(explode(expr(
+          s"""transform(sequence(0, ${CmDepth - 1}), i -> struct(
+             |  i AS i,
+             |  cast(conv(substring(md5(concat(tok, '#', cast(i AS string))),
+             |    1, 15), 16, 10) AS bigint) % $CmWidth AS bucket))"""
+            .stripMargin)).as("c"))
+        .groupBy(col("c.i").as("i"), col("c.bucket").as("bucket"))
+        .agg(count(lit(1)).as("cnt")))
+    val stream = tokens.agg(count(lit(1)).as("n_stream"))
+    val top = tokens.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok"))
+      .limit(topK)
+    top
+      .select(col("tok"), col("exact_cnt"),
+        explode(expr(s"sequence(0, ${CmDepth - 1})")).as("i"))
+      .withColumn("bucket", expr(
+        s"cast(conv(substring(md5(concat(tok, '#', cast(i AS string))), " +
+          s"1, 15), 16, 10) AS bigint) % $CmWidth"))
+      .join(broadcast(cells), Seq("i", "bucket"))
+      .groupBy(col("tok"), col("exact_cnt"))
+      .agg(min(col("cnt")).as("est_cnt"))
+      .crossJoin(broadcast(stream))
+      .withColumn("within_bound",
+        col("est_cnt") >= col("exact_cnt") &&
+          col("est_cnt") - col("exact_cnt") <=
+            expr("(n_stream + 999) div 1000"))
+      .select(col("tok"), col("exact_cnt"), col("est_cnt"), col("within_bound"))
+      .orderBy(col("exact_cnt").desc, col("tok"))
+  }
+
+  /** The Spark-built-in-sketch variant of [[heavyHitters]] (the
+    * pre-round-13 suite entry): `count_min_sketch` partial+final
+    * aggregate probed by the [[graft.functions.SketchFunctions
+    * .cms_estimate]] expression. Kept as the library's streaming-
+    * friendly form (ONE binary sketch value travels, merge-able
+    * across micro-batches) with the same ε-bound spec properties as
+    * referee; the suite entry uses the md5-keyed twin the oracle
+    * recomputes counter for counter. */
+  private[graft] def heavyHittersSketched(docs: DataFrame,
+      topK: Int = 20): DataFrame = {
     import graft.functions.SketchFunctions.cms_estimate
     val eps = 0.001
     val tokens = docs.select(
@@ -1155,6 +1217,39 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    // the md5-keyed count-min recomputed counter for counter: same
+    // token stream, same (row, bucket) cells, same min-probe, same
+    // integer ε bound — the sketch itself under the hash gate
+    "t20_heavy_hitters" ->
+      s"""WITH tk AS (
+         |  SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+         |    '\\s+'), x -> x <> '')) AS tok
+         |  FROM documents),
+         |cmcells AS MATERIALIZED (
+         |  SELECT i, ('0x' || substr(md5(tok || '#' || i), 1, 15))::BIGINT
+         |      % $CmWidth AS bucket, COUNT(*) AS cnt
+         |  FROM tk CROSS JOIN (
+         |    SELECT unnest(generate_series(0, ${CmDepth - 1})) AS i)
+         |  GROUP BY 1, 2),
+         |ns AS (SELECT COUNT(*) AS n_stream FROM tk),
+         |topt AS (
+         |  SELECT tok, COUNT(*) AS exact_cnt FROM tk GROUP BY tok
+         |  ORDER BY exact_cnt DESC, tok LIMIT 20),
+         |est AS (
+         |  SELECT t.tok, t.exact_cnt, MIN(c.cnt) AS est_cnt
+         |  FROM topt t
+         |  CROSS JOIN (
+         |    SELECT unnest(generate_series(0, ${CmDepth - 1})) AS i) d
+         |  JOIN cmcells c ON c.i = d.i AND c.bucket =
+         |    ('0x' || substr(md5(t.tok || '#' || d.i), 1, 15))::BIGINT
+         |      % $CmWidth
+         |  GROUP BY t.tok, t.exact_cnt)
+         |SELECT e.tok, e.exact_cnt, e.est_cnt,
+         |  e.est_cnt >= e.exact_cnt AND
+         |    e.est_cnt - e.exact_cnt <= (n.n_stream + 999) // 1000
+         |    AS within_bound
+         |FROM est e, ns n
+         |ORDER BY e.exact_cnt DESC, e.tok""".stripMargin,
     "t27_fertility" ->
       s"""WITH w0 AS (
          |  SELECT word, COUNT(*) AS cnt, regexp_split_to_array(word, '')

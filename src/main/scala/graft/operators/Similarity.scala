@@ -1966,8 +1966,9 @@ object Similarity {
     pqServing(Tables.embeddings(s, d), nCells = IvfNCells)
 
   private[graft] def pqServing(e: DataFrame, nCells: Int = -1,
-      nProbe: Int = -1, rerank: Int = S28Rerank): DataFrame = {
-    val (cents, asg, codebook, codes) = pqIndex(e, nCells)
+      nProbe: Int = -1, rerank: Int = S28Rerank,
+      pqK: Int = PqK): DataFrame = {
+    val (cents, asg, codebook, codes) = pqIndex(e, nCells, pqK)
     pqServeOn(cents, asg, codebook, codes, nProbe, rerank)
   }
 
@@ -1981,7 +1982,12 @@ object Similarity {
     *  - `codes`: the per-vector PQ codes keyed by cell (cand, cell,
     *    blk, j) — the ONLY corpus-sized frame the ADC scan touches,
     *    m ints per vector. */
-  private[graft] def pqIndex(e: DataFrame, nCells: Int = -1)
+  /** `pqK` (default [[PqK]]) parameterizes the fine-codebook size for
+    * the GenServeCurve sweep; the suite and the standing artifact pin
+    * the shipped default (its shape is folded into the PQ
+    * fingerprint). */
+  private[graft] def pqIndex(e: DataFrame, nCells: Int = -1,
+      pqK: Int = PqK)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import graft.functions.VectorFunctions.milli_l2
     val nc = if (nCells > 0) nCells else servingNCells(e.count())
@@ -2002,7 +2008,7 @@ object Similarity {
     // fine quantizer: s09's PQ codebook + the per-vector codes (the
     // only per-member payload the ADC scan reads), keyed by cell so
     // the serving layout partition-prunes to the probed cells
-    val (q, c) = pqTrain(e, PqK, PqBlockDim, PqRounds)
+    val (q, c) = pqTrain(e, pqK, PqBlockDim, PqRounds)
     val codes = pqAssign(q, c).filter(col("rn") === 1)
       .join(asg.select(col("vec_id"), col("cell")), Seq("vec_id"))
       .select(col("vec_id").as("cand"), col("cell"), col("blk"), col("j"))

@@ -317,9 +317,23 @@ object IndexStore {
     if (!metaFp(readMeta(spark, dir)).contains(fp)) {
       val (cents, asg, codebook, codes) = Similarity.pqIndex(e, nc)
       savePqIndex(spark, dir, fp, cents, asg, codebook, codes)
+      // same adaptive-probe discipline as ensureCellIndex: the coarse
+      // quantizer is the same structure, so the coverage measurement
+      // applies verbatim (the PQ asg carries the (vec_id, cell, mv)
+      // columns the measurement reads)
+      if (nCells <= 0) {
+        val (lc, la, _, _) = loadPqIndex(spark, dir)
+        writeMeta(spark, dir, s"$fp\nnprobe=" +
+          Similarity.adaptiveNProbe(lc, la))
+      }
     }
     loadPqIndex(spark, dir)
   }
+
+  /** [[recommendedNProbe]] for the PQ artifact namespace. */
+  def recommendedPqNProbe(spark: SparkSession, corpusDir: String)
+      : Option[Int] =
+    nProbeOfMeta(readMeta(spark, pqIndexDir(corpusDir)))
 
   /** Load-or-build for a standing kNN graph (the s21 query path's and
     * s24 maintenance path's consumer seam): fingerprint-gated like

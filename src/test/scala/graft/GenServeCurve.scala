@@ -226,6 +226,54 @@ object GenServeCurve {
         }
         CacheScope.releaseAll()
       }
+      // PQ serving sweep (s28/s31's memory-bounded path): codebook
+      // size × re-rank budget at the shipped √n cells and the
+      // adaptive probe count — the grid that prices the shipped
+      // (k=8, rerank=16) shortlist default like the dense path's
+      // beam sweep prices its default
+      sb ++= s"\n### $label PQ serving sweep (s28: nCells = $defCells, " +
+        s"nprobe = $shippedProbe, shipped codebook k = " +
+        s"${operators.Similarity.PqK}, shipped rerank = " +
+        s"${operators.Similarity.S28Rerank})\n\n"
+      sb ++= "Recall@5 vs the same milli brute truth; the ADC scan " +
+        "reads codes only,\nthe re-rank touches nprobe·rerank exact " +
+        "vectors per query. Each codebook\nrow is its own index " +
+        "build (build wall listed once per k).\n\n"
+      sb ++= "| codebook k | rerank | recall@5 | query wall (s) " +
+        "| index build (s) |\n|---|---|---|---|---|\n"
+      for (pqK <- Seq(4, 8, 16)) {
+        val tb = System.nanoTime()
+        val (pc0, pa0, pb0, pcd0) =
+          operators.Similarity.pqIndex(e, defCells, pqK)
+        val pc = CacheScope.persisted(pc0)
+        val pa = CacheScope.persisted(pa0)
+        val pb = CacheScope.persisted(pb0)
+        val pcd = CacheScope.persisted(pcd0)
+        pcd.count()
+        val pqBuild = (System.nanoTime() - tb) / 1e9
+        var first = true
+        for (rr <- Seq(8, 16, 32, 64)) {
+          var best = Double.MaxValue
+          var recall = 0.0
+          for (_ <- 1 to 2) {
+            val t0 = System.nanoTime()
+            val got = operators.Similarity
+              .pqServeOn(pc, pa, pb, pcd, nProbe = shippedProbe,
+                rerank = rr)
+              .collect()
+            best = math.min(best, (System.nanoTime() - t0) / 1e9)
+            recall = got.map(x => (x.getLong(0), x.getLong(2))).toSet
+              .count(truth.contains).toDouble / truth.size
+          }
+          val mark = if (pqK == operators.Similarity.PqK &&
+            rr == operators.Similarity.S28Rerank) "*" else ""
+          val buildCol = if (first) f"$pqBuild%.1f" else ""
+          sb ++= f"| $pqK$mark | $rr | $recall%.4f | $best%.2f " +
+            s"| $buildCol |\n"
+          first = false
+        }
+        CacheScope.releaseAll()
+      }
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
       sb.toString)

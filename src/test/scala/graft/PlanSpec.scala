@@ -907,4 +907,48 @@ class PlanSpec extends AnyFunSuite {
       "a top-5 ranking shuffles unpruned candidates")
     CacheScope.releaseAll()
   }
+
+  test("d02 md5-minhash signatures are one map-only projection; " +
+      "verify joins are hash joins") {
+    val p = plan("d02_minhash_lsh")
+    // the 64-slot signature + banding must happen in the scan's
+    // projection (no exchange between the parquet read and the band
+    // explode) — the only shuffles are the band bucket join and the
+    // candidate verify joins
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "band bucket join degenerated")
+    // the signature stage rides the explicit repartition (the
+    // parallelize-the-scan knob), not an implicit aggregation
+    assert(!p.contains("Exchange hashpartitioning(sh"),
+      "signature stage introduced its own shuffle")
+    CacheScope.releaseAll()
+  }
+
+  test("t20 count-min cells aggregate partial+final; probe joins the " +
+      "broadcast counter table") {
+    val p = plan("t20_heavy_hitters")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      "sketch cells are not map-side partially aggregated")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 20x4 probe does not broadcast against the counter table")
+    assert(!p.contains("CartesianProduct"))
+    CacheScope.releaseAll()
+  }
+
+  test("dq01/dq05 star joins broadcast the dim side; dq03 top-3 " +
+      "prunes pre-shuffle") {
+    val p1 = plan("dq01_label_fanout")
+    assert(p1.contains("BroadcastHashJoin"),
+      "label dim join is not broadcast")
+    assert(!p1.contains("CartesianProduct"))
+    val p3 = plan("dq03_top_videos_per_label")
+    assert("row_number\\(\\), 3, Partial".r.findAllIn(p3).nonEmpty,
+      "per-label top-3 shuffles unpruned release lists")
+    val p5 = plan("dq05_master_credits")
+    assert(!p5.contains("CartesianProduct") &&
+      !p5.contains("BroadcastNestedLoopJoin"))
+    CacheScope.releaseAll()
+  }
 }

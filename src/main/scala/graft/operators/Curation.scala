@@ -574,7 +574,11 @@ object Curation {
     val nPunct = size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0)))
     val fpc = md5(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
     val wFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
-    val curated = graft.CacheScope.persisted(
+    // eager lineage cut (not persist): curated is referenced by the
+    // d04 pair build, the anti-join, and the decontam stage — uncut,
+    // every downstream action re-analyzes this window + predLang
+    // expression tree before cache substitution (see p03Stages)
+    val curated = graft.CacheScope.checkpointed(
       docs
         .select(col("doc_id"), col("source"), col("lang"), col("text"),
           fpc.as("fp"), nTokW.as("n_tokens"),
@@ -611,7 +615,11 @@ object Curation {
       .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hits"))
       .filter(graft.Tables.rhalfup(col("n_hits") / col("n_grams"), 6) < 0.05)
       .select(col("doc_id"))
-    val clean = graft.CacheScope.persisted(deduped.join(cleanIds, Seq("doc_id")))
+    // eager lineage cut (not persist): the mixture-rate broadcast and
+    // the stage-5 job would each re-analyze the whole stage-1..3 tree
+    // before cache substitution — see p03Stages' stage-boundary note
+    val clean = graft.CacheScope.checkpointed(
+      deduped.join(cleanIds, Seq("doc_id")))
     // stage 4: mixture (d11's coin, stratified by PREDICTED language
     // over the clean corpus — the pipeline samples what it curated)
     val counts = clean.groupBy(col("pred_lang")).agg(count(lit(1)).as("n_docs"))
@@ -688,7 +696,12 @@ object Curation {
     val nPunct = size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0)))
     val fpc = md5(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
     val wFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
-    val curated = graft.CacheScope.persisted(
+    // eager lineage cut: curated is referenced by ≥4 downstream plans
+    // (the d29 pair build, the canonical join, and through them every
+    // later stage); uncut, each reference re-analyzes the window +
+    // predLang expression tree per action — see the stage-boundary
+    // note at `clean` below
+    val curated = graft.CacheScope.checkpointed(
       docs
         .select(col("doc_id"), col("source"), col("lang"), col("text"),
           fpc.as("fp"), nTokW.as("n_tokens"),
@@ -724,7 +737,16 @@ object Curation {
       .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hits"))
       .filter(graft.Tables.rhalfup(col("n_hits") / col("n_grams"), 6) < 0.05)
       .select(col("doc_id"))
-    val clean = graft.CacheScope.persisted(canonical.join(cleanIds, Seq("doc_id")))
+    // stage boundary: eager lineage CUT, not a bare persist. The r13
+    // probe measured the difference: with persist, every downstream
+    // ACTION (the mixture-rate broadcast, the epoch-plan broadcasts,
+    // the manifest job) re-analyzes the whole stage-1..3 logical tree
+    // before the cache substitutes — ~2-3 s of pure driver planning
+    // per action at sf0.1, and the p06 final plan printed at 2.98 MB
+    // because the uncut subtree is cloned into every consumer branch.
+    // The cut truncates consumers to a LogicalRDD scan (0.1-0.7 s).
+    val clean = graft.CacheScope.checkpointed(
+      canonical.join(cleanIds, Seq("doc_id")))
     // stage 4: mixture (d11's coin, stratified by predicted language)
     val counts = clean.groupBy(col("pred_lang")).agg(count(lit(1)).as("n_docs"))
     val rates = counts
@@ -800,13 +822,17 @@ object Curation {
     */
   def p06_epoch_build: Q = (s, d) => {
     val (sampled, scrub0) = p03Stages(s, d)
-    // persisted: consumed TWICE (the per-source token aggregate that
-    // prices the epoch plan, and the repeat join) — unpersisted, each
-    // consumer re-runs the d30 span-scrub pipeline; at 100 TB that is
-    // a full duplicate corpus pass. (Local wall time is dominated by
-    // the shared stage-2 eager CC cuts, so the saving mostly shows at
-    // scale, not at sf0.1.)
-    val scrub = graft.CacheScope.persisted(
+    // eager lineage CUT, consumed TWICE (the per-source token aggregate
+    // that prices the epoch plan, and the repeat join) — unpersisted,
+    // each consumer re-runs the d30 span-scrub pipeline (a full
+    // duplicate corpus pass at 100 TB). A bare persist() shares the
+    // DATA but not the PLAN: the r13 probe measured each consumer
+    // action re-analyzing the whole stage-1..5 tree at ~2-3 s of
+    // driver planning before the cache substitutes (guide §7.3's
+    // planning-dominated driver stall), and p06's final plan printed
+    // at 2.98 MB from the cloned subtree. The cut makes consumers
+    // LogicalRDD scans: full p06 34.3 s -> ~20 s at sf0.1.
+    val scrub = graft.CacheScope.checkpointed(
       scrub0.join(sampled.select(col("doc_id"), col("source")),
         Seq("doc_id")))
     val bySrc = scrub.groupBy(col("source"))

@@ -615,10 +615,9 @@ object Curation {
       .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hits"))
       .filter(graft.Tables.rhalfup(col("n_hits") / col("n_grams"), 6) < 0.05)
       .select(col("doc_id"))
-    // eager lineage cut (not persist): the mixture-rate broadcast and
-    // the stage-5 job would each re-analyze the whole stage-1..3 tree
-    // before cache substitution — see p03Stages' stage-boundary note
-    val clean = graft.CacheScope.checkpointed(
+    // persisted stage boundary — cheap to re-analyze now that curated
+    // is lineage-cut above; see p03Stages' stage-boundary note
+    val clean = graft.CacheScope.persisted(
       deduped.join(cleanIds, Seq("doc_id")))
     // stage 4: mixture (d11's coin, stratified by PREDICTED language
     // over the clean corpus — the pipeline samples what it curated)
@@ -737,15 +736,15 @@ object Curation {
       .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hits"))
       .filter(graft.Tables.rhalfup(col("n_hits") / col("n_grams"), 6) < 0.05)
       .select(col("doc_id"))
-    // stage boundary: eager lineage CUT, not a bare persist. The r13
-    // probe measured the difference: with persist, every downstream
-    // ACTION (the mixture-rate broadcast, the epoch-plan broadcasts,
-    // the manifest job) re-analyzes the whole stage-1..3 logical tree
-    // before the cache substitutes — ~2-3 s of pure driver planning
-    // per action at sf0.1, and the p06 final plan printed at 2.98 MB
-    // because the uncut subtree is cloned into every consumer branch.
-    // The cut truncates consumers to a LogicalRDD scan (0.1-0.7 s).
-    val clean = graft.CacheScope.checkpointed(
+    // persisted stage boundary: with `curated` lineage-cut above, the
+    // remaining stage-2/3 subtree is cheap to re-analyze, and keeping
+    // it a persist (not a cut) leaves the broadcast-decontam plan
+    // shape visible to PlanSpec's pins. (The r13 probe measured the
+    // UNCUT disease: every downstream action re-analyzed the whole
+    // stage-1..3 tree at ~2-3 s of driver planning per action, and the
+    // p06 final plan printed at 2.98 MB from the cloned subtree — the
+    // `curated` cut above and the `scrub` cut in p06 remove that.)
+    val clean = graft.CacheScope.persisted(
       canonical.join(cleanIds, Seq("doc_id")))
     // stage 4: mixture (d11's coin, stratified by predicted language)
     val counts = clean.groupBy(col("pred_lang")).agg(count(lit(1)).as("n_docs"))

@@ -1600,12 +1600,20 @@ object Dedup {
     pairRank(ngramJaccardPairs(Tables.documents(s, d)))
 
   private[graft] def pairRank(pairs: DataFrame, rounds: Int = 5): DataFrame = {
-    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // eager cut at entry: sym references `pairs` twice and deg/ed each
+    // evaluate sym — uncut, the d04 pair pipeline (the dominant stage
+    // cost) would run once per materialization instead of once total
+    val pc = graft.CacheScope.checkpointed(
+      pairs.select(col("id_a"), col("id_b")))
+    val sym = pc.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pc.select(col("id_b").as("src"), col("id_a").as("dst")))
     // deg doubles as the node table (sources of the symmetric edge
     // list = every node, one row each) — the rank init and the final
     // deg join read it instead of running E-row distincts
-    val deg = graft.CacheScope.persisted(
+    // eager cut: deg is referenced by the rank init, the edge table,
+    // and the final join — uncut, each action re-analyzes the d04 pair
+    // pipeline's tree before cache substitution (r13 probe)
+    val deg = graft.CacheScope.checkpointed(
       sym.groupBy(col("src")).agg(count(lit(1)).as("deg")))
     // the standard PageRank layout: edges live hash-partitioned on src
     // for the whole loop, so each round exchanges only the node-sized
@@ -1613,7 +1621,7 @@ object Dedup {
     // never re-shuffles after this one repartition. shuffle_hash on
     // the rank side keeps the per-round join sort-free (SMJ would
     // re-sort the cached edges every round).
-    val ed = graft.CacheScope.persisted(
+    val ed = graft.CacheScope.checkpointed(
       sym.join(deg, Seq("src")).repartition(col("src")))
     var ranks = deg.select(col("src").as("node"))
       .withColumn("rk", lit(1000000L))

@@ -635,7 +635,11 @@ object Similarity {
       .select(col("vec_id"), col("mv"),
         struct(milli_l2(col("mv"), col("c_mv")).as("d"),
           col("j").as("cell")).as("dc"))
-    val asg = graft.CacheScope.persisted(
+    // eager cut (not persist): asg is referenced by both init groups,
+    // the LSH-signature join, the graph join, the medoid aggregate and
+    // the serving query paths — uncut, every one of those actions
+    // re-analyzes the Lloyd-trainer lineage before cache substitution
+    val asg = graft.CacheScope.checkpointed(
       fan.groupBy(col("vec_id"))
         .agg(min(col("dc")).as("mdc"), first(col("mv")).as("mv"))
         .select(col("vec_id"), col("mdc").getField("cell").as("cell"),
@@ -2370,7 +2374,13 @@ object Similarity {
         struct(col("nn_id").as("src"), col("vec_id").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
     val self = e.select(col("vec_id").as("src"), col("vec_id").as("dst"))
-    val edges = graft.CacheScope.persisted(
+    // eager lineage cut, not persist: each LPA round references edges
+    // once, so the round-4 plan carries FOUR copies of the blockedKnn
+    // lineage — the r13 probe measured the driver re-analyzing that
+    // tree on every action (~seconds each) before cache substitution.
+    // Cut, each round's reference is a LogicalRDD scan and the round
+    // chain's plan stays flat.
+    val edges = graft.CacheScope.checkpointed(
       sym.unionAll(self).distinct().repartition(col("dst")))
     var labels = e
       .select(col("vec_id").as("node"), col("vec_id").as("lbl"))
@@ -2384,7 +2394,11 @@ object Similarity {
         .select(col("src").as("node"), (-col("w.nl")).as("lbl"))
     }
     // persisted: the community-size rollup is a second consumer of the
-    // final labels — without it the whole round chain runs twice
+    // final labels — without it the whole round chain runs twice. A
+    // persist (not a cut) deliberately: the round chain's plan shape
+    // (shuffle-hash joins, combinable vote argmax) stays visible to
+    // PlanSpec's skew pins, and re-analyzing it is cheap now that the
+    // edge list below is lineage-cut.
     val fin = graft.CacheScope.persisted(labels)
     val sizes = fin.groupBy(col("lbl")).agg(count(lit(1)).as("csize"))
     fin.join(sizes, Seq("lbl"))

@@ -376,6 +376,40 @@ object Similarity {
     * oracles rank per-(blk, j) — a silent engine/oracle divergence. */
   private[graft] val S19BlockDim = 64
 
+  /** The (j, c_mv) centroid table nested into ONE broadcastable row
+    * (`carr` = j-sorted array of (j, c_mv) structs). Three tiny
+    * aggregates over a ≤ncells-row frame; the payoff is that cell
+    * assignment and probe ranking become MAP-ONLY expressions over
+    * the corpus / query frames (guide §2.4 — remove shuffles
+    * outright): the old shape fanned every row ×ncells through a
+    * broadcast join and collapsed the fan back with a corpus-sized
+    * hash-aggregate (assignment) or a per-query window exchange
+    * (probes), both of which exist only to compute an argmin / top-n
+    * each row can compute locally against the broadcast array. */
+  private[graft] def centsNested(cents: DataFrame): DataFrame =
+    cents.groupBy().agg(
+      sort_array(collect_list(struct(col("j"), col("c_mv")))).as("carr"))
+
+  /** Row-local cell argmin over [[centsNested]]'s `carr`: exactly the
+    * old combinable `min(struct(d, cell))` — struct ordering compares
+    * (d, cell) lexicographically, ties to the smaller cell id. NULL
+    * (empty centroid table) mirrors the old inner-fan's empty result:
+    * callers filter it out. */
+  private def cellArgmin(mv: Column): Column =
+    array_min(transform(col("carr"), e =>
+      struct(graft.functions.VectorFunctions.milli_l2(
+        mv, e.getField("c_mv")).as("d"),
+        e.getField("j").as("cell"))))
+
+  /** Row-local probe ranking over `carr`: every cell as (cd, cell),
+    * sorted exactly like the old `row_number().over(orderBy(cd, j))`
+    * — `slice(..., 1, nprobe)` of it IS the old `prn <= nprobe`. */
+  private def cellRanks(mv: Column): Column =
+    sort_array(transform(col("carr"), e =>
+      struct(graft.functions.VectorFunctions.milli_l2(
+        mv, e.getField("c_mv")).as("cd"),
+        e.getField("j").as("cell"))))
+
   /** Trained IVF centroids as (j, c_mv) rows — [[pqTrain]] at full
     * vector width (flat exact-integer k-means) reshaped to one long
     * array per cell; shared by the batch index build and the
@@ -400,30 +434,28 @@ object Similarity {
   private[graft] def ivfExact(e: DataFrame,
       nCells: Int = IvfNCells, nProbe: Int = IvfNProbe): DataFrame = {
     import graft.functions.VectorFunctions.milli_l2
-    // trained centroids back to array form (j → 64 longs), broadcast
+    // trained centroids nested to ONE broadcast row (j-sorted array)
     val cents = ivfCentroids(e, nCells)
     val m = e.select(col("vec_id"),
       transform(col("embedding"),
         x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("mv"))
-    val fan = m.join(broadcast(cents), lit(true))
-      .select(col("vec_id"), col("mv"),
-        struct(milli_l2(col("mv"), col("c_mv")).as("d"),
-          col("j").as("cell")).as("dc"))
-    // argmin over 16 centroid distances via combinable min(struct):
-    // map-side combine collapses the fan-out before the shuffle
-    val corpus = fan.groupBy(col("vec_id"))
-      .agg(min(col("dc")).as("mdc"), first(col("mv")).as("mv"))
-      .select(col("vec_id"), col("mdc").getField("cell").as("cell"),
-        col("mv"))
-    val wp = Window.partitionBy(col("q_id"))
-      .orderBy(col("cd"), col("cell"))
-    val probes = fan
+    // MAP-ONLY argmin / probe ranking against the broadcast centroid
+    // array (guide §2.4): the old shape fanned the corpus ×ncells and
+    // collapsed it back with a corpus-sized partial/final aggregate
+    // (assignment) and a per-query window exchange (probes) — two
+    // exchanges that computed what each row computes locally here.
+    // Same (d, cell) tie order as the old min(struct) / row_number.
+    val assigned = m.crossJoin(broadcast(centsNested(cents)))
+    val corpus = assigned
+      .select(col("vec_id"),
+        cellArgmin(col("mv")).getField("cell").as("cell"), col("mv"))
+      .filter(col("cell").isNotNull)
+    val probes = assigned
       .filter(col("vec_id") % 97 === 0 && col("vec_id") < QueryIdBound)
       .select(col("vec_id").as("q_id"), col("mv").as("q_mv"),
-        col("dc").getField("d").as("cd"), col("dc").getField("cell").as("cell"))
-      .withColumn("prn", row_number().over(wp))
-      .filter(col("prn") <= nProbe)
-      .select(col("q_id"), col("q_mv"), col("cell"))
+        explode(slice(cellRanks(col("mv")), 1, nProbe)).as("pc"))
+      .select(col("q_id"), col("q_mv"),
+        col("pc").getField("cell").as("cell"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("dist"), col("vec_id"))
     corpus.join(broadcast(probes), Seq("cell"))
@@ -624,24 +656,21 @@ object Similarity {
   private[graft] def cellIndex(e: DataFrame, nCells: Int = IvfNCells,
       k: Int = NdK, rounds: Int = NdRounds)
       : (DataFrame, DataFrame, DataFrame) = {
-    import graft.functions.VectorFunctions.milli_l2
     val cents = ivfCentroids(e, nCells)
     val m = e.select(col("vec_id"),
       transform(col("embedding"),
         x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("mv"))
-    // exact cell assignment — s19's broadcast fan + combinable
-    // min(struct) argmin with (dist, cell) ties
-    val fan = m.join(broadcast(cents), lit(true))
-      .select(col("vec_id"), col("mv"),
-        struct(milli_l2(col("mv"), col("c_mv")).as("d"),
-          col("j").as("cell")).as("dc"))
+    // exact cell assignment — s19's MAP-ONLY argmin against the
+    // broadcast nested centroid array, same (dist, cell) ties (guide
+    // §2.4: the old ×ncells fan + corpus-sized aggregate removed)
     // eager cut (not persist): asg is referenced by both init groups,
     // the LSH-signature join, the graph join, the medoid aggregate and
     // the serving query paths — uncut, every one of those actions
     // re-analyzes the Lloyd-trainer lineage before cache substitution
     val asg = graft.CacheScope.checkpointed(
-      fan.groupBy(col("vec_id"))
-        .agg(min(col("dc")).as("mdc"), first(col("mv")).as("mv"))
+      m.crossJoin(broadcast(centsNested(cents)))
+        .select(col("vec_id"), cellArgmin(col("mv")).as("mdc"), col("mv"))
+        .filter(col("mdc").isNotNull)
         .select(col("vec_id"), col("mdc").getField("cell").as("cell"),
           col("mdc").getField("d").as("cd"), col("mv")))
     // init: the s20 digit groups, scoped per cell
@@ -778,7 +807,9 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("mv").as("q_mv"))
     def rescore(cand: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cand"))
-      cand
+      // beam side explicitly broadcast — bounded rows vs the
+      // corpus-sized vector table (guide §3.1; see cellProbeSearchFor)
+      broadcast(cand)
         .join(mv.select(col("vec_id").as("cand"), col("mv").as("c_mv")),
           Seq("cand"))
         .join(broadcast(q), Seq("q_id"))
@@ -798,13 +829,18 @@ object Similarity {
     // filter dropped.
     var beam = rescore(
       q.select(col("q_id"), col("q_id").as("cand"))
-        .unionAll(q.select(col("q_id")).join(g, col("q_id") === col("src"))
+        .unionAll(broadcast(q.select(col("q_id")))
+          .join(g, col("q_id") === col("src"))
           .select(col("q_id"), col("dst").as("cand")))
         .distinct())
     for (_ <- 1 to rounds) {
       val bp = graft.CacheScope.checkpointed(
         beam.select(col("q_id"), col("cand")))
-      val nb = bp.join(g, bp("cand") === g("src"))
+      // beam side explicitly broadcast into the graph probe — the
+      // graph (k·n rows) is the corpus-sized side and must only ever
+      // be the build side's probe target, never shuffled (the
+      // cellProbeSearchFor rounds already pin this; s21's did not)
+      val nb = broadcast(bp).join(g, bp("cand") === g("src"))
         .select(col("q_id"), g("dst").as("cand"))
       beam = rescore(bp.unionAll(nb).distinct())
     }
@@ -980,11 +1016,11 @@ object Similarity {
       .withColumn("d2", milli_l2(col("q_mv"), col("mv")))
       .withColumn("rk", row_number().over(wt)).filter(col("rk") <= K)
       .select(col("q_id"), col("cell"))
-    val wc = Window.partitionBy(col("q_id")).orderBy(col("cd"), col("j"))
-    val cellRank = sample.join(broadcast(cents), lit(true))
-      .withColumn("cd", milli_l2(col("q_mv"), col("c_mv")))
-      .withColumn("prn", row_number().over(wc))
-      .select(col("q_id"), col("j").as("cell"), col("prn"))
+    val cellRank = sample.crossJoin(broadcast(centsNested(cents)))
+      .select(col("q_id"),
+        posexplode(cellRanks(col("q_mv"))).as(Seq("p", "pc")))
+      .select(col("q_id"), col("pc").getField("cell").as("cell"),
+        (col("p") + 1).as("prn"))
     val needed = truth.join(cellRank, Seq("q_id", "cell"))
       .select(col("prn")).collect().map(_.getInt(0)).sorted
     if (needed.isEmpty) return S23NProbe
@@ -1127,19 +1163,31 @@ object Similarity {
     val bw = beamWidthOf(q0.sparkSession, beamWidth)
     val np = nProbeOf(q0.sparkSession, nProbe, nProbeMeta)
     val q = q0.select(col("q_id"), col("q_mv"))
-    // probe ranking: nProbe nearest cells by exact centroid distance
-    val wp = Window.partitionBy(col("q_id")).orderBy(col("cd"), col("j"))
-    val probes = q.join(broadcast(cents), lit(true))
-      .withColumn("cd", milli_l2(col("q_mv"), col("c_mv")))
-      .withColumn("prn", row_number().over(wp))
-      .filter(col("prn") <= np)
-      .select(col("q_id"), col("j").as("cell"))
+    // probe ranking: nProbe nearest cells by exact centroid distance —
+    // row-local against the broadcast nested centroid array (same
+    // (cd, cell) order the old per-query window ranked, minus its
+    // exchange; guide §2.4)
+    val probes = q.crossJoin(broadcast(centsNested(cents)))
+      .select(col("q_id"),
+        explode(slice(cellRanks(col("q_mv")), 1, np)).as("pc"))
+      .select(col("q_id"), col("pc").getField("cell").as("cell"))
     def rescore(cand: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("q_id"), col("cell"))
         .orderBy(col("d2"), col("cand"))
-      cand
-        .join(asg.select(col("vec_id").as("cand"), col("mv").as("c_mv")),
-          Seq("cand"))
+      // the beam side is EXPLICITLY broadcast: it is bounded
+      // (|q|·nprobe·beam·(k+1) rows) while asg is corpus-sized — at
+      // tested SFs the estimates already picked broadcast, but at
+      // corpus scale a size-estimate flip here would shuffle the
+      // assignment lists to meet a few-thousand-row beam (guide §3.1:
+      // pick the strategy deliberately when a side is provably small).
+      // The join carries the CELL key: every beam candidate lives in
+      // its beam's cell by construction (the graph and its bridges
+      // never cross cells, entries are cell medoids), so a saved
+      // cell-partitioned lists layout partition-prunes this probe to
+      // the probed cells — pqServeOn's shortlist discipline (§6).
+      broadcast(cand)
+        .join(asg.select(col("vec_id").as("cand"), col("cell"),
+          col("mv").as("c_mv")), Seq("cell", "cand"))
         .join(broadcast(q), Seq("q_id"))
         .withColumn("d2", milli_l2(col("q_mv"), col("c_mv")))
         .withColumn("brk", row_number().over(w))
@@ -1371,17 +1419,15 @@ object Similarity {
 
   private[graft] def indexHealth(cents: DataFrame, asg: DataFrame,
       delivery: DataFrame): DataFrame = {
-    import graft.functions.VectorFunctions.milli_l2
     // deliveries routed to the nearest SAVED centroid — stale by
-    // design, the exact arithmetic of the batch/streaming ingest
+    // design, the exact arithmetic of the batch/streaming ingest;
+    // map-only argmin against the broadcast nested centroids (§2.4)
     val routed = delivery
-      .select(col("vec_id"), transform(col("embedding"),
+      .select(transform(col("embedding"),
         x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("mv"))
-      .join(broadcast(cents), lit(true))
-      .select(col("vec_id"),
-        struct(milli_l2(col("mv"), col("c_mv")).as("d"),
-          col("j").as("cell")).as("dc"))
-      .groupBy(col("vec_id")).agg(min(col("dc")).as("mdc"))
+      .crossJoin(broadcast(centsNested(cents)))
+      .select(cellArgmin(col("mv")).as("mdc"))
+      .filter(col("mdc").isNotNull)
       .select(col("mdc").getField("cell").as("cell"),
         col("mdc").getField("d").as("d2"))
     val bst = asg.groupBy(col("cell")).agg(
@@ -1814,40 +1860,100 @@ object Similarity {
     */
   def s09_pq_codes: Q = (s, d) => pqCodes(Tables.embeddings(s, d))
 
-  /** Assignment under codebook `cents`: exact integer L2 per
-    * (vec, block, code), then rank (dist, j) — ties to the smaller
-    * code. Shared by training rounds (s09/s10) and the final outputs. */
-  private def pqAssign(q: DataFrame, cents: DataFrame): DataFrame = q
-    .join(broadcast(cents), Seq("blk", "dim"))
-    .groupBy(col("vec_id"), col("blk"), col("j"))
-    .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv"))).as("dist"))
-    .withColumn("rn", row_number().over(
-      Window.partitionBy(col("vec_id"), col("blk"))
-        .orderBy(col("dist"), col("j"))))
+  /** The (blk, j, dim, cv) codebook nested into ONE broadcastable row:
+    * `cb` = blk-sorted array of (blk, j-sorted array of (j, dim-sorted
+    * cv array)). Three tiny aggregates over a ≤ m·k·blockDim-row
+    * frame; the payoff is that PQ assignment becomes a MAP-ONLY
+    * expression over the vectors (guide §2.4): the old shape fanned
+    * every (vec, dim) row ×k through a broadcast join and collapsed
+    * n·m·k rows back through a corpus-sized hash-aggregate plus a
+    * per-(vec, blk) window exchange — work each vector row computes
+    * locally against the broadcast codebook here. */
+  private def pqNest(c: DataFrame): DataFrame = c
+    .groupBy(col("blk"), col("j"))
+    .agg(transform(sort_array(collect_list(struct(col("dim"), col("cv")))),
+      el => el.getField("cv")).as("cv"))
+    .groupBy(col("blk"))
+    .agg(sort_array(collect_list(struct(col("j"), col("cv")))).as("js"))
+    .groupBy()
+    .agg(sort_array(collect_list(struct(col("blk"), col("js")))).as("cb"))
 
-  /** The s09 training loop: milli-quantized (vec, dim) explode plus
-    * the codebook after `rounds` exact-integer Lloyd rounds. Returns
-    * (q, codebook) so s09 can emit assignments and s10 can run ADC
-    * search against the same trained codes. */
+  /** Exact integer L2 of `mv`'s block `b` (0-based) against a
+    * codebook entry's `cv` — Σ (qvᵢ−cvᵢ)² in longs. The
+    * `coalesce(term, 0)` mirrors the old (blk, dim) INNER join bit for
+    * bit: a dim present on only one side (ragged vector vs codebook
+    * width) contributed nothing there, and `zip_with` null-pads
+    * exactly those positions here. */
+  private def pqBlockDist(mv: Column, b: Column, cv: Column,
+      blockDim: Int): Column =
+    aggregate(
+      zip_with(slice(mv, b * blockDim + 1, lit(blockDim)), cv,
+        (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, t) => acc + coalesce(t, lit(0L)))
+
+  /** Map-only PQ assignment over [[pqNest]]'s broadcast codebook: per
+    * (vector, block), the argmin code as (vec_id, mv, blk, j, dist) —
+    * the same (dist, j) tie order the old fan-out + window ranked
+    * (`array_min` over (dist, j) structs ≡ `rn = 1` of
+    * `orderBy(dist, j)`). The `size(mv) > blk·blockDim` filter mirrors
+    * "the vector has ≥ 1 dim in this block": a vector shorter than
+    * the codebook emits no row for the missing blocks, exactly like
+    * the old explode-join. */
+  private def pqArgmin(mq: DataFrame, cb: DataFrame,
+      blockDim: Int): DataFrame = {
+    // every input column rides through (pqIndex passes `cell` along
+    // so codes never need an n-scale join back to the assignment)
+    val inCols = mq.columns.map(col).toSeq
+    mq.crossJoin(broadcast(cb))
+      .select(inCols :+ explode(
+        transform(col("cb"), e =>
+          struct(e.getField("blk").as("blk"),
+            array_min(transform(e.getField("js"), f =>
+              struct(pqBlockDist(col("mv"), e.getField("blk"),
+                f.getField("cv"), blockDim).as("dist"),
+                f.getField("j").as("j")))).as("dc")))).as("a"): _*)
+      .filter(size(col("mv")) > col("a").getField("blk") * blockDim)
+      .select(inCols :+ col("a").getField("blk").as("blk") :+
+        col("a").getField("dc").getField("j").as("j") :+
+        col("a").getField("dc").getField("dist").as("dist"): _*)
+  }
+
+  /** The s09 training loop: milli-quantized vectors plus the codebook
+    * after `rounds` exact-integer Lloyd rounds. Returns (mq, codebook)
+    * — `mq` = (vec_id, mv) — so s09 can emit assignments and s10 can
+    * run ADC search against the same trained codes. Round shape
+    * (guide §2.3/§2.4): assignment is map-only ([[pqArgmin]]); the
+    * centroid update explodes only the assigned block's dims and
+    * partial-aggregates them map-side down to ≤ m·k·blockDim rows —
+    * no round ever shuffles a corpus-sized frame (the old layout
+    * persisted a 64×n-row explode and paid an n·m·k aggregate plus an
+    * n-scale update join per round). */
   private def pqTrain(emb: DataFrame, k: Int, blockDim: Int,
       rounds: Int): (DataFrame, DataFrame) = {
-    val q = graft.CacheScope.persisted(
-      emb.select(col("vec_id"), posexplode(col("embedding")))
-        .select(col("vec_id"),
-          (col("pos") / blockDim).cast(IntegerType).as("blk"),
-          col("pos").as("dim"),
-          floor(col("col").cast(DoubleType) * 1000).cast(LongType).as("qv")))
-    val init = q.select(col("vec_id")).distinct()
-      .orderBy(col("vec_id")).limit(k)
+    val mq = graft.CacheScope.persisted(
+      emb.select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("mv")))
+    // init = the k smallest vec_ids that HAVE dims (the old explode
+    // produced no rows for empty/null embeddings)
+    val init = mq.filter(size(col("mv")) > 0)
+      .select(col("vec_id")).orderBy(col("vec_id")).limit(k)
       .withColumn("j",
         row_number().over(Window.orderBy(col("vec_id"))) - 1)
     var c = graft.CacheScope.cut(
-      q.join(init, Seq("vec_id"))
-        .select(col("blk"), col("j"), col("dim"), col("qv").as("cv")))
+      mq.join(init, Seq("vec_id"))
+        .select(col("j"), posexplode(col("mv")).as(Seq("pos", "cv")))
+        .select((col("pos") / blockDim).cast(IntegerType).as("blk"),
+          col("j"), col("pos").as("dim"), col("cv")))
     for (_ <- 1 to rounds) {
-      val m = pqAssign(q, c).filter(col("rn") === 1)
-        .select(col("vec_id"), col("blk"), col("j"))
-      val u = q.join(m, Seq("vec_id", "blk"))
+      val am = pqArgmin(mq, pqNest(c), blockDim)
+      val u = am
+        .select(col("blk"), col("j"),
+          posexplode(slice(col("mv"), col("blk") * blockDim + 1,
+            lit(blockDim)))
+            .as(Seq("p", "qv")))
+        .select(col("blk"), col("j"),
+          (col("blk") * blockDim + col("p")).as("dim"), col("qv"))
         .groupBy(col("blk"), col("j"), col("dim"))
         .agg(floor(sum(col("qv")).cast(DoubleType) / count(lit(1)))
           .cast(LongType).as("uv"))
@@ -1857,13 +1963,13 @@ object Similarity {
           .select(col("blk"), col("j"), col("dim"),
             coalesce(col("uv"), col("cv")).as("cv")))
     }
-    (q, c)
+    (mq, c)
   }
 
   private[graft] def pqCodes(emb: DataFrame, k: Int = 4,
                              blockDim: Int = 16, rounds: Int = 2): DataFrame = {
-    val (q, c) = pqTrain(emb, k, blockDim, rounds)
-    pqAssign(q, c).filter(col("rn") === 1)
+    val (mq, c) = pqTrain(emb, k, blockDim, rounds)
+    pqArgmin(mq, pqNest(c), blockDim)
       .select(col("vec_id"), col("blk").as("block"), col("j").as("code"),
         col("dist"))
       .orderBy(col("vec_id"), col("block"))
@@ -1892,20 +1998,33 @@ object Similarity {
   private[graft] def pqSearch(emb: DataFrame, k: Int = 4,
       blockDim: Int = 16, rounds: Int = 2, nQueries: Int = 8,
       topK: Int = 5): DataFrame = {
-    val (q, c) = pqTrain(emb, k, blockDim, rounds)
-    val codes = pqAssign(q, c).filter(col("rn") === 1)
+    val (mq, c) = pqTrain(emb, k, blockDim, rounds)
+    val cb = pqNest(c)
+    val codes = pqArgmin(mq, cb, blockDim)
       .filter(col("vec_id") % 31 =!= 0)
       .select(col("vec_id"), col("blk"), col("j"))
     val qids = emb.select(col("vec_id").as("query_id"))
       .filter(col("query_id") % 31 === 0)
       .orderBy(col("query_id")).limit(nQueries)
     // the ADC lookup table: per query × block × code, the exact
-    // integer L2 from the query's sub-vector to that code's centroid
-    val qd = q.join(broadcast(qids), q("vec_id") === qids("query_id"))
-      .join(broadcast(c), Seq("blk", "dim"))
-      .groupBy(col("query_id"), col("blk"), col("j"))
-      .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv")))
-        .as("qdist"))
+    // integer L2 from the query's sub-vector to that code's centroid —
+    // the full per-code distance grid, row-local over the broadcast
+    // nested codebook (the old shape aggregated an explode fan)
+    val qd = mq.join(broadcast(qids), mq("vec_id") === qids("query_id"))
+      .crossJoin(broadcast(cb))
+      .select(col("query_id"), col("mv"), explode(
+        transform(col("cb"), e =>
+          struct(e.getField("blk").as("blk"),
+            transform(e.getField("js"), f =>
+              struct(f.getField("j").as("j"),
+                pqBlockDist(col("mv"), e.getField("blk"),
+                  f.getField("cv"), blockDim).as("qdist"))).as("ds"))))
+        .as("g"))
+      .filter(size(col("mv")) > col("g").getField("blk") * blockDim)
+      .select(col("query_id"), col("g").getField("blk").as("blk"),
+        explode(col("g").getField("ds")).as("d"))
+      .select(col("query_id"), col("blk"), col("d").getField("j").as("j"),
+        col("d").getField("qdist").as("qdist"))
     codes.join(broadcast(qd), Seq("blk", "j"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("qdist")).as("adc_dist"))
@@ -1993,28 +2112,27 @@ object Similarity {
   private[graft] def pqIndex(e: DataFrame, nCells: Int = -1,
       pqK: Int = PqK)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    import graft.functions.VectorFunctions.milli_l2
     val nc = if (nCells > 0) nCells else servingNCells(e.count())
-    // coarse quantizer + exact cell assignment — cellIndex's trainer
+    // coarse quantizer + exact cell assignment — cellIndex's trainer,
+    // map-only against the broadcast nested centroid array (§2.4)
     val cents = ivfCentroids(e, nc)
-    val m = e.select(col("vec_id"),
-      transform(col("embedding"),
-        x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("mv"))
-    val fan = m.join(broadcast(cents), lit(true))
-      .select(col("vec_id"), col("mv"),
-        struct(milli_l2(col("mv"), col("c_mv")).as("d"),
-          col("j").as("cell")).as("dc"))
-    val asg = graft.CacheScope.persisted(
-      fan.groupBy(col("vec_id"))
-        .agg(min(col("dc")).as("mdc"), first(col("mv")).as("mv"))
-        .select(col("vec_id"), col("mdc").getField("cell").as("cell"),
-          col("mv")))
     // fine quantizer: s09's PQ codebook + the per-vector codes (the
     // only per-member payload the ADC scan reads), keyed by cell so
-    // the serving layout partition-prunes to the probed cells
-    val (q, c) = pqTrain(e, pqK, PqBlockDim, PqRounds)
-    val codes = pqAssign(q, c).filter(col("rn") === 1)
-      .join(asg.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    // the serving layout partition-prunes to the probed cells.
+    // pqTrain's mq IS the milli corpus — the coarse argmin and the
+    // fine code assignment ride ONE pass over it (the old shape paid
+    // a ×ncells fan + corpus aggregate for the cells, then an n·m-row
+    // join to attach them to the codes).
+    val (mq, c) = pqTrain(e, pqK, PqBlockDim, PqRounds)
+    val asg = graft.CacheScope.persisted(
+      mq.crossJoin(broadcast(centsNested(cents)))
+        .select(col("vec_id"), cellArgmin(col("mv")).as("mdc"), col("mv"))
+        .filter(col("mdc").isNotNull)
+        .select(col("vec_id"), col("mdc").getField("cell").as("cell"),
+          col("mv")))
+    val codes = pqArgmin(
+        asg.select(col("vec_id"), col("cell"), col("mv")), pqNest(c),
+        PqBlockDim)
       .select(col("vec_id").as("cand"), col("cell"), col("blk"), col("j"))
     (cents, asg, c, codes)
   }
@@ -2034,12 +2152,13 @@ object Similarity {
     val qs = asg
       .filter(col("vec_id") % 97 === 0 && col("vec_id") < QueryIdBound)
       .select(col("vec_id").as("q_id"), col("mv").as("q_mv"))
-    val wp = Window.partitionBy(col("q_id")).orderBy(col("cd"), col("j"))
-    val probes = qs.join(broadcast(cents), lit(true))
-      .withColumn("cd", milli_l2(col("q_mv"), col("c_mv")))
-      .withColumn("prn", row_number().over(wp))
-      .filter(col("prn") <= np)
-      .select(col("q_id"), col("j").as("cell"))
+    // probe ranking row-local over the broadcast nested centroids —
+    // same (cd, cell) order as the old per-query window, minus its
+    // exchange (see cellProbeSearchFor)
+    val probes = qs.crossJoin(broadcast(centsNested(cents)))
+      .select(col("q_id"),
+        explode(slice(cellRanks(col("q_mv")), 1, np)).as("pc"))
+      .select(col("q_id"), col("pc").getField("cell").as("cell"))
     // ADC lookup table: (query, block, code) → exact integer L2 from
     // the query's sub-vector to that code's fine centroid — |q|·m·k
     // rows, broadcast
@@ -2070,7 +2189,10 @@ object Similarity {
     // shortlist's cells; the query's own node (adc 0 in its home
     // cell) leaves here, exactly like the s23 fuse
     val wf = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cand"))
-    shortlist
+    // shortlist side explicitly broadcast — ≤ |q|·nprobe·rerank rows
+    // vs the corpus-sized lists (guide §3.1; a size-estimate flip at
+    // corpus scale would shuffle the lists to meet it)
+    broadcast(shortlist)
       .join(asg.select(col("vec_id").as("cand"), col("cell"), col("mv")),
         Seq("cell", "cand"))
       .join(broadcast(qs), Seq("q_id"))

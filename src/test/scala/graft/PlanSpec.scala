@@ -161,14 +161,16 @@ class PlanSpec extends AnyFunSuite {
 
   test("s19 exact IVF broadcasts centroids and probes; corpus never sort-merges") {
     val p = plan("s19_ivf_exact")
-    // centroid fan-out and probe join both ride broadcasts — the
-    // corpus-sized side must never shuffle to meet a 16- or 210-row one
+    // centroid table rides in as ONE broadcast nested row; the probe
+    // join broadcasts the query side — the corpus-sized side must
+    // never shuffle to meet a 16- or 210-row one
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
     assert(!p.contains("CartesianProduct"))
-    // cell argmin is the combinable min(struct) aggregate, not a
-    // 16x-corpus window sort
-    assert(p.contains("partial_min"),
-      "cell assignment must partial-aggregate map-side")
+    assert(!p.contains("SortMergeJoin"))
+    // cell assignment is MAP-ONLY (array_min over the broadcast
+    // nested centroids) — the corpus never pays an argmin exchange
+    assert(!"Exchange hashpartitioning\\(vec_id".r.findFirstIn(p).isDefined,
+      "cell assignment must be row-local, not a corpus-keyed aggregate")
     CacheScope.releaseAll()
   }
 
@@ -412,11 +414,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_min"))
   }
 
-  test("s09 PQ codebook broadcasts over the persisted dim explode") {
+  test("s09 PQ assignment is map-only over the broadcast nested codebook") {
     val p = plan("s09_pq_codes")
-    assert(p.contains("BroadcastHashJoin"))
+    // the nested codebook arrives as ONE broadcast row; assignment is
+    // a row-local argmin over it — no join ever shuffles the vector
+    // stream, and no corpus-keyed aggregate/window exchange remains
+    // (the old shape fanned (vec, dim) ×k and collapsed n·m·k rows)
+    assert(p.contains("BroadcastNestedLoopJoin"))
     assert(!p.contains("SortMergeJoin"),
-      "the 256-row codebook must never shuffle the vector stream")
+      "the codebook must never shuffle the vector stream")
+    assert(!"Exchange hashpartitioning\\(vec_id".r.findFirstIn(p).isDefined,
+      "PQ assignment must be row-local, not an aggregate over a fan")
+    // the milli corpus stays persisted (shared by rounds + assignment)
     assert(p.contains("InMemoryTableScan"))
     CacheScope.releaseAll()
   }
@@ -448,8 +457,11 @@ class PlanSpec extends AnyFunSuite {
     // to vec_id — the 64-float embedding column dies at the train pass
     assert(p.contains("ReadSchema: struct<vec_id:bigint>"))
     // the m·k-per-query lookup table ships as a broadcast to the code
-    // table (codebook assignment broadcasts too — never a shuffle join)
-    assert("BroadcastHashJoin \\[blk".r.findAllIn(p).size >= 2)
+    // table — never a shuffle join (code assignment and the per-query
+    // distance grid are now row-local over the broadcast nested
+    // codebook, so exactly one (blk, j)-keyed join remains)
+    assert("BroadcastHashJoin \\[blk".r.findAllIn(p).size >= 1)
+    assert(!p.contains("SortMergeJoin"))
     // per-query top-k is rank-limit-pruned before the final exchange
     assert(p.contains("WindowGroupLimit [query_id"))
     assert(!p.contains("CartesianProduct"))
@@ -674,16 +686,18 @@ class PlanSpec extends AnyFunSuite {
     CacheScope.releaseAll()
   }
 
-  test("s26 audit is one delivery fan + bounded cell aggregates") {
+  test("s26 audit routes deliveries map-only + bounded cell aggregates") {
     val p = plan("s26_index_health")
-    // the delivery routes against the broadcast centroid table (a
-    // nested-loop over ≤ nCells rows); nothing is ever pair-joined
+    // the delivery routes against the broadcast NESTED centroid row (a
+    // nested-loop over ONE row); nothing is ever pair-joined
     assert(p.contains("BroadcastNestedLoopJoin"))
     assert(!p.contains("CartesianProduct"))
-    // the argmin is a combinable min(struct) — partial agg before the
-    // vec_id exchange, so the fan never shuffles |delivery|·nCells rows
-    assert(p.contains("partial_min"),
-      "delivery argmin not combined map-side before the shuffle")
+    // the argmin is row-local (array_min over the nested centroids) —
+    // the only delivery-sized exchange left is the per-cell aggregate
+    assert(!"Exchange hashpartitioning\\(vec_id".r.findFirstIn(p).isDefined,
+      "delivery argmin must be row-local, not a vec_id-keyed aggregate")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "per-cell audit stats must partial-aggregate map-side")
     CacheScope.releaseAll()
   }
 

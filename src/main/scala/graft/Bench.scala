@@ -3,8 +3,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every SparkEntry query on
-  * `SPARK_GRAFT_SF_DIR` at local[32] and prints ONE JSON line with
-  * per-query wall seconds.
+  * `SPARK_GRAFT_SF_DIR` at local[$SPARK_GRAFT_CPUS] and prints ONE
+  * JSON line with per-query wall seconds (the full-detail line, also
+  * written to `$SPARK_GRAFT_BENCH_OUT` and BENCH_LOCAL.json), followed
+  * by a COMPACT totals-only line sized for the driver's 2,000-char
+  * stdout tail window (the 194-entry per-query map no longer fits any
+  * tail-window line at any key width — r12's short-key line parsed
+  * null at ~2,100 chars; the map lives in the out files).
   *
   * A tiny warm-up query runs first (not reported) so JVM/codegen/
   * parquet-footer warm-up cost doesn't land on whichever query happens
@@ -44,6 +49,42 @@ object Bench {
     //     sentinel far above the core count is ambient noise, not a
     //     code regression, and can be adjudicated as such.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt
+    // Per-entry wall cap (round-14 measurement contract): the r13
+    // 32-core driver run hit its outer timeout with ZERO per-query
+    // output — Bench printed nothing between startup and the final
+    // JSON, so the kill point was unattributable. Each timed action
+    // now runs on a watchdogged thread inside a cancellable job group:
+    // past the cap the group is cancelled, the entry records its
+    // elapsed wall with a TIMEOUT marker on stderr, and the suite
+    // CONTINUES — a pathological entry costs one cap, not the run.
+    val entryCap =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ENTRY_CAP_SEC", "180").toLong
+    // run fn(...).count() on a watchdogged thread; returns (sec, rows)
+    // with rows = -1 on failure, -2 on cap timeout
+    def capped(name: String, fn: (org.apache.spark.sql.SparkSession,
+        String) => org.apache.spark.sql.DataFrame, dir: String,
+        capSec: Long): (Double, Long) = {
+      @volatile var n = -1L
+      val t0 = System.nanoTime()
+      val th = new Thread(() => {
+        spark.sparkContext.setJobGroup(s"bench-$name", name,
+          interruptOnCancel = true)
+        try n = fn(spark, dir).count()
+        catch { case _: Throwable => () } // n stays -1
+      }, s"bench-$name")
+      th.setDaemon(true)
+      th.start()
+      th.join(capSec * 1000)
+      if (th.isAlive) {
+        System.err.println(s"[bench] TIMEOUT $name after ${capSec}s — cancelling")
+        try spark.sparkContext.cancelJobGroup(s"bench-$name")
+        catch { case _: Throwable => () }
+        th.interrupt()
+        th.join(30000)
+        n = -2L
+      }
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadStart = osBean.getSystemLoadAverage
     for (root <- Seq(graft.sources.IndexStore.root, "/tmp/graft_index")
@@ -59,23 +100,34 @@ object Bench {
     // untouched, and the warm-up SF's index keys are distinct from the
     // timed SF's, so the stores stay cold for the timed entries)
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    System.err.println(s"[bench] warm-up pass ($warmDir) starting")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      capped(s"warm-$name", fn, warmDir, math.min(entryCap, 90L))
       CacheScope.releaseAll()
     }
+    System.err.println(s"[bench] warm-up done; timed suite ($sfDir, " +
+      s"best-of-$repeats, cap ${entryCap}s/entry) starting")
 
+    val nq = SparkEntry.queries.size
+    var qi = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var best = Double.MaxValue
       var n = -1L
       for (_ <- 1 to repeats) {
         spark.catalog.clearCache() // intra-query persists don't carry over
-        val t0 = System.nanoTime()
-        n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
-        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        val (sec, rows) = capped(name, fn, sfDir, entryCap)
+        n = rows
+        best = math.min(best, sec)
         // post-consumption release of the query's persists + RDD-level
         // checkpoint blocks (clearCache above cannot evict the latter)
         CacheScope.releaseAll()
       }
+      qi += 1
+      // one UNBUFFERED stderr line per finished entry: if the outer
+      // driver timeout still fires, the tail says exactly where
+      System.err.println(String.format(java.util.Locale.ROOT,
+        "[bench] %d/%d %s %.2fs n=%d", Int.box(qi), Int.box(nq), name,
+        Double.box(best), Long.box(n)))
       (name, best, n)
     }
     // Locale.ROOT: the f-interpolator honors the default locale, and a
@@ -138,26 +190,23 @@ object Bench {
     // files above), then a COMPACT line as the very last stdout write:
     // the driver keeps only the final 2,000 chars of output (r01/r02
     // lost the opening brace of a ~2,900-char 2-decimal line; r07 lost
-    // it again at 1,952 chars — the window is exactly 2,000 and sbt
-    // appends its own ~73-char [success] line after us). Short keys
-    // ("q01_agg" -> "q01"; the numbered prefix is unique across the
-    // whole query set) + ONE-decimal seconds keep the compact line
-    // ~1.8k chars: inside the window with ~130 chars of headroom.
-    // Any overflow warning goes to stderr BEFORE the stdout lines —
-    // stderr is unbuffered, so emitting it after would land the
-    // warning inside the tail window and eat the headroom.
+    // it again at 1,952 chars; r12's short-key variant STILL overflowed
+    // at 194 entries — ~2,100 chars — and parsed null). Round-14
+    // contract fix, per the r13 verdict: the per-query map lives ONLY
+    // in the full-detail channels ($SPARK_GRAFT_BENCH_OUT +
+    // BENCH_LOCAL.json, both written above); the compact stdout line
+    // carries the suite totals, protocol and ingest rates — a few
+    // hundred chars, inside the window at ANY suite size.
     def d2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     def d1(v: Double) = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
-    val qsShort = results.map { case (k, v, _) => "\"" + k.takeWhile(_ != '_') + "\":" + d1(v) }
-      .mkString("{", ",", "}")
     // unquoted number only when the dir name yields one; any other
     // path goes in JSON-quoted, or the line itself would be the next
     // parsed:null (""sf":/data/full" is not JSON)
     val sfShort = "(?:^|/)sf([0-9]+(?:\\.[0-9]+)?)(?:/|$)".r.findFirstMatchIn(sfDir)
       .map(_.group(1))
       .getOrElse("\"" + sfDir.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-    val compact = s"""{"metric":"total","value":${d2(total)},"unit":"sec","queries":$qsShort,"sf":$sfShort,"proto":"c$repeats","load":${d1(loadStart)},"ingest_rps":${d0(inRate)},"ingest_rps_4f":${d0(parRate)},"restage_sec":${d2(stageSec)},"staged_rps":${d0(stagedRate)}}"""
-    if (compact.length > 1850)
+    val compact = s"""{"metric":"total","value":${d2(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"queries_in":"$outFile","sf":$sfShort,"proto":"c$repeats","load":${d1(loadStart)},"ingest_rps":${d0(inRate)},"ingest_rps_4f":${d0(parRate)},"restage_sec":${d2(stageSec)},"staged_rps":${d0(stagedRate)}}"""
+    if (compact.length > 1500)
       System.err.println(s"[bench] compact line ${compact.length} chars — may overflow the driver's 2000-char tail window")
     Console.err.flush()
     println(json)

@@ -121,6 +121,88 @@ object TextHashOps {
     mins
   }
 
+  /** d02's md5-keyed Kirsch–Mitzenmacher LSH band keys — the codegen
+    * twin of the column formulation
+    *   hp  = transform(sh, g → (h1 = conv(substr(md5(g),1,12),16,10),
+    *                            h2 = conv(substr(md5(g),17,12),16,10)))
+    *   bhs = transform(sequence(0,bands−1), b → md5(concat(b, ':',
+    *           array_join(transform(sequence(0,rows−1), r →
+    *             cast(array_min(transform(hp, p →
+    *               p.h1 + (b·rows+r)·p.h2)) as string)), ','))))
+    * evaluated bit-identically (md5 of the UTF-8 bytes, big-endian
+    * 48-bit h1/h2, decimal Long.toString slot mins, nulls-skipped
+    * join) — but as ONE tight JIT-friendly loop instead of a nest of
+    * interpreted higher-order functions (transform/array_min are
+    * CodegenFallback: the r14 profile measured the nest at ~100 s of
+    * executor CPU per evaluation at sf0.1, ~25 ms/doc). The DuckDB
+    * oracle mirror (d02h/d02slots/d02bands CTEs) is untouched: it
+    * checks this expression's output hash-exactly at every SF.
+    * A NULL shingle array produces the same keys as an empty one
+    * (callers coalesce — the column form's junk-key behavior). */
+  def md5KmBands(arr: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
+    val k = bands * rowsPerBand
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var any = false
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) { // array_min skips NULL elements
+        any = true
+        val dig = md.digest(arr.getUTF8String(i).getBytes)
+        val h1 = be48(dig, 0) // hex chars 1–12  = bytes 0..5
+        val h2 = be48(dig, 8) // hex chars 17–28 = bytes 8..13
+        var s = 0
+        while (s < k) {
+          val v = h1 + s * h2 // s ≤ 63, h2 < 2⁴⁸ → < 2⁵⁵: no overflow
+          if (v < mins(s)) mins(s) = v
+          s += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Any](bands)
+    val sb = new java.lang.StringBuilder(48)
+    var b = 0
+    while (b < bands) {
+      sb.setLength(0)
+      sb.append(b).append(':')
+      // no shingles → every slot min is NULL → array_join emits ""
+      if (any) {
+        var r = 0
+        while (r < rowsPerBand) {
+          if (r > 0) sb.append(',')
+          sb.append(mins(b * rowsPerBand + r))
+          r += 1
+        }
+      }
+      out(b) = UTF8String.fromString(hex32(md.digest(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def be48(d: Array[Byte], off: Int): Long = {
+    var v = 0L
+    var j = 0
+    while (j < 6) { v = (v << 8) | (d(off + j) & 0xFFL); j += 1 }
+    v
+  }
+
+  private def hex32(d: Array[Byte]): String = {
+    val hc = "0123456789abcdef"
+    val cs = new Array[Char](32)
+    var j = 0
+    while (j < 16) {
+      cs(2 * j) = hc((d(j) >> 4) & 0xF)
+      cs(2 * j + 1) = hc(d(j) & 0xF)
+      j += 1
+    }
+    new String(cs)
+  }
+
   /** LSH band bucket keys: the signature digested rowsPerBand at a time. */
   def minhashBands(arr: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
     val mins = minhashMins(arr, bands * rowsPerBand)
@@ -289,6 +371,27 @@ case class MinHashBands(child: Expression, bands: Int, rowsPerBand: Int)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** md5_km_bands(shingles ARRAY<STRING>) → ARRAY<STRING> of `bands`
+  * md5-keyed Kirsch–Mitzenmacher LSH band keys (d02's oracle-mirrored
+  * sketch — see [[TextHashOps.md5KmBands]]). One codegen expression
+  * rather than the transform/array_min nest: higher-order functions
+  * are CodegenFallback (interpreted), and the nest evaluates
+  * bands·rows interpreted lambdas per shingle. */
+case class Md5KmBands(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression with StringArrayInput {
+  override def prettyName: String = "md5_km_bands"
+  protected def inputExpr: Expression = child
+  protected def name: String = prettyName
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = checkStringArray()
+  override def nullSafeEval(v: Any): Any =
+    TextHashOps.md5KmBands(v.asInstanceOf[ArrayData], bands, rowsPerBand)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashOps.md5KmBands($c, $bands, $rowsPerBand)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** winnow_fingerprints(text STRING, k, w) → ARRAY<BIGINT>: distinct
   * sorted winnowing fingerprints (rolling-hash k-grams, per-window
   * minima — the MOSS document-fingerprint scheme). */
@@ -344,6 +447,8 @@ object TextHashFunctions {
     column(MinHashSignature(expression(tokens), numHashes))
   def minhash_bands(shingles: Column, bands: Int = 16, rowsPerBand: Int = 4): Column =
     column(MinHashBands(expression(shingles), bands, rowsPerBand))
+  def md5_km_bands(shingles: Column, bands: Int = 16, rowsPerBand: Int = 4): Column =
+    column(Md5KmBands(expression(shingles), bands, rowsPerBand))
   def array_jaccard(a: Column, b: Column): Column =
     column(ArrayJaccard(expression(a), expression(b)))
   def winnow_fingerprints(text: Column, k: Int = 8, w: Int = 4): Column =

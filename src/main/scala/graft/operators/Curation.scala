@@ -906,7 +906,9 @@ object Curation {
     val (cents, asg, entries, graph) =
       graft.sources.IndexStore.ensureCellIndex(s, s"${d}_p07", slice,
         nCells = Similarity.IvfNCells) // oracle fixture sizing — pinned
-    val ann = Similarity.cellProbeSearchOn(cents, asg, entries, graph)
+    val ann = Similarity.cellProbeSearchOn(cents, asg, entries, graph,
+      asgRows = graft.sources.IndexStore.corpusRows(s, s"${d}_p07")
+        .getOrElse(-1L))
     val keptDocs = Tables.documents(s, d)
       .join(kept, Seq("doc_id"), "left_semi")
     Retrieval.hybridRrf(ann, keptDocs)
@@ -925,7 +927,9 @@ object Curation {
     val (cents, asg, entries, graph) =
       graft.sources.IndexStore.ensureCellIndex(s, s"${d}_p07", slice,
         nCells = Similarity.IvfNCells) // oracle fixture sizing — pinned
-    Similarity.cellProbeSearchOn(cents, asg, entries, graph)
+    Similarity.cellProbeSearchOn(cents, asg, entries, graph,
+      asgRows = graft.sources.IndexStore.corpusRows(s, s"${d}_p07")
+        .getOrElse(-1L))
   }
 
   /** p04 — the SEMANTIC training-data build: p03's capstone shape

@@ -64,20 +64,27 @@ object Dedup {
     * probability (r=4, b=16 → s-curve threshold ≈0.5), not n² — this is
     * the scale path for document dedup.
     *
-    * The slot permutations are md5-keyed (slot i of a doc =
-    * min over shingles g of md5(g || '#' || i), a hex-string min; the
-    * band key folds the band index over its 4 slots with one more
-    * md5) — real MinHash (each slot an independent uniform hash
-    * family member), chosen over the seeded-xxhash native expression
-    * BECAUSE md5 is the one hash both engines evaluate bit-identically
-    * (the t04 discipline), which puts the whole sketch under the
-    * DuckDB hash gate: signature, banding, candidate set and verify
-    * all mirror exactly. The xxhash variant survives as
+    * The slot permutations are md5-keyed via Kirsch–Mitzenmacher
+    * double hashing (Kirsch & Mitzenmacher 2006, "Less Hashing, Same
+    * Performance"): ONE md5 per shingle yields two independent 48-bit
+    * words h₁ (hex chars 1–12) and h₂ (chars 17–28); slot i of a doc =
+    * min over shingles g of gᵢ(g) = h₁(g) + i·h₂(g) — a long min over
+    * a per-slot affine hash family (i ≤ 63, so gᵢ < 2⁵⁴: no overflow
+    * under ANSI arithmetic on either engine). The band key folds the
+    * band index over its 4 slot values with one more md5. Chosen over
+    * the seeded-xxhash native expression BECAUSE md5 is the one hash
+    * both engines evaluate bit-identically (the t04 discipline), which
+    * puts the whole sketch under the DuckDB hash gate: signature,
+    * banding, candidate set and verify all mirror exactly — and over
+    * the round-13 64-independent-md5 form (min over g of
+    * md5(g||'#'||i) per slot) because that form made d02 the suite's
+    * 3rd most expensive entry at 64 md5s/shingle; KM derivation is
+    * 1 md5 + 64 fused multiply-adds per shingle (~60× less hashing)
+    * with the same family guarantees. The xxhash variant survives as
     * [[minhashLshSketched]], the d16/d32 screens' native band
     * expression, with DedupSpec's brute-truth subset gate as referee.
     * All signature work is one map-only projection (no shuffle before
-    * the band join); 64 md5s per shingle is the standard per-slot
-    * hashing cost of any MinHash at any scale.
+    * the band join).
     */
   def d02_minhash_lsh: Q = (s, d) => {
     import graft.functions.TextHashFunctions.array_jaccard
@@ -95,15 +102,22 @@ object Dedup {
           array_distinct(shingles(tokens(col("text")))).as("sh"))
     ) // referenced 3× (banding + both verify joins)
     val nSlots = D02Bands * D02Rows
+    // ONE md5 per shingle → the (h1, h2) KM pair; slot mins and band
+    // keys are pure long arithmetic over it (see the scaladoc). The
+    // whole sketch is the codegen expression
+    // [[graft.functions.Md5KmBands]] — bit-identical to the
+    // transform/array_min column nest it replaces (and to the DuckDB
+    // oracle CTEs), but one JIT-friendly loop instead of bands·rows
+    // interpreted lambdas per shingle (HOFs are CodegenFallback; the
+    // r14 profile measured the nest at ~100 s executor CPU per
+    // evaluation at sf0.1 — and the a/b join sides evaluate it twice).
+    // coalesce: a NULL shingle array keys like an empty one, exactly
+    // the column form's behavior (its md5(concat(b, ':', '')) path).
     val banded = docs
-      .select(col("doc_id"), expr(
-        s"""transform(sequence(0, ${D02Bands - 1}), b -> md5(concat(
-           |  cast(b as string), ':',
-           |  array_join(transform(sequence(0, ${D02Rows - 1}), r ->
-           |    array_min(transform(sh, g ->
-           |      md5(concat(g, '#', cast(b * $D02Rows + r as string)))))),
-           |    ''))))""".stripMargin).as("bhs"))
-      .select(col("doc_id"), explode(col("bhs")).as("bh"))
+      .select(col("doc_id"), explode(
+        graft.functions.TextHashFunctions.md5_km_bands(
+          coalesce(col("sh"), array().cast("array<string>")),
+          D02Bands, D02Rows)).as("bh"))
     require(nSlots == 64) // the documented signature width
     val a = banded.select(col("bh"), col("doc_id").as("id_a"))
     val b = banded.select(col("bh"), col("doc_id").as("id_b"))
@@ -641,8 +655,17 @@ object Dedup {
     dupClusters(pairs, LocalCCMaxEdges)
 
   private[graft] def dupClusters(pairs: DataFrame, localMaxEdges: Long): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // symmetrize with ONE map-side explode, not a self-union: a union
+    // embeds the (expensive, unpersisted) pair pipeline TWICE in this
+    // plan, and AQE runs the two copies as concurrent query-stage
+    // trees — the round-14 profile showed every candidate/verify stage
+    // of ngramJaccardPairs duplicated pairwise above the edge count
+    // (guide §2.4: don't recompute what one scan can fan out ×2
+    // row-locally)
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
     // materialize the edge cache in its own job: round 1 scans edges
     // twice (label init + neighbor join), and two concurrent scans of
@@ -1874,15 +1897,20 @@ object Dedup {
        |        list_zip(l[1:len(l)-2], l[2:len(l)-1], l[3:len(l)]),
        |        p -> p[1]||' '||p[2]||' '||p[3]) END) AS s
        |  FROM d02t),
+       |d02h AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(g), 1, 12))::BIGINT AS h1,
+       |    ('0x' || substr(md5(g), 17, 12))::BIGINT AS h2
+       |  FROM (SELECT doc_id, unnest(s) AS g FROM d02ds)),
        |d02slots AS MATERIALIZED (
-       |  SELECT doc_id, i, MIN(md5(g || '#' || i)) AS mh
-       |  FROM (SELECT doc_id, unnest(s) AS g FROM d02ds)
+       |  SELECT doc_id, i, MIN(h1 + i * h2) AS mh
+       |  FROM d02h
        |  CROSS JOIN (SELECT unnest(generate_series(0,
        |    ${D02Bands * D02Rows - 1})) AS i)
        |  GROUP BY doc_id, i),
        |d02bands AS (
        |  SELECT doc_id, md5((i // $D02Rows)::VARCHAR || ':' ||
-       |      string_agg(mh, '' ORDER BY i)) AS bh
+       |      string_agg(mh::VARCHAR, ',' ORDER BY i)) AS bh
        |  FROM d02slots GROUP BY doc_id, i // $D02Rows),
        |d02cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

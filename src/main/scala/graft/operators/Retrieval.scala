@@ -64,7 +64,8 @@ object Retrieval {
     val (cents, asg, entries, graph) =
       graft.sources.IndexStore.ensureCellIndex(s, d, e,
         nCells = Similarity.IvfNCells) // the oracle's fixture sizing
-    filteredSearch(e, cents, asg, entries, graph)
+    filteredSearch(e, cents, asg, entries, graph,
+      asgRows = graft.sources.IndexStore.corpusRows(s, d).getOrElse(-1L))
   }
 
   /** The library form of [[s32_filtered_search]]: serve the standard
@@ -73,7 +74,8 @@ object Retrieval {
     * knobs (explicit > session conf > default). */
   private[graft] def filteredSearch(e: DataFrame, cents: DataFrame,
       asg: DataFrame, entries: DataFrame, graph: DataFrame,
-      nProbe: Int = -1, beamWidth: Int = -1): DataFrame = {
+      nProbe: Int = -1, beamWidth: Int = -1,
+      asgRows: Long = -1L): DataFrame = {
     val qIds = e
       .filter(col("vec_id") % 97 === 0 &&
         col("vec_id") < Similarity.QueryIdBound)
@@ -84,7 +86,7 @@ object Retrieval {
         .select(col("vec_id").as("q_id"), col("mv").as("q_mv")),
       cents, asg, entries, graph,
       nProbe = nProbe, beamWidth = beamWidth,
-      fuseKeep = labelFuseKeep(e, qIds))
+      fuseKeep = labelFuseKeep(e, qIds), asgRows = asgRows)
   }
 
   /** The same-label fuse predicate as a reusable
@@ -175,7 +177,8 @@ object Retrieval {
     val (cents, asg, entries, graph) =
       graft.sources.IndexStore.ensureCellIndex(s, d, e,
         nCells = Similarity.IvfNCells) // the oracle's fixture sizing
-    hybridRrf(Similarity.cellProbeSearchOn(cents, asg, entries, graph),
+    hybridRrf(Similarity.cellProbeSearchOn(cents, asg, entries, graph,
+        asgRows = graft.sources.IndexStore.corpusRows(s, d).getOrElse(-1L)),
       Tables.documents(s, d))
   }
 
@@ -317,7 +320,8 @@ object Retrieval {
     val (cents, asg, entries, graph) =
       graft.sources.IndexStore.ensureCellIndex(s, d, e,
         nCells = Similarity.IvfNCells) // the oracle's fixture sizing
-    val served = Similarity.cellProbeSearchOn(cents, asg, entries, graph)
+    val served = Similarity.cellProbeSearchOn(cents, asg, entries, graph,
+        asgRows = graft.sources.IndexStore.corpusRows(s, d).getOrElse(-1L))
       .select(col("q_id"), col("nn_id").as("cand"))
     milliTruth(e)
       .join(served.withColumn("hit", lit(1)), Seq("q_id", "cand"), "left")

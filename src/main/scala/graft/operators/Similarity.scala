@@ -285,19 +285,36 @@ object Similarity {
 
   private[graft] def annIvf(e: DataFrame, nCells: Int, nProbe: Int,
       kmeansIters: Int): DataFrame = {
-    def nearestCells(centroids: DataFrame, emb: Column, n: Int): DataFrame => DataFrame = df => {
-      val w = Window.partitionBy(col("__vid")).orderBy(col("__cos").desc, col("cell"))
-      df.join(broadcast(centroids), lit(true))
-        .withColumn("__cos", cosine_similarity(emb, col("c_emb")))
-        .withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") <= n)
-        .drop("c_emb", "__cos", "__rk")
-    }
+    // the ≤nCells-row centroid table nested into ONE broadcastable row
+    // (cell-sorted (cell, c_emb) structs) — the float-path twin of
+    // [[centsNested]]: assignment and probe ranking become MAP-ONLY
+    // expressions over the corpus/query frames (guide §2.4) instead of
+    // a ×ncells broadcast fan collapsed by a per-row window exchange
+    // (the old shape paid that window once per Lloyd round, once for
+    // the final assignment and once for the probe ranking).
+    def nested(centroids: DataFrame): DataFrame =
+      centroids.groupBy().agg(
+        sort_array(collect_list(struct(col("cell"), col("c_emb")))).as("carr"))
+    // row-local ranking: ascending (−cos, cell) ≡ the old
+    // row_number().over(orderBy(cos desc, cell)) tie order exactly —
+    // cosine_similarity never yields NaN (0/0 guards to 0.0) and Spark
+    // orders −0.0 = 0.0, so negation is a faithful order reversal
+    def ranks(emb: Column): Column =
+      sort_array(transform(col("carr"), el =>
+        struct((-cosine_similarity(emb, el.getField("c_emb"))).as("negcos"),
+          el.getField("cell").as("cell"))))
+    // top-1 without the sort; NULL on an empty centroid array mirrors
+    // the old inner-fan's no-rows (callers filter it)
+    def best(emb: Column): Column =
+      array_min(transform(col("carr"), el =>
+        struct((-cosine_similarity(emb, el.getField("c_emb"))).as("negcos"),
+          el.getField("cell").as("cell")))).getField("cell")
     var centroids = e.orderBy(col("vec_id")).limit(nCells)
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
     for (_ <- 1 to kmeansIters) {
-      val assigned = nearestCells(centroids, col("embedding"), 1)(
-        e.withColumn("__vid", col("vec_id"))).drop("__vid")
+      val assigned = e.crossJoin(broadcast(nested(centroids)))
+        .select(col("embedding"), best(col("embedding")).as("cell"))
+        .filter(col("cell").isNotNull)
       // elementwise mean per cell: posexplode → exact decimal sums →
       // rebuild the array in dimension order (struct sort is
       // field-lexicographic on (pos, m))
@@ -311,10 +328,15 @@ object Similarity {
           .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
             el => el.getField("m")).as("c_emb")))
     }
-    val corpus = nearestCells(centroids, col("embedding"), 1)(
-      e.withColumn("__vid", col("vec_id"))).drop("__vid")
-    val q = nearestCells(centroids, col("q_emb"), nProbe)(
-      queriesOf(e).withColumn("__vid", col("q_id"))).drop("__vid")
+    val corpus = e.crossJoin(broadcast(nested(centroids)))
+      .select(col("vec_id"), col("embedding"),
+        best(col("embedding")).as("cell"))
+      .filter(col("cell").isNotNull)
+    val q = queriesOf(e).crossJoin(broadcast(nested(centroids)))
+      .select(col("q_id"), col("q_emb"),
+        explode(slice(ranks(col("q_emb")), 1, nProbe)).as("pc"))
+      .select(col("q_id"), col("q_emb"),
+        col("pc").getField("cell").as("cell"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     corpus.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -913,7 +935,8 @@ object Similarity {
     val (cents, asg, entries, graph) =
       graft.sources.IndexStore.ensureCellIndex(s, d, e,
         nCells = IvfNCells) // the oracle's fixture sizing — pinned
-    cellProbeSearchOn(cents, asg, entries, graph)
+    cellProbeSearchOn(cents, asg, entries, graph,
+      asgRows = graft.sources.IndexStore.corpusRows(s, d).getOrElse(-1L))
   }
 
   /** The standing per-cell serving index [[s23_cell_search]] queries
@@ -1091,7 +1114,12 @@ object Similarity {
       nProbe: Int = -1, rounds: Int = GsRounds,
       nCells: Int = -1): DataFrame = {
     val (cents, asg, entries, graph) = servingIndex(e, nCells)
-    cellProbeSearchOn(cents, asg, entries, graph, nProbe, rounds)
+    // asg is checkpoint-backed (cellIndex cuts it eagerly), so this
+    // count is a metadata-cheap job over materialized partitions — it
+    // buys the rescore joins a TRUE cardinality for the build-side
+    // choice instead of a planner estimate
+    cellProbeSearchOn(cents, asg, entries, graph, nProbe, rounds,
+      asgRows = asg.count())
   }
 
   /** The pure QUERY half of [[s23_cell_search]], over an already-built
@@ -1102,12 +1130,13 @@ object Similarity {
       entries: DataFrame, graph: DataFrame,
       nProbe: Int = -1, rounds: Int = GsRounds,
       fuseKeep: DataFrame => DataFrame = null,
-      nProbeMeta: Option[Int] = None): DataFrame =
+      nProbeMeta: Option[Int] = None,
+      asgRows: Long = -1L): DataFrame =
     cellProbeSearchFor(
       asg.filter(col("vec_id") % 97 === 0 && col("vec_id") < QueryIdBound)
         .select(col("vec_id").as("q_id"), col("mv").as("q_mv")),
       cents, asg, entries, graph, nProbe, rounds, fuseKeep = fuseKeep,
-      nProbeMeta = nProbeMeta)
+      nProbeMeta = nProbeMeta, asgRows = asgRows)
 
   /** [[cellProbeSearchOn]] for an EXTERNAL query set — (q_id, q_mv)
     * milli vectors that need not live in the corpus (the streaming
@@ -1145,14 +1174,26 @@ object Similarity {
     * graph reachability — the same discipline the tombstone path
     * follows, and the post-filter half of Filtered-DiskANN (Gollapudi
     * et al. 2023); the recall lever for selective filters is the
-    * query-time nprobe/beamWidth knobs, not beam filtering. */
+    * query-time nprobe/beamWidth knobs, not beam filtering.
+    *
+    * QUERY-BATCH BOUND (ADVICE r13): when the corpus side is too big
+    * to broadcast, every beam round explicitly broadcasts the beam —
+    * |q|·nprobe·beam·(k+1) rows of (q_id, cell, cand, d2) ≈ 40 bytes
+    * each. With the shipped knobs (nprobe 6, beam 4, k 5) that is
+    * ~1.2 KB per query and round: external/streaming callers should
+    * keep a micro-batch under ~1M queries (≈ 1.2 GB per broadcast,
+    * inside the 8 GB relation cap with headroom) and CHUNK bigger
+    * batches before the beam loop — the hint deliberately removes the
+    * planner's shuffle fallback, so an unbounded batch would fail on
+    * driver memory, not degrade. */
   private[graft] def cellProbeSearchFor(q0: DataFrame, cents: DataFrame,
       asg: DataFrame, entries: DataFrame, graph: DataFrame,
       nProbe: Int = -1, rounds: Int = GsRounds,
       beamWidth: Int = -1, selfIsInCorpus: Boolean = true,
       tombstones: DataFrame = null,
       fuseKeep: DataFrame => DataFrame = null,
-      nProbeMeta: Option[Int] = None): DataFrame = {
+      nProbeMeta: Option[Int] = None,
+      asgRows: Long = -1L): DataFrame = {
     import graft.functions.VectorFunctions.milli_l2
     // -1 = session-resolved (`spark.graft.ann.beamWidth` /
     // `spark.graft.ann.nprobe`, else the shipped defaults) so every
@@ -1163,6 +1204,30 @@ object Similarity {
     val bw = beamWidthOf(q0.sparkSession, beamWidth)
     val np = nProbeOf(q0.sparkSession, nProbe, nProbeMeta)
     val q = q0.select(col("q_id"), col("q_mv"))
+    // rescore build-side choice, decided on DATA (`asgRows`, the
+    // corpus row count callers read off the index artifact's meta —
+    // the same channel nProbeMeta rides — or count off the built
+    // assignment), not on a size ESTIMATE (which mis-flipped to
+    // SortMergeJoin on the r13 inline path) and not on a graft conf
+    // knob: when the assignment lists provably fit the session's
+    // broadcast budget, broadcast THEM once — the exchange subtree is
+    // identical across all beam rounds, so ReuseExchange ships one
+    // build shared by every rescore (the pre-r13 fast local shape,
+    // −3 s on s23 at sf0.1) — and when they don't (the 100 TB shape),
+    // broadcast the bounded beam side per round and let the (cell,
+    // cand) key partition-prune the corpus-sized lists (guide §3.1).
+    val asgBcast = asgRows >= 0 && {
+      val dim = graft.Tables.embeddingDim(q0.sparkSession)
+      val rowBytes = 8L * dim + 48L // mv longs + (vec_id, cell, cd) + header
+      val thr = try org.apache.spark.network.util.JavaUtils
+        .byteStringAsBytes(q0.sparkSession.conf
+          .get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+      catch { case _: Throwable => 10L * 1024 * 1024 }
+      thr > 0 && asgRows <= thr / rowBytes
+    }
+    val asgSel = asg.select(col("vec_id").as("cand"), col("cell"),
+      col("mv").as("c_mv"))
+    val asgSide = if (asgBcast) broadcast(asgSel) else asgSel
     // probe ranking: nProbe nearest cells by exact centroid distance —
     // row-local against the broadcast nested centroid array (same
     // (cd, cell) order the old per-query window ranked, minus its
@@ -1174,20 +1239,20 @@ object Similarity {
     def rescore(cand: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("q_id"), col("cell"))
         .orderBy(col("d2"), col("cand"))
-      // the beam side is EXPLICITLY broadcast: it is bounded
-      // (|q|·nprobe·beam·(k+1) rows) while asg is corpus-sized — at
-      // tested SFs the estimates already picked broadcast, but at
-      // corpus scale a size-estimate flip here would shuffle the
-      // assignment lists to meet a few-thousand-row beam (guide §3.1:
-      // pick the strategy deliberately when a side is provably small).
-      // The join carries the CELL key: every beam candidate lives in
-      // its beam's cell by construction (the graph and its bridges
-      // never cross cells, entries are cell medoids), so a saved
-      // cell-partitioned lists layout partition-prunes this probe to
-      // the probed cells — pqServeOn's shortlist discipline (§6).
-      broadcast(cand)
-        .join(asg.select(col("vec_id").as("cand"), col("cell"),
-          col("mv").as("c_mv")), Seq("cell", "cand"))
+      // one side is EXPLICITLY broadcast (`asgBcast` above decides
+      // which): the beam side is bounded (|q|·nprobe·beam·(k+1) rows)
+      // while asg is corpus-sized — at corpus scale a size-estimate
+      // flip here would shuffle the assignment lists to meet a
+      // few-thousand-row beam (guide §3.1: pick the strategy
+      // deliberately when a side is provably small). The join carries
+      // the CELL key: every beam candidate lives in its beam's cell
+      // by construction (the graph and its bridges never cross cells,
+      // entries are cell medoids), so a saved cell-partitioned lists
+      // layout partition-prunes this probe to the probed cells —
+      // pqServeOn's shortlist discipline (§6).
+      val candSide = if (asgBcast) cand else broadcast(cand)
+      candSide
+        .join(asgSide, Seq("cell", "cand"))
         .join(broadcast(q), Seq("q_id"))
         .withColumn("d2", milli_l2(col("q_mv"), col("c_mv")))
         .withColumn("brk", row_number().over(w))
@@ -1419,6 +1484,14 @@ object Similarity {
 
   private[graft] def indexHealth(cents: DataFrame, asg: DataFrame,
       delivery: DataFrame): DataFrame = {
+    // CONTRACT: `delivery` carries unique vec_ids (every call site
+    // passes a unique-id slice of the embeddings table or a micro-
+    // batch deduped upstream). The r13 map-only argmin routes one row
+    // per DELIVERY ROW — the pre-r13 groupBy(vec_id) incidentally
+    // collapsed duplicate ids to one routed row; a re-delivered
+    // duplicate would now count twice in n_new/s_new. Dedup at the
+    // source if a caller can ever re-deliver (ADVICE r13).
+    //
     // deliveries routed to the nearest SAVED centroid — stale by
     // design, the exact arithmetic of the batch/streaming ingest;
     // map-only argmin against the broadcast nested centroids (§2.4)
@@ -1556,7 +1629,9 @@ object Similarity {
     // (an EMPTY corpus legitimately has nothing to trip or serve)
     require(refreshed || delivery.isEmpty,
       "s27_index_refresh: the drifted delivery failed to trip the audit")
-    cellProbeSearchOn(cents, asg, entries, graph)
+    cellProbeSearchOn(cents, asg, entries, graph,
+      asgRows = graft.sources.IndexStore
+        .corpusRows(s, s"${d}_m5ref_post").getOrElse(-1L))
   }
 
   /** Deletes convention for the s29/s30 deletion lifecycle: vec_id %
@@ -1592,7 +1667,8 @@ object Similarity {
     cellProbeSearchFor(
       asg.filter(col("vec_id") % 97 === 0 && col("vec_id") < QueryIdBound)
         .select(col("vec_id").as("q_id"), col("mv").as("q_mv")),
-      cents, asg, entries, graph, tombstones = deletes)
+      cents, asg, entries, graph, tombstones = deletes,
+      asgRows = graft.sources.IndexStore.corpusRows(s, d).getOrElse(-1L))
   }
 
   /** Per-cell deleted-mass trigger for [[s30_delete_compact]]:
@@ -1682,7 +1758,9 @@ object Similarity {
         postKey = s"${d}_m7cmp")
     require(compacted || deletes.isEmpty,
       "s30_delete_compact: the %7 delete set failed to trip the audit")
-    cellProbeSearchOn(cents, asg, entries, graph)
+    cellProbeSearchOn(cents, asg, entries, graph,
+      asgRows = graft.sources.IndexStore
+        .corpusRows(s, s"${d}_m7cmp").getOrElse(-1L))
   }
 
   /** s06 — int8 scalar quantization of the embedding column with an

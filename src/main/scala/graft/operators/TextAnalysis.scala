@@ -911,34 +911,37 @@ object TextAnalysis {
       // would go unconsumed there, so it only runs when the caller
       // wants the fully-merged vocab (t25 encode)
       if (round < rounds || applyLast) {
-      // matched positions; greedy = odd ranks within each island of
-      // consecutive matches
-      val mi = p.join(broadcast(win.select(col("a"), col("b"))), Seq("a", "b"))
-        .withColumn("grp", col("pos") -
-          row_number().over(Window.partitionBy(col("word")).orderBy(col("pos"))))
-      val mm = mi
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("word"), col("grp")).orderBy(col("pos"))))
-        .filter((col("rn") - 1) % 2 === 0)
-        .select(col("word"), col("pos"))
-      val sp = w.select(col("word"), col("cnt"),
-          explode(expr("sequence(1, size(syms))")).as("pos"), col("syms"))
-        .select(col("word"), col("cnt"), col("pos"),
-          element_at(col("syms"), col("pos")).as("s1"),
-          try_element_at(col("syms"), col("pos") + 1).as("s2"))
-      val merged = sp
-        .join(mm.withColumn("hit", lit(true)), Seq("word", "pos"), "left")
-        .join(mm.select(col("word"), (col("pos") + 1).as("pos"))
-          .withColumn("skip", lit(true)), Seq("word", "pos"), "left")
-        .filter(col("skip").isNull)
-        .select(col("word"), col("cnt"), col("pos"),
-          when(col("hit"), concat(col("s1"), col("s2")))
-            .otherwise(col("s1")).as("sym"))
-      w = graft.CacheScope.cut(
-        merged.groupBy(col("word"), col("cnt"))
-          .agg(transform(
-            array_sort(collect_list(struct(col("pos"), col("sym")))),
-            s => s.getField("sym")).as("syms")))
+        // Greedy left-to-right application as ONE row-local fold per
+        // word (state = (emitted, pending)): merge exactly when the
+        // pending symbol is lhs and the current one is rhs, and a
+        // merged symbol never becomes pending again — the same
+        // odd-ranks-within-island semantics the old explode + two
+        // windows + hit/skip joins + re-collect computed with FOUR
+        // exchanges per round (r14: those exchanges were >½ of the
+        // t23/t25/t27 walls). The winner rides in as a broadcast
+        // 1-row aggregate (max over the 1-row win frame), so an
+        // EMPTY winner (no mergeable pair anywhere) yields NULL
+        // lhs/rhs → the condition is never true → syms pass through
+        // unchanged, exactly like the old no-match join.
+        val wb = broadcast(win.agg(max(col("a")).as("__a"),
+          max(col("b")).as("__b")))
+        w = graft.CacheScope.cut(
+          w.crossJoin(wb)
+            .select(col("word"), col("cnt"), expr(
+              """aggregate(syms,
+                |  named_struct('out', cast(array() as array<string>),
+                |               'pend', cast(null as string)),
+                |  (st, s) -> if(st.pend = __a and s = __b,
+                |    named_struct('out',
+                |      concat(st.out, array(concat(__a, __b))),
+                |      'pend', cast(null as string)),
+                |    named_struct('out',
+                |      if(st.pend is null, st.out,
+                |         concat(st.out, array(st.pend))),
+                |      'pend', s)),
+                |  st -> if(st.pend is null, st.out,
+                |           concat(st.out, array(st.pend))))"""
+                .stripMargin).as("syms")))
       }
     }
     (winners.result(), w)

@@ -61,6 +61,81 @@ object IndexStore {
     s"${r.getLong(0)}_${r.getLong(1)}_${r.getString(2)}"
   }
 
+  /** [[corpusFingerprint]] behind a physical-identity memo — the
+    * round-14 fix for "every warm ensure* resolve pays a full corpus
+    * scan to decide nothing changed" (at 100 TB that scan IS the
+    * query). The memo key is the corpus frame's PHYSICAL identity:
+    * the canonicalized optimized plan plus (path, length, mtime) of
+    * every leaf parquet file it reads. Parquet files are immutable —
+    * data changes arrive as new/replaced files — so an identical
+    * identity implies identical content and the cached content
+    * fingerprint is exact, not approximate; ANY file or plan change
+    * misses and falls back to the full content scan (which then
+    * refreshes the memo). Frames with non-file leaves (checkpointed
+    * lineage → ExistingRDD, local relations), subqueries or
+    * non-deterministic expressions are never memoized — they scan,
+    * as before. The memo lives under [[root]] beside the artifacts it
+    * guards, so the bench's cold-stores delete wipes it with them
+    * (rep 1 pays the scan; warm resolves skip it — exactly the
+    * standing-index lifecycle the artifacts themselves follow). */
+  def corpusFingerprintMemo(e: DataFrame): String =
+    physicalIdentity(e) match {
+      case Some(id) =>
+        memoGet(e.sparkSession, id).getOrElse {
+          val fp = corpusFingerprint(e)
+          memoPut(e.sparkSession, id, fp)
+          fp
+        }
+      case None => corpusFingerprint(e)
+    }
+
+  private def physicalIdentity(e: DataFrame): Option[String] =
+    try {
+      import org.apache.spark.sql.execution.datasources.{
+        HadoopFsRelation, LogicalRelation}
+      val plan = e.queryExecution.optimizedPlan
+      // a subquery's files would not be walked below — never memoize
+      if (plan.subqueriesAll.nonEmpty) return None
+      val files = new StringBuilder
+      var pure = true
+      val conf = e.sparkSession.sparkContext.hadoopConfiguration
+      plan.foreachUp {
+        case lr: LogicalRelation => lr.relation match {
+          case h: HadoopFsRelation =>
+            h.location.inputFiles.sorted.foreach { f =>
+              val p = new org.apache.hadoop.fs.Path(f)
+              val st = p.getFileSystem(conf).getFileStatus(p)
+              files.append(f).append('|').append(st.getLen).append('|')
+                .append(st.getModificationTime).append('\n')
+            }
+          case _ => pure = false
+        }
+        case leaf if leaf.children.isEmpty => pure = false
+        case node =>
+          if (!node.expressions.forall(_.deterministic)) pure = false
+      }
+      if (!pure || files.isEmpty) None
+      else Some(org.apache.commons.codec.digest.DigestUtils.md5Hex(
+        plan.canonicalized.toString + "#" + files))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def memoGet(spark: SparkSession, id: String): Option[String] =
+    readMeta(spark, s"$root/_fp_cache/$id") // same torn-read discipline:
+      // unreadable/absent = miss; content is "<fp>" written atomically
+      .map(_.linesIterator.next()).filter(_.nonEmpty)
+
+  private def memoPut(spark: SparkSession, id: String, fp: String): Unit =
+    try {
+      val dir = s"$root/_fp_cache/$id"
+      val (f, tmp) = fs(spark, s"$dir/_graft_meta.tmp")
+      val out = f.create(tmp, true)
+      try out.write(fp.getBytes("UTF-8")) finally out.close()
+      // rename is atomic on a local/HDFS fs: readers see old-or-new,
+      // never a torn fingerprint
+      f.rename(tmp, new org.apache.hadoop.fs.Path(s"$dir/_graft_meta"))
+      ()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   private def fs(spark: SparkSession, path: String) = {
     val p = new org.apache.hadoop.fs.Path(path)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
@@ -109,6 +184,26 @@ object IndexStore {
     * committed oracles pin the static knobs). */
   def recommendedNProbe(spark: SparkSession, corpusDir: String): Option[Int] =
     nProbeOfMeta(readMeta(spark, cellIndexDir(corpusDir)))
+
+  /** The corpus row count the artifact at `corpusDir`'s key was built
+    * from — the fingerprint's leading term, parsed off the SAME meta
+    * read the freshness gate and the nprobe recommendation use. Query
+    * paths use it to pick the rescore-join build side on DATA (the
+    * artifact's true cardinality) instead of a planner size estimate:
+    * see [[graft.operators.Similarity.cellProbeSearchFor]]. None when
+    * the artifact is absent/unreadable (callers fall back to the
+    * scale-safe beam-broadcast shape). */
+  def corpusRowsOfMeta(meta: Option[String]): Option[Long] =
+    metaFp(meta).flatMap(fp =>
+      scala.util.Try(fp.takeWhile(_ != '_').toLong).toOption)
+
+  /** [[corpusRowsOfMeta]] for the cell-index artifact namespace. */
+  def corpusRows(spark: SparkSession, corpusDir: String): Option[Long] =
+    corpusRowsOfMeta(readMeta(spark, cellIndexDir(corpusDir)))
+
+  /** [[corpusRowsOfMeta]] for the PQ artifact namespace. */
+  def pqCorpusRows(spark: SparkSession, corpusDir: String): Option[Long] =
+    corpusRowsOfMeta(readMeta(spark, pqIndexDir(corpusDir)))
 
   private def readMeta(spark: SparkSession, dir: String): Option[String] =
     // ANY unreadable meta (absent, truncated, checksum-corrupt) is a
@@ -207,7 +302,7 @@ object IndexStore {
       e: DataFrame, nCells: Int = -1)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val dir = cellIndexDir(corpusDir)
-    val corpusFp = corpusFingerprint(e)
+    val corpusFp = corpusFingerprintMemo(e)
     if (corpusFp.startsWith("0_"))
       return graft.operators.Similarity.servingIndex(e,
         if (nCells > 0) nCells else graft.operators.Similarity.IvfNCells)
@@ -305,7 +400,7 @@ object IndexStore {
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import graft.operators.Similarity
     val dir = pqIndexDir(corpusDir)
-    val corpusFp = corpusFingerprint(e)
+    val corpusFp = corpusFingerprintMemo(e)
     if (corpusFp.startsWith("0_"))
       return Similarity.pqIndex(e,
         if (nCells > 0) nCells else Similarity.IvfNCells)
@@ -361,7 +456,7 @@ object IndexStore {
     val rootTag = f"${root.hashCode & 0x7fffffff}%08x"
     val table = s"graft_knn_${rootTag}_$safe"
     val metaDir = s"$root/knn_$safe"
-    val fp = s"${corpusFingerprint(standing)}_$params"
+    val fp = s"${corpusFingerprintMemo(standing)}_$params"
     if (fp.startsWith("0_")) return build(standing)
     val hit = metaFp(readMeta(spark, metaDir)).contains(fp)
     if (hit && !spark.catalog.tableExists(table)) {

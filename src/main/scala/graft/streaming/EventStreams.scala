@@ -557,7 +557,11 @@ object EventStreams {
         // carry it, pinned builds resolve the static default
         try sink(id, Similarity.cellProbeSearchFor(q, cents, asg, entries,
           graph, selfIsInCorpus = selfIsInCorpus, tombstones = tombs,
-          fuseKeep = fuseKeep, nProbeMeta = IndexStore.nProbeOfMeta(served)))
+          fuseKeep = fuseKeep, nProbeMeta = IndexStore.nProbeOfMeta(served),
+          // the artifact's row count rides the same meta string: small
+          // corpora serve off one reused asg broadcast instead of
+          // per-round beam broadcasts (see cellProbeSearchFor)
+          asgRows = IndexStore.corpusRowsOfMeta(served).getOrElse(-1L)))
         finally graft.CacheScope.releaseSince(m)
     }
   }
@@ -622,7 +626,8 @@ object EventStreams {
             x => floor(x.cast(DoubleType) * 1000).cast(LongType)).as("q_mv"))
         try {
           val ann = Similarity.cellProbeSearchFor(q, cents, asg, entries,
-            graph, nProbeMeta = IndexStore.nProbeOfMeta(served))
+            graph, nProbeMeta = IndexStore.nProbeOfMeta(served),
+            asgRows = IndexStore.corpusRowsOfMeta(served).getOrElse(-1L))
           val lex = Retrieval.lexicalTopKFor(
             b.select(col("vec_id").as("q_id")), lexIx)
           sink(id, Retrieval.rrfFuse(ann, lex))

@@ -11,6 +11,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * divisors go to zero on them — this gate pins that the stats/
   * histogram/quantize operators complete instead of ANSI-throwing.
   */
+// @Slow: excluded from the driver fast lane (`sbt test`; see
+// build.sbt) — all-queries degenerate-input sweep (~40 s); run with the full suite: `sbt "testOnly *"`
+@org.scalatest.tags.Slow
 class DegenerateInputSpec extends AnyFunSuite {
 
   lazy val spark = TestSpark.spark

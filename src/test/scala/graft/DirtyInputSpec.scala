@@ -16,6 +16,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * empty-output all legitimate per op); the EmptyInput/oracle gates
   * own semantics. This gate owns "never crash".
   */
+// @Slow: excluded from the driver fast lane (`sbt test`; see
+// build.sbt) — all-queries dirty-input sweep (~1 min); run with the full suite: `sbt "testOnly *"`
+@org.scalatest.tags.Slow
 class DirtyInputSpec extends AnyFunSuite {
 
   lazy val spark = TestSpark.spark

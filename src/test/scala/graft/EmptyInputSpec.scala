@@ -12,6 +12,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * dim-scan fallback, d13's count-derived modulus, d10's cap count,
   * s03's empty centroid set, q69's empty user universe.
   */
+// @Slow: excluded from the driver fast lane (`sbt test`; see
+// build.sbt) — all-queries empty-input sweep (~1 min); run with the full suite: `sbt "testOnly *"`
+@org.scalatest.tags.Slow
 class EmptyInputSpec extends AnyFunSuite {
 
   lazy val spark = TestSpark.spark

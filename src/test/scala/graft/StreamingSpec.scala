@@ -10,6 +10,9 @@ import java.nio.file.{Files, Paths}
   * stateful sessionization must agree with their batch (oracle-checked)
   * twins q18/q21 when the whole dataset is replayed through the stream.
   */
+// @Slow: excluded from the driver fast lane (`sbt test`; see
+// build.sbt) — streaming replay e2e (~4 min); run with the full suite: `sbt "testOnly *"`
+@org.scalatest.tags.Slow
 class StreamingSpec extends AnyFunSuite {
 
   lazy val spark = TestSpark.spark

@@ -214,10 +214,15 @@ object Retrieval {
   private[graft] def lexIndex(docs: DataFrame): LexIndex = {
     val base = graft.CacheScope.persisted(shingleSets(docs))
     val sh = base.select(col("doc_id"), explode(col("gs")).as("g"))
-    val rare = sh.join(
+    // rare is persisted too: every probe references it TWICE (query
+    // side + candidate side), and the streaming hybrid serve probes
+    // it once per micro-batch — unpersisted, the df-cap join ran
+    // twice per probe (r14 §2.4). base alone doesn't cover it: the
+    // explode + df aggregate + join sit ABOVE the cache.
+    val rare = graft.CacheScope.persisted(sh.join(
       sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= LexDfCap),
-      Seq("g"))
+      Seq("g")))
     LexIndex(base, rare)
   }
 

@@ -613,8 +613,10 @@ object EventStreams {
           served = now
           // arm coherence: the dense artifact moved, so the lexical
           // arm re-reads `docs` (a lazy plan over the live corpus
-          // files) — the prior standing persist is released first,
-          // bounding storage at one lexical index per stream
+          // files) — BOTH prior standing persists (shingle sets +
+          // rare postings) are released first, bounding storage at
+          // one lexical index per stream
+          lexIx.rare.unpersist()
           lexIx.base.unpersist()
           lexIx = Retrieval.lexIndex(docs)
         }
